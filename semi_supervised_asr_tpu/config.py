@@ -1,0 +1,258 @@
+"""Hyperparameter configuration: YAML -> frozen dataclasses, CLI overrides.
+
+Mirrors the reference's single-hyperparameter-YAML surface (BASELINE.json:5
+"match the reference's ... hyperparameter yaml"): one file holds frontend,
+model, objective, schedule, decode and parallelism knobs; ``key=value`` CLI
+overrides use dotted paths (``model.enc_hidden=512``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Audio frontend (STFT -> mel -> log -> CMVN -> SpecAugment)."""
+
+    sample_rate: int = 16000
+    win_ms: float = 25.0          # analysis window length
+    hop_ms: float = 10.0          # frame shift
+    n_fft: int = 512
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: float | None = None     # None -> sample_rate / 2
+    mel_scale: str = "slaney"     # "slaney" (librosa default) or "htk"
+    center: bool = True           # librosa-style reflect-centered frames
+    log_floor: float = 1e-10
+    preemphasis: float = 0.0      # 0 disables (librosa convention)
+    # CMVN
+    cmvn: str = "global"          # "global" | "utterance" | "none"
+    # SpecAugment (Park et al. 2019, arXiv:1904.08779)
+    spec_augment: bool = True
+    freq_mask_param: int = 27     # F
+    n_freq_masks: int = 2         # mF
+    time_mask_param: int = 40     # T
+    n_time_masks: int = 2         # mT
+    time_mask_max_ratio: float = 0.2  # p: cap T at ratio*utt_len
+    fused_pallas: bool = True     # use the fused Pallas post-FFT kernel on TPU
+
+    @property
+    def win_length(self) -> int:
+        return int(round(self.sample_rate * self.win_ms / 1000.0))
+
+    @property
+    def hop_length(self) -> int:
+        return int(round(self.sample_rate * self.hop_ms / 1000.0))
+
+    @property
+    def fmax_hz(self) -> float:
+        return self.sample_rate / 2.0 if self.fmax is None else self.fmax
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Listener (pyramidal BiLSTM) + location-aware-attention Speller."""
+
+    n_mels: int = 80
+    vocab_size: int = 64          # overwritten from the tokenizer at build time
+    # Listener
+    enc_hidden: int = 256         # per-direction LSTM hidden size
+    enc_layers: int = 3           # pyramid layers AFTER the base BiLSTM
+    enc_base_layers: int = 1      # full-rate BiLSTM layers before the pyramid
+    enc_dropout: float = 0.0
+    # each pyramid layer folds 2 frames -> total reduction 2**enc_layers
+    # Attention
+    attn_dim: int = 128
+    attn_conv_channels: int = 10  # location-feature conv channels
+    attn_conv_width: int = 100    # conv kernel width over previous alignment
+    attn_sharpening: float = 1.0  # softmax temperature (1/gamma)
+    # Speller
+    dec_hidden: int = 512
+    dec_layers: int = 1
+    embed_dim: int = 256
+    dec_dropout: float = 0.0
+    tie_embedding: bool = False   # tie output projection to input embedding
+    # numerics
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"  # MXU-friendly; carries stay fp32
+
+    @property
+    def time_reduction(self) -> int:
+        return 2 ** self.enc_layers
+
+    @property
+    def enc_out_dim(self) -> int:
+        return 2 * self.enc_hidden
+
+
+@dataclass(frozen=True)
+class ObjectiveConfig:
+    """Supervised CE + semi-supervised terms (BASELINE.json:5,10)."""
+
+    label_smoothing: float = 0.0
+    # teacher forcing / scheduled sampling
+    tf_rate_start: float = 1.0
+    tf_rate_end: float = 0.8
+    tf_decay_steps: int = 50000
+    # semi-supervised weights
+    lambda_text_ae: float = 0.0       # text autoencoder weight
+    lambda_pseudo: float = 0.0        # pseudo-label consistency weight
+    pseudo_confidence: float = 0.0    # min mean log-prob filter (0 = keep all)
+    ema_decay: float = 0.999          # EMA teacher for pseudo-labels
+    use_ema_teacher: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 5e-4
+    lr_schedule: str = "constant"     # "constant" | "cosine" | "exponential"
+    warmup_steps: int = 0
+    decay_steps: int = 100000
+    lr_min_ratio: float = 0.1
+    beta1: float = 0.9
+    beta2: float = 0.999
+    grad_clip_norm: float = 5.0
+    weight_decay: float = 0.0
+    total_steps: int = 100000
+    batch_size: int = 32              # global batch size (all chips)
+    eval_every: int = 1000
+    log_every: int = 100
+    ckpt_every: int = 1000
+    keep_ckpts: int = 3
+    seed: int = 0
+    ckpt_dir: str = "checkpoints"
+    remat_encoder: bool = False       # jax.checkpoint the listener
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    beam_size: int = 5
+    max_decode_ratio: float = 0.5     # max output len = ratio * enc frames
+    max_decode_len: int = 256         # hard cap (static shape under jit)
+    length_penalty: float = 1.0       # score / len**penalty
+    lm_weight: float = 0.0            # shallow-fusion LM weight
+    coverage_weight: float = 0.0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"        # "synthetic" | "timit" | "librispeech"
+    data_dir: str = ""
+    unit: str = "phone"               # "phone" (TIMIT) | "char" (LibriSpeech)
+    # length bucketing: static (frames, tokens) buckets -> jit-stable shapes
+    frame_buckets: tuple[int, ...] = (200, 400, 800, 1600)
+    token_buckets: tuple[int, ...] = (32, 64, 128, 256)
+    max_frames: int = 1600
+    max_tokens: int = 256
+    # semi-supervised streams
+    labeled_split: str = "train"
+    unlabeled_audio_split: str = ""
+    unlabeled_text_split: str = ""
+    num_synthetic_utts: int = 128
+    synthetic_seed: int = 1234
+    drop_remainder: bool = True
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device mesh layout (BASELINE.json:11). `model` axis is a stub for TP."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1           # leave 1: model is small; axis is a stub
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    objective: ObjectiveConfig = field(default_factory=ObjectiveConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    name: str = "default"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_yaml(self) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+
+_SECTIONS = {
+    "frontend": FrontendConfig,
+    "model": ModelConfig,
+    "objective": ObjectiveConfig,
+    "train": TrainConfig,
+    "decode": DecodeConfig,
+    "data": DataConfig,
+    "parallel": ParallelConfig,
+}
+
+
+def _coerce(cls, raw: dict[str, Any]):
+    """Build a dataclass from a dict, with type checking on field names."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in raw.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {cls.__name__}.{k}")
+        if isinstance(v, list):
+            v = tuple(v)
+        kw[k] = v
+    return cls(**kw)
+
+
+def config_from_dict(d: dict[str, Any]) -> Config:
+    kw: dict[str, Any] = {}
+    for section, cls in _SECTIONS.items():
+        if section in d:
+            kw[section] = _coerce(cls, d[section] or {})
+    if "name" in d:
+        kw["name"] = d["name"]
+    unknown = set(d) - set(_SECTIONS) - {"name"}
+    if unknown:
+        raise KeyError(f"unknown config sections: {sorted(unknown)}")
+    return Config(**kw)
+
+
+def load_config(path: str | Path, overrides: list[str] | None = None) -> Config:
+    """Load a YAML config file and apply ``section.key=value`` overrides."""
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        key, _, val = ov.partition("=")
+        parts = key.split(".")
+        if len(parts) != 2:
+            raise ValueError(f"override key must be section.field, got {key!r}")
+        sec, fld = parts
+        d.setdefault(sec, {})
+        d[sec][fld] = yaml.safe_load(val)  # parses ints/floats/bools/lists
+    return config_from_dict(d)
+
+
+def save_config(cfg: Config, path: str | Path) -> None:
+    Path(path).write_text(cfg.to_yaml())
+
+
+def config_fingerprint(cfg: Config) -> str:
+    """Stable hash of the config, logged alongside checkpoints."""
+    import hashlib
+
+    blob = json.dumps(cfg.to_dict(), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,200 @@
+"""Batched JAX/XLA audio frontend: STFT -> mel -> log -> CMVN (-> SpecAugment).
+
+TPU-native counterpart of the reference's offline feature extraction
+(SURVEY.md §4.4): raw audio streams to the device and features are computed
+in the training step, so they never round-trip through host memory
+(BASELINE.json:8 "fused audio frontend ... emitting HBM-resident bucketed
+feature batches").
+
+Design notes (all shapes static per bucket, jit-stable):
+* framing via ``lax.conv_general_dilated_patches`` — compiles to an
+  efficient strided window read, no gather;
+* rfft stays in XLA (``jnp.fft.rfft``) — Pallas FFT is not worth it
+  (SURVEY.md §8.1); the post-FFT chain (power -> mel -> log -> CMVN ->
+  SpecAugment) is fused by XLA here and by a Pallas kernel in
+  ``pallas_frontend.py``;
+* the mel matmul rides the MXU: [B*T, F] @ [F, M] in one batched contraction.
+
+Parity: tests/test_frontend.py checks every stage against the float64 numpy
+oracle in ``frontend_oracle.py`` to <=1e-5 relative error ("bitwise-close",
+BASELINE.json:8).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from semi_supervised_asr_tpu.config import FrontendConfig
+from semi_supervised_asr_tpu.ops import frontend_oracle as oracle
+
+
+@functools.lru_cache(maxsize=8)
+def _constants(cfg: FrontendConfig):
+    """Precomputed (window[n_fft], mel_fb[F, M]) as float32 numpy arrays."""
+    window = oracle.padded_window(cfg).astype(np.float32)
+    fb = oracle.mel_filterbank(
+        cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.fmin, cfg.fmax_hz,
+        cfg.mel_scale,
+    ).astype(np.float32)
+    return window, fb
+
+
+def frame_lengths(sample_lengths: jax.Array, cfg: FrontendConfig) -> jax.Array:
+    """Valid frame count per utterance given sample lengths."""
+    if cfg.center:
+        return 1 + sample_lengths // cfg.hop_length
+    return 1 + (sample_lengths - cfg.n_fft) // cfg.hop_length
+
+
+def frames_for_samples(n_samples: int, cfg: FrontendConfig) -> int:
+    return int(oracle.num_frames(n_samples, cfg))
+
+
+def _frame(audio: jax.Array, cfg: FrontendConfig) -> jax.Array:
+    """[B, S] -> [B, T, n_fft] windowed frames."""
+    if cfg.preemphasis > 0.0:
+        audio = jnp.concatenate(
+            [audio[:, :1], audio[:, 1:] - cfg.preemphasis * audio[:, :-1]],
+            axis=1,
+        )
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        audio = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    # conv patches: [B, C=1, S] -> [B, n_fft, T]
+    patches = lax.conv_general_dilated_patches(
+        audio[:, None, :],
+        filter_shape=(cfg.n_fft,),
+        window_strides=(cfg.hop_length,),
+        padding="VALID",
+    )
+    return jnp.transpose(patches, (0, 2, 1))  # [B, T, n_fft]
+
+
+def power_spectrogram(audio: jax.Array, cfg: FrontendConfig) -> jax.Array:
+    """[B, S] -> [B, T, n_fft//2 + 1] power spectrum (float32)."""
+    window, _ = _constants(cfg)
+    frames = _frame(audio.astype(jnp.float32), cfg) * jnp.asarray(window)
+    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+
+def log_mel_from_power(pspec: jax.Array, cfg: FrontendConfig) -> jax.Array:
+    """[B, T, F] power -> [B, T, M] log-mel. The mel matmul is MXU work."""
+    _, fb = _constants(cfg)
+    mel = jnp.einsum(
+        "btf,fm->btm", pspec, jnp.asarray(fb),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.log(jnp.maximum(mel, cfg.log_floor))
+
+
+def utterance_cmvn(
+    feats: jax.Array, feat_lens: jax.Array, eps: float = 1e-8
+) -> jax.Array:
+    """Per-utterance mean/var normalization over valid frames only."""
+    t = feats.shape[1]
+    mask = (jnp.arange(t)[None, :] < feat_lens[:, None]).astype(feats.dtype)
+    denom = jnp.maximum(feat_lens.astype(feats.dtype), 1.0)[:, None]
+    mean = jnp.sum(feats * mask[..., None], axis=1) / denom
+    sq = jnp.sum((feats**2) * mask[..., None], axis=1) / denom
+    var = jnp.maximum(sq - mean**2, 0.0)
+    out = (feats - mean[:, None, :]) * lax.rsqrt(var + eps)[:, None, :]
+    return out * mask[..., None]
+
+
+def apply_global_cmvn(
+    feats: jax.Array, mean: jax.Array, inv_std: jax.Array
+) -> jax.Array:
+    return (feats - mean) * inv_std
+
+
+def log_mel_features(
+    audio: jax.Array,
+    sample_lens: jax.Array,
+    cfg: FrontendConfig,
+    cmvn_mean: jax.Array | None = None,
+    cmvn_inv_std: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Full unfused frontend: [B, S] audio -> ([B, T, M] feats, [B] lens).
+
+    Padding frames are zeroed after normalization so downstream masking
+    (attention, CE) sees exactly-zero features on pads.
+    """
+    pspec = power_spectrogram(audio, cfg)
+    feats = log_mel_from_power(pspec, cfg)
+    lens = jnp.minimum(frame_lengths(sample_lens, cfg), feats.shape[1])
+    if cfg.cmvn == "utterance":
+        feats = utterance_cmvn(feats, lens)
+    elif cfg.cmvn == "global":
+        assert cmvn_mean is not None and cmvn_inv_std is not None, (
+            "global CMVN requires precomputed stats"
+        )
+        feats = apply_global_cmvn(feats, cmvn_mean, cmvn_inv_std)
+        mask = jnp.arange(feats.shape[1])[None, :] < lens[:, None]
+        feats = feats * mask[..., None].astype(feats.dtype)
+    else:
+        mask = jnp.arange(feats.shape[1])[None, :] < lens[:, None]
+        feats = feats * mask[..., None].astype(feats.dtype)
+    return feats, lens
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment (Park et al. 2019, arXiv:1904.08779) under jax PRNG.
+# ---------------------------------------------------------------------------
+
+def spec_augment(
+    key: jax.Array,
+    feats: jax.Array,
+    feat_lens: jax.Array,
+    cfg: FrontendConfig,
+    mask_value: float = 0.0,
+) -> jax.Array:
+    """Apply SpecAugment to [B, T, M] features (train only).
+
+    Frequency masks: ``n_freq_masks`` bands of width U[0, F].
+    Time masks: ``n_time_masks`` bands of width U[0, min(T_param, p*len)],
+    confined to the valid region of each utterance.
+    """
+    b, t, m = feats.shape
+    kf, kt_w, kt_s = jax.random.split(key, 3)
+
+    # Frequency masks: same machinery for every row (widths independent).
+    fwidths = jax.random.randint(
+        jax.random.fold_in(kf, 0), (b, cfg.n_freq_masks, 1), 0,
+        min(cfg.freq_mask_param, m) + 1,
+    )
+    fstarts = (
+        jax.random.uniform(jax.random.fold_in(kf, 1), (b, cfg.n_freq_masks, 1))
+        * jnp.maximum(m - fwidths, 1)
+    ).astype(jnp.int32)
+    fpos = jnp.arange(m).reshape(1, 1, -1)
+    fmask = jnp.any((fpos >= fstarts) & (fpos < fstarts + fwidths), axis=1)
+
+    # Time masks: width capped by both T_param and p * utt_len.
+    cap = jnp.minimum(
+        jnp.full((b,), cfg.time_mask_param, dtype=jnp.int32),
+        (cfg.time_mask_max_ratio * feat_lens.astype(jnp.float32)).astype(
+            jnp.int32
+        ),
+    )
+    tw_u = jax.random.uniform(kt_w, (b, cfg.n_time_masks, 1))
+    twidths = (tw_u * (cap[:, None, None].astype(jnp.float32) + 1.0)).astype(
+        jnp.int32
+    )
+    tstarts = (
+        jax.random.uniform(kt_s, (b, cfg.n_time_masks, 1))
+        * jnp.maximum(feat_lens[:, None, None] - twidths, 1).astype(
+            jnp.float32
+        )
+    ).astype(jnp.int32)
+    tpos = jnp.arange(t).reshape(1, 1, -1)
+    tmask = jnp.any((tpos >= tstarts) & (tpos < tstarts + twidths), axis=1)
+
+    masked = jnp.where(fmask[:, None, :], mask_value, feats)
+    masked = jnp.where(tmask[:, :, None], mask_value, masked)
+    return masked

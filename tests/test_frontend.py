@@ -1,0 +1,168 @@
+"""Frontend parity: JAX stages vs the float64 numpy oracle (C2 gate).
+
+BASELINE.json:8 — "bitwise-close to librosa/kaldi features", operationalized
+as <=1e-5 relative error after fp32 rounding (SURVEY.md §7 parity protocol).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semi_supervised_asr_tpu.config import FrontendConfig
+from semi_supervised_asr_tpu.ops import frontend, frontend_oracle as oracle
+
+CFG = FrontendConfig(spec_augment=False, cmvn="utterance")
+
+
+def rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.max(np.abs(a - b) / (np.maximum(np.abs(b), 1e-3)))
+
+
+def make_audio(rng, n, scale=0.1):
+    # speech-ish: filtered noise + tones
+    t = np.arange(n) / CFG.sample_rate
+    x = rng.standard_normal(n) * scale
+    x += 0.3 * np.sin(2 * np.pi * 440.0 * t) + 0.2 * np.sin(2 * np.pi * 1333.0 * t)
+    return x.astype(np.float64)
+
+
+class TestMelFilterbank:
+    def test_slaney_shape_and_area(self):
+        fb = oracle.mel_filterbank(80, 512, 16000)
+        assert fb.shape == (257, 80)
+        assert np.all(fb >= 0)
+        # every filter has nonzero mass and bounded peak
+        assert np.all(fb.sum(axis=0) > 0)
+
+    def test_htk_vs_slaney_differ(self):
+        a = oracle.mel_filterbank(40, 512, 16000, scale="slaney")
+        b = oracle.mel_filterbank(40, 512, 16000, scale="htk")
+        assert not np.allclose(a, b)
+
+    def test_mel_hz_roundtrip(self):
+        f = np.linspace(10, 8000, 100)
+        for scale in ("slaney", "htk"):
+            back = oracle.mel_to_hz(oracle.hz_to_mel(f, scale), scale)
+            np.testing.assert_allclose(back, f, rtol=1e-10)
+
+
+class TestFraming:
+    def test_frame_count_center(self, rng):
+        x = make_audio(rng, 16000)
+        frames = oracle.frame_signal(x, CFG)
+        assert frames.shape == (1 + 16000 // CFG.hop_length, CFG.n_fft)
+
+    def test_jax_frames_match_oracle(self, rng):
+        x = make_audio(rng, 8000)
+        ref = oracle.frame_signal(x, CFG)
+        got = frontend._frame(jnp.asarray(x[None], jnp.float32), CFG)[0]
+        assert got.shape == ref.shape
+        assert rel_err(got, ref) < 1e-5
+
+
+class TestPowerSpectrum:
+    def test_matches_oracle(self, rng):
+        x = make_audio(rng, 8000)
+        ref = oracle.power_spectrogram(x, CFG)
+        got = frontend.power_spectrogram(jnp.asarray(x[None], jnp.float32), CFG)[0]
+        assert got.shape == ref.shape
+        assert rel_err(got, ref) < 2e-4  # fp32 fft
+
+    def test_parseval_sanity(self, rng):
+        # windowed energy should roughly match spectral energy / n_fft
+        x = make_audio(rng, 4000)
+        frames = oracle.frame_signal(x, CFG) * oracle.padded_window(CFG)
+        ps = oracle.power_spectrogram(x, CFG)
+        # rfft power counts half the spectrum; undo the one-sided fold approx
+        full = 2 * ps.sum(axis=1) - ps[:, 0] - ps[:, -1]
+        np.testing.assert_allclose(
+            full / CFG.n_fft, (frames**2).sum(axis=1), rtol=1e-6
+        )
+
+
+class TestLogMel:
+    def test_matches_oracle(self, rng):
+        x = make_audio(rng, 8000)
+        ref = oracle.log_mel(x, CFG)
+        ps = frontend.power_spectrogram(jnp.asarray(x[None], jnp.float32), CFG)
+        got = frontend.log_mel_from_power(ps, CFG)[0]
+        assert rel_err(np.exp(got), np.exp(ref)) < 2e-4
+        assert np.max(np.abs(np.asarray(got) - ref)) < 1e-3  # log-domain abs
+
+    def test_full_frontend_utt_cmvn(self, rng):
+        xs = [make_audio(rng, 8000), make_audio(rng, 6000)]
+        s = max(len(x) for x in xs)
+        batch = np.stack([oracle.pad_for_batch(x, s, CFG) for x in xs])
+        lens = np.array([8000, 6000])
+        feats, flens = frontend.log_mel_features(
+            jnp.asarray(batch, jnp.float32), jnp.asarray(lens), CFG
+        )
+        t0 = oracle.num_frames(8000, CFG)
+        t1 = oracle.num_frames(6000, CFG)
+        assert int(flens[0]) == t0 and int(flens[1]) == t1
+        ref1 = oracle.full_frontend(xs[1], CFG)
+        got1 = np.asarray(feats[1, :t1])
+        assert np.max(np.abs(got1 - ref1)) < 2e-3
+        # padding frames exactly zero
+        assert np.all(np.asarray(feats[1, t1:]) == 0.0)
+
+    def test_global_cmvn(self, rng):
+        x = make_audio(rng, 8000)
+        cfg = FrontendConfig(spec_augment=False, cmvn="global")
+        lm = oracle.log_mel(x, cfg)
+        mean, inv_std = oracle.cmvn_stats(lm)
+        feats, _ = frontend.log_mel_features(
+            jnp.asarray(x[None], jnp.float32),
+            jnp.asarray([8000]),
+            cfg,
+            cmvn_mean=jnp.asarray(mean, jnp.float32),
+            cmvn_inv_std=jnp.asarray(inv_std, jnp.float32),
+        )
+        ref = oracle.apply_cmvn(lm, mean, inv_std)
+        assert np.max(np.abs(np.asarray(feats[0]) - ref)) < 2e-3
+
+
+class TestSpecAugment:
+    def test_masks_shapes_and_bounds(self, rng):
+        cfg = FrontendConfig()
+        b, t, m = 4, 100, 80
+        feats = jnp.ones((b, t, m))
+        lens = jnp.array([100, 80, 50, 100])
+        out = frontend.spec_augment(jax.random.PRNGKey(0), feats, lens, cfg)
+        out = np.asarray(out)
+        assert out.shape == (b, t, m)
+        assert set(np.unique(out)).issubset({0.0, 1.0})
+        # something was masked, but not everything
+        assert 0.0 < out.mean() < 1.0
+
+    def test_time_masks_respect_lengths(self):
+        cfg = FrontendConfig(n_freq_masks=0, n_time_masks=2)
+        b, t, m = 8, 100, 80
+        feats = jnp.ones((b, t, m))
+        lens = jnp.full((b,), 40)
+        for seed in range(5):
+            out = np.asarray(
+                frontend.spec_augment(jax.random.PRNGKey(seed), feats, lens, cfg)
+            )
+            # region beyond utterance length untouched
+            assert np.all(out[:, 40:, :] == 1.0)
+
+    def test_deterministic_under_key(self):
+        cfg = FrontendConfig()
+        feats = jnp.ones((2, 50, 80))
+        lens = jnp.array([50, 50])
+        a = frontend.spec_augment(jax.random.PRNGKey(7), feats, lens, cfg)
+        b = frontend.spec_augment(jax.random.PRNGKey(7), feats, lens, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestJit:
+    def test_frontend_jits_once_per_shape(self, rng):
+        x = jnp.asarray(make_audio(rng, 8000)[None], jnp.float32)
+        lens = jnp.asarray([8000])
+        f = jax.jit(lambda a, l: frontend.log_mel_features(a, l, CFG))
+        out1, _ = f(x, lens)
+        out2, _ = f(x, lens)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
