@@ -1,0 +1,180 @@
+"""Batched, jit-compiled attention beam search with cached encoder states.
+
+Config C3 (BASELINE.json:9): the reference's per-utterance Python beam loop
+becomes a [B, K] lattice advanced entirely under jit (the pattern of
+arXiv:1811.04568, PAPERS.md):
+
+* encoder outputs AND their attention key projections are computed once and
+  tiled to the K lattice rows (the "cached encoder states");
+* each step scores all K*V continuations with one batched ``speller_step``
+  over [B*K] rows, takes top-k over the flattened K*V axis, then
+  gather-reorders every decoder-state leaf (LSTM h/c, context, alignment)
+  and the token history with the surviving beam indices — the classic
+  stale-state trap is covered by equivalence tests vs a pure-Python beam
+  (tests/test_beam.py);
+* finished rows are frozen in-lattice: their only continuation is PAD at
+  logprob 0, so scores are preserved until the final length-normalized
+  selection;
+* optional shallow LM fusion adds ``lm_weight * logp_lm`` to continuation
+  scores (Toshniwal et al. 2018, arXiv:1807.10857, PAPERS.md).
+
+Greedy is the K=1 fast path (exact equivalence tested).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from semi_supervised_asr_tpu.config import DecodeConfig, ModelConfig
+from semi_supervised_asr_tpu.data.vocab import EOS, PAD, SOS
+from semi_supervised_asr_tpu.models import speller as S
+
+NEG_INF = -1e30
+
+
+def _tile_rows(x: jax.Array, k: int) -> jax.Array:
+    """[B, ...] -> [B*K, ...] (each row repeated K times, row-major)."""
+    return jnp.repeat(x, k, axis=0)
+
+
+def beam_decode_from_enc(
+    speller_params: dict,
+    cfg: ModelConfig,
+    dcfg: DecodeConfig,
+    enc: jax.Array,        # [B, T, enc_out]
+    enc_mask: jax.Array,   # [B, T]
+    keys: jax.Array,       # [B, T, A]
+    max_len: int,
+    lm_params: dict | None = None,
+    lm_step_fn=None,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (best tokens [B, max_len] (EOS then PADs), best score [B])."""
+    b, t = enc_mask.shape
+    k = dcfg.beam_size
+    v = speller_params["w_out"].shape[-1] if "w_out" in speller_params else None
+    del v
+
+    enc_k = _tile_rows(enc, k)
+    mask_k = _tile_rows(enc_mask, k)
+    keys_k = _tile_rows(keys, k)
+
+    state0 = S.init_state(b * k, t, cfg, mask_k)
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None],
+        (b, 1),
+    )  # [B, K]: only beam 0 live at step 0 (identical rows would duplicate)
+    tok0 = jnp.full((b * k,), SOS, jnp.int32)
+    done0 = jnp.zeros((b, k), bool)
+    hyps0 = jnp.full((b, k, max_len), PAD, jnp.int32)
+    lens0 = jnp.zeros((b, k), jnp.int32)
+
+    use_lm = lm_params is not None and lm_step_fn is not None
+    lm_state0 = lm_step_fn(lm_params, None, None, init_batch=b * k)[0] if use_lm else None
+
+    def gather_rows(x: jax.Array, beam_idx: jax.Array, axis: int) -> jax.Array:
+        """Reorder the B*K row axis of a state leaf by per-batch beam_idx."""
+        shape = x.shape
+        xk = x.reshape(shape[:axis] + (b, k) + shape[axis + 1 :])
+        idx = beam_idx.reshape((1,) * axis + (b, k) + (1,) * (xk.ndim - axis - 2))
+        took = jnp.take_along_axis(xk, idx, axis=axis + 1)
+        return took.reshape(shape)
+
+    def step(carry, u):
+        state, tok, scores, done, hyps, lens, lm_state = carry
+        state_new, logits, _ = S.speller_step(
+            speller_params, cfg, state, tok, keys_k, enc_k, mask_k
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        vsz = logp.shape[-1]
+        if use_lm:
+            lm_state_new, lm_logits = lm_step_fn(lm_params, lm_state, tok)
+            logp = logp + dcfg.lm_weight * jax.nn.log_softmax(
+                lm_logits.astype(jnp.float32), axis=-1
+            )
+        else:
+            lm_state_new = lm_state
+
+        logp = logp.reshape(b, k, vsz)
+        # Frozen rows: only PAD continues, at zero cost.
+        pad_only = jnp.full((vsz,), NEG_INF).at[PAD].set(0.0)
+        logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
+        # Live rows must not emit PAD.
+        live_block = jnp.zeros((vsz,)).at[PAD].set(NEG_INF)
+        logp = jnp.where(done[..., None], logp, logp + live_block[None, None, :])
+
+        total = scores[..., None] + logp                    # [B, K, V]
+        flat = total.reshape(b, k * vsz)
+        new_scores, flat_idx = lax.top_k(flat, k)           # [B, K]
+        beam_idx = flat_idx // vsz                          # [B, K] source beam
+        new_tok = (flat_idx % vsz).astype(jnp.int32)        # [B, K]
+
+        # Gather-reorder every decoder-state leaf by the surviving beams.
+        new_state = {
+            "h": gather_rows(state_new["h"], beam_idx, 1),
+            "c": gather_rows(state_new["c"], beam_idx, 1),
+            "context": gather_rows(state_new["context"], beam_idx, 0),
+            "alpha": gather_rows(state_new["alpha"], beam_idx, 0),
+        }
+        new_lm_state = (
+            jax.tree.map(lambda x: gather_rows(x, beam_idx, 0), lm_state_new)
+            if use_lm
+            else lm_state_new
+        )
+        done_g = jnp.take_along_axis(done, beam_idx, axis=1)
+        lens_g = jnp.take_along_axis(lens, beam_idx, axis=1)
+        hyps_g = jnp.take_along_axis(hyps, beam_idx[..., None], axis=1)
+
+        emit = jnp.where(done_g, PAD, new_tok)
+        hyps_new = hyps_g.at[:, :, u].set(emit)
+        lens_new = jnp.where(done_g, lens_g, lens_g + 1)    # counts incl. EOS
+        done_new = done_g | (new_tok == EOS)
+
+        carry = (
+            new_state,
+            emit.reshape(b * k),
+            new_scores,
+            done_new,
+            hyps_new,
+            lens_new,
+            new_lm_state,
+        )
+        return carry, None
+
+    carry = (state0, tok0, scores0, done0, hyps0, lens0, lm_state0)
+    carry, _ = lax.scan(step, carry, jnp.arange(max_len))
+    _, _, scores, done, hyps, lens, _ = carry
+
+    # Length-normalized final selection; unfinished hyps are penalized so a
+    # finished one wins whenever any exists.
+    norm_raw = (
+        scores / jnp.maximum(lens.astype(jnp.float32), 1.0) ** dcfg.length_penalty
+    )
+    any_done = jnp.any(done, axis=1, keepdims=True)
+    # If NO beam finished (pathological), fall back to raw normalized score.
+    norm = jnp.where(done | ~any_done, norm_raw, NEG_INF)
+    best = jnp.argmax(norm, axis=1)                         # [B]
+    best_hyp = jnp.take_along_axis(hyps, best[:, None, None], axis=1)[:, 0]
+    best_norm = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    return best_hyp, best_norm
+
+
+@partial(jax.jit, static_argnames=("cfg", "dcfg", "max_len"))
+def beam_decode(
+    params: dict,
+    cfg: ModelConfig,
+    dcfg: DecodeConfig,
+    feats: jax.Array,
+    feat_lens: jax.Array,
+    max_len: int,
+):
+    """Full jit beam pass from features (one compile per bucket shape)."""
+    from semi_supervised_asr_tpu.models import seq2seq as M
+
+    enc, enc_mask, keys = M.encode(params, feats, feat_lens, cfg)
+    return beam_decode_from_enc(
+        params["speller"], cfg, dcfg, enc, enc_mask, keys, max_len
+    )

@@ -1,0 +1,70 @@
+"""Seq2seq wrapper tying Listener + Speller (SURVEY.md §3 #11).
+
+Public surface mirrors the reference's model object:
+* ``init_model(key, cfg)`` -> param pytree,
+* ``encode(params, feats, lens, cfg)`` -> cached encoder states,
+* ``forward_teacher(params, cfg, batch, ...)`` -> logits for CE,
+decode lives in ``semi_supervised_asr_tpu.decode`` (greedy/beam reuse the
+same ``speller_step``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semi_supervised_asr_tpu.config import ModelConfig
+from semi_supervised_asr_tpu.models import listener as L
+from semi_supervised_asr_tpu.models import speller as S
+from semi_supervised_asr_tpu.models import attention as A
+
+
+def init_model(key: jax.Array, cfg: ModelConfig):
+    k_enc, k_dec = jax.random.split(key)
+    dtype = jnp.dtype(cfg.param_dtype)
+    return {
+        "listener": L.init_listener(k_enc, cfg, dtype),
+        "speller": S.init_speller(k_dec, cfg, dtype),
+    }
+
+
+def encode(
+    params: dict,
+    feats: jax.Array,
+    feat_lens: jax.Array,
+    cfg: ModelConfig,
+    train: bool = False,
+    dropout_rng: jax.Array | None = None,
+):
+    """-> (enc [B,T',2H], enc_mask [B,T'], keys [B,T',A]) — the decode cache."""
+    enc, enc_lens = L.listener_apply(
+        params["listener"], feats, feat_lens, cfg, train, dropout_rng
+    )
+    t = enc.shape[1]
+    enc_mask = jnp.arange(t)[None, :] < enc_lens[:, None]
+    keys = A.precompute_keys(params["speller"]["attention"], enc)
+    return enc, enc_mask, keys
+
+
+def forward_teacher(
+    params: dict,
+    cfg: ModelConfig,
+    feats: jax.Array,
+    feat_lens: jax.Array,
+    tokens_in: jax.Array,
+    tf_rate=1.0,
+    rng: jax.Array | None = None,
+    train: bool = False,
+):
+    """Full teacher-forced pass -> (logits [B,U,V], alphas [B,U,T'])."""
+    drop_rng = None
+    if rng is not None:
+        rng, drop_rng = jax.random.split(rng)
+    enc, enc_mask, _ = encode(params, feats, feat_lens, cfg, train, drop_rng)
+    return S.forward_teacher(
+        params["speller"], cfg, enc, enc_mask, tokens_in, tf_rate, rng
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(jnp.size(p)) for p in jax.tree.leaves(params))

@@ -1,0 +1,184 @@
+"""Speller: attention LSTM decoder with scheduled sampling (SURVEY.md §3 #10).
+
+One shared :func:`speller_step` drives everything that decodes:
+* teacher-forced training (``forward_teacher`` — a single ``lax.scan`` over
+  U steps carrying (LSTM states, context, alpha), SURVEY.md §4.1),
+* greedy decoding, batched beam search (decode/*.py) — the beam simply
+  vmaps/reshapes the same step over [B*K] lattice rows, and
+* the text autoencoder (objectives/losses.py) reuses the module with a
+  zeroed context, sharing embedding/LSTM/projection weights
+  (BASELINE.json:5 text-AE weight sharing).
+
+The decoder state is a flat dict of arrays whose leading axis is the
+lattice row, so beam reordering is one ``jnp.take_along_axis`` per leaf.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from semi_supervised_asr_tpu.config import ModelConfig, ObjectiveConfig
+from semi_supervised_asr_tpu.models import attention as A
+from semi_supervised_asr_tpu.ops import recurrent as R
+
+
+def init_speller(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
+    k_emb, k_att, k_out, *k_lstm = jax.random.split(key, 3 + cfg.dec_layers)
+    emb_scale = 1.0 / jnp.sqrt(jnp.float32(cfg.embed_dim))
+    cells = []
+    in_dim = cfg.embed_dim + cfg.enc_out_dim
+    for i in range(cfg.dec_layers):
+        cells.append(R.lstm_init(k_lstm[i], in_dim, cfg.dec_hidden, dtype))
+        in_dim = cfg.dec_hidden
+    glorot = jax.nn.initializers.glorot_uniform()
+    params = {
+        "embedding": (
+            jax.random.normal(k_emb, (cfg.vocab_size, cfg.embed_dim), dtype)
+            * emb_scale
+        ),
+        "cells": cells,
+        "attention": A.init_attention(k_att, cfg, dtype),
+        "w_out": glorot(
+            k_out, (cfg.dec_hidden + cfg.enc_out_dim, cfg.vocab_size), dtype
+        ),
+        "b_out": jnp.zeros((cfg.vocab_size,), dtype),
+    }
+    return params
+
+
+def init_state(batch: int, t_enc: int, cfg: ModelConfig, mask: jax.Array):
+    """Fresh decoder state for `batch` lattice rows over `t_enc` frames."""
+    return {
+        "h": jnp.zeros((cfg.dec_layers, batch, cfg.dec_hidden), jnp.float32),
+        "c": jnp.zeros((cfg.dec_layers, batch, cfg.dec_hidden), jnp.float32),
+        "context": jnp.zeros((batch, cfg.enc_out_dim), jnp.float32),
+        "alpha": A.initial_alpha(mask),
+    }
+
+
+def speller_step(
+    params: dict,
+    cfg: ModelConfig,
+    state: dict,
+    tokens: jax.Array,       # [B*] int32 previous tokens
+    keys: jax.Array,         # [B*, T, A] cached key projections
+    values: jax.Array,       # [B*, T, enc_out] encoder outputs
+    mask: jax.Array,         # [B*, T] valid-frame mask
+) -> tuple[dict, jax.Array, jax.Array]:
+    """-> (new_state, logits [B*, V], alpha [B*, T])."""
+    compute = jnp.dtype(cfg.compute_dtype)
+    emb = params["embedding"][tokens].astype(jnp.float32)
+    x = jnp.concatenate([emb, state["context"]], axis=-1)
+
+    hs, cs = [], []
+    for i in range(cfg.dec_layers):
+        h, c = R.lstm_single_step(
+            params["cells"][i], x, state["h"][i], state["c"][i], compute
+        )
+        hs.append(h)
+        cs.append(c)
+        x = h
+    h_top = hs[-1]
+
+    context, alpha = A.attend(
+        params["attention"], h_top, state["alpha"], keys, values, mask,
+        cfg.attn_sharpening,
+    )
+    out_in = jnp.concatenate([h_top, context], axis=-1)
+    logits = (
+        jnp.dot(
+            out_in.astype(compute),
+            params["w_out"].astype(compute),
+            preferred_element_type=jnp.float32,
+        )
+        + params["b_out"].astype(jnp.float32)
+    )
+    new_state = {
+        "h": jnp.stack(hs),
+        "c": jnp.stack(cs),
+        "context": context,
+        "alpha": alpha,
+    }
+    return new_state, logits, alpha
+
+
+def forward_teacher(
+    params: dict,
+    cfg: ModelConfig,
+    enc: jax.Array,           # [B, T, enc_out]
+    enc_mask: jax.Array,      # [B, T]
+    tokens_in: jax.Array,     # [B, U] decoder inputs (starts with <sos>)
+    tf_rate: jax.Array | float = 1.0,
+    rng: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Teacher-forced decode -> (logits [B, U, V], alphas [B, U, T]).
+
+    Scheduled sampling: at each step (after the first) the input token is
+    the ground truth with probability ``tf_rate``, else the argmax of the
+    previous step's logits — sampled per (step, batch element) under the
+    jax PRNG, entirely inside the scan.
+    """
+    b, u = tokens_in.shape
+    keys_proj = A.precompute_keys(params["attention"], enc)
+    state0 = init_state(b, enc.shape[1], cfg, enc_mask)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    step_rngs = jax.random.split(rng, u)
+    tf_rate = jnp.asarray(tf_rate, jnp.float32)
+
+    def step(carry, inp):
+        state, prev_logits = carry
+        tok_gt, k = inp
+        use_gt = jax.random.bernoulli(k, tf_rate, (b,))
+        sampled = jnp.argmax(prev_logits, axis=-1).astype(tok_gt.dtype)
+        tok = jnp.where(use_gt, tok_gt, sampled)
+        state, logits, alpha = speller_step(
+            params, cfg, state, tok, keys_proj, enc, enc_mask
+        )
+        return (state, logits), (logits, alpha)
+
+    # Step 0 runs outside the scan: its input is always the ground-truth
+    # <sos>, and it seeds prev_logits for the scheduled-sampling scan.
+    state, logits0, alpha0 = speller_step(
+        params, cfg, state0, tokens_in[:, 0], keys_proj, enc, enc_mask
+    )
+    if u == 1:
+        return logits0[:, None], alpha0[:, None]
+
+    (_, _), (logits_rest, alpha_rest) = lax.scan(
+        step,
+        (state, logits0),
+        (tokens_in[:, 1:].swapaxes(0, 1), step_rngs[1:]),
+    )
+    logits = jnp.concatenate(
+        [logits0[:, None], logits_rest.swapaxes(0, 1)], axis=1
+    )
+    alphas = jnp.concatenate(
+        [alpha0[:, None], alpha_rest.swapaxes(0, 1)], axis=1
+    )
+    return logits, alphas
+
+
+def text_autoencoder_logits(
+    params: dict,
+    cfg: ModelConfig,
+    tokens_in: jax.Array,     # [B, U] (<sos>-led)
+) -> jax.Array:
+    """Text-AE branch: run the speller as an LM over text with no audio.
+
+    Shares embedding/LSTM/output weights with the ASR speller (same param
+    pytree — SURVEY.md §3 #13 "shares weights").  The attention context is
+    a constant zero (a single zero 'frame' is attended, contributing a
+    zero context vector), so gradients flow only through the shared
+    decoder parameters.
+    """
+    b, u = tokens_in.shape
+    enc = jnp.zeros((b, 1, cfg.enc_out_dim), jnp.float32)
+    mask = jnp.ones((b, 1), bool)
+    logits, _ = forward_teacher(
+        params, cfg, enc, mask, tokens_in, tf_rate=1.0,
+        rng=jax.random.PRNGKey(0),
+    )
+    return logits

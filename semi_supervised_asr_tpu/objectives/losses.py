@@ -1,0 +1,151 @@
+"""Objectives: masked CE (+ label smoothing), text-AE, pseudo-label terms.
+
+Reference counterparts: SURVEY.md §3 #12 (supervised CE), #13 (text
+autoencoder), #14 (pseudo-label consistency).  Everything here is pure and
+composes into ONE fused jit train step (BASELINE.json:5) in
+``training/train_step.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semi_supervised_asr_tpu.config import ModelConfig, ObjectiveConfig
+from semi_supervised_asr_tpu.data.vocab import EOS, PAD, SOS
+from semi_supervised_asr_tpu.models import speller as S
+
+
+def shift_targets(tokens: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[B, U] gold tokens (ending with EOS, PAD-padded) ->
+    (decoder inputs [B, U] = <sos> + tokens[:-1], targets [B, U] = tokens)."""
+    b = tokens.shape[0]
+    sos = jnp.full((b, 1), SOS, tokens.dtype)
+    inputs = jnp.concatenate([sos, tokens[:, :-1]], axis=1)
+    return inputs, tokens
+
+
+def token_mask(targets: jax.Array) -> jax.Array:
+    """Valid positions: everything up to and INCLUDING the EOS."""
+    return (targets != PAD).astype(jnp.float32)
+
+
+def masked_ce(
+    logits: jax.Array,        # [B, U, V]
+    targets: jax.Array,       # [B, U]
+    label_smoothing: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (scalar mean CE over valid tokens, per-token logprob [B,U]).
+
+    Hand-rolled (log_softmax + gather) so smoothing distributes over the
+    whole vocab; verified against a direct computation in tests.
+    """
+    mask = token_mask(targets)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    gold_lp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        v = logits.shape[-1]
+        smooth = jnp.mean(logp, axis=-1)  # uniform-over-vocab component
+        nll = -(1.0 - label_smoothing) * gold_lp - label_smoothing * smooth
+    else:
+        nll = -gold_lp
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask) / denom, gold_lp
+
+
+def supervised_loss(
+    params: dict,
+    model_cfg: ModelConfig,
+    obj_cfg: ObjectiveConfig,
+    feats: jax.Array,
+    feat_lens: jax.Array,
+    tokens: jax.Array,
+    tf_rate,
+    rng: jax.Array,
+    train: bool = True,
+) -> tuple[jax.Array, dict]:
+    """Supervised CE on labeled (audio, text) pairs."""
+    from semi_supervised_asr_tpu.models import seq2seq as M
+
+    tokens_in, targets = shift_targets(tokens)
+    logits, _ = M.forward_teacher(
+        params, model_cfg, feats, feat_lens, tokens_in, tf_rate, rng, train
+    )
+    loss, _ = masked_ce(logits, targets, obj_cfg.label_smoothing)
+    acc = token_accuracy(logits, targets)
+    return loss, {"ce": loss, "acc": acc}
+
+
+def text_ae_loss(
+    params: dict,
+    model_cfg: ModelConfig,
+    obj_cfg: ObjectiveConfig,
+    text_tokens: jax.Array,   # [B, U] unlabeled TEXT
+) -> jax.Array:
+    """Text autoencoder: reconstruct unlabeled text through the shared
+    speller (embedding/LSTM/projection are the SAME arrays as the ASR
+    decoder — weight sharing by construction)."""
+    tokens_in, targets = shift_targets(text_tokens)
+    logits = S.text_autoencoder_logits(
+        params["speller"], model_cfg, tokens_in
+    )
+    loss, _ = masked_ce(logits, targets, obj_cfg.label_smoothing)
+    return loss
+
+
+def pseudo_label_loss(
+    params: dict,
+    teacher_params: dict,
+    model_cfg: ModelConfig,
+    obj_cfg: ObjectiveConfig,
+    feats_clean: jax.Array,
+    feats_aug: jax.Array,
+    feat_lens: jax.Array,
+    rng: jax.Array,
+    max_len: int,
+) -> jax.Array:
+    """Pseudo-label consistency on unlabeled AUDIO (SURVEY.md §4.2).
+
+    The teacher (EMA or current params, stop-gradient either way) greedily
+    decodes the CLEAN view inside the step — a ``lax.scan``, never a host
+    round-trip; the student is trained with CE on the AUGMENTED view
+    against those pseudo-labels.  Low-confidence utterances (mean gold
+    logprob below ``pseudo_confidence`` quantile semantics: absolute
+    threshold) are masked out.
+    """
+    from semi_supervised_asr_tpu.decode.greedy import greedy_decode_from_enc
+    from semi_supervised_asr_tpu.models import seq2seq as M
+
+    teacher = jax.lax.stop_gradient(teacher_params)
+    enc, enc_mask, keys = M.encode(teacher, feats_clean, feat_lens, model_cfg)
+    hyps, hyp_logp = greedy_decode_from_enc(
+        teacher["speller"], model_cfg, enc, enc_mask, keys, max_len
+    )
+    hyps = jax.lax.stop_gradient(hyps)
+
+    tokens_in, targets = shift_targets(hyps)
+    logits, _ = M.forward_teacher(
+        params, model_cfg, feats_aug, feat_lens, tokens_in,
+        tf_rate=1.0, rng=rng, train=True,
+    )
+    mask = token_mask(targets)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    gold_lp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    nll = -gold_lp * mask
+
+    # confidence filter: mean teacher logprob per utterance
+    utt_len = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+    conf = jnp.sum(hyp_logp * mask, axis=1) / utt_len
+    keep = (conf >= jnp.log(jnp.maximum(obj_cfg.pseudo_confidence, 1e-8))
+            if obj_cfg.pseudo_confidence > 0.0
+            else jnp.ones_like(conf, bool))
+    keep_f = keep.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask * keep_f[:, None]), 1.0)
+    return jnp.sum(nll * keep_f[:, None]) / denom
+
+
+def token_accuracy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    mask = token_mask(targets)
+    pred = jnp.argmax(logits, axis=-1)
+    correct = (pred == targets).astype(jnp.float32) * mask
+    return jnp.sum(correct) / jnp.maximum(jnp.sum(mask), 1.0)
