@@ -1,0 +1,115 @@
+"""Length bucketing: static (frames, tokens) buckets -> jit-stable shapes.
+
+The reference pads each batch to its max length (dynamic shapes — fine for
+torch, fatal for jit: SURVEY.md §3 #5, §8.3 risk 1).  Here every batch is
+padded to one of a small static bucket grid, so the number of compiled
+train/decode variants is bounded by ``len(frame_buckets) *
+len(token_buckets)`` and the pyramid's divisibility constraint is enforced
+at bucket-construction time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from semi_supervised_asr_tpu.config import DataConfig, FrontendConfig
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    frame_buckets: tuple[int, ...]     # ascending, divisible by time_reduction
+    token_buckets: tuple[int, ...]     # ascending
+    hop_length: int
+    time_reduction: int
+
+    def samples_for_frames(self, frames: int) -> int:
+        """Audio samples that produce exactly ``frames`` centered frames."""
+        return (frames - 1) * self.hop_length
+
+    def frames_for_samples(self, n_samples: int) -> int:
+        return 1 + n_samples // self.hop_length
+
+    def frame_bucket(self, frames: int) -> int | None:
+        for b in self.frame_buckets:
+            if frames <= b:
+                return b
+        return None
+
+    def token_bucket(self, n_tokens: int) -> int | None:
+        for b in self.token_buckets:
+            if n_tokens <= b:
+                return b
+        return None
+
+    def assign(self, n_samples: int, n_tokens: int) -> tuple[int, int] | None:
+        """-> (frame_bucket, token_bucket) or None if the utt is too long."""
+        fb = self.frame_bucket(self.frames_for_samples(n_samples))
+        tb = self.token_bucket(n_tokens)
+        if fb is None or tb is None:
+            return None
+        return fb, tb
+
+
+def make_bucket_spec(
+    dcfg: DataConfig, fcfg: FrontendConfig, time_reduction: int
+) -> BucketSpec:
+    """Validate + round the configured buckets to the pyramid constraint."""
+    rounded = []
+    for b in dcfg.frame_buckets:
+        r = ((b + time_reduction - 1) // time_reduction) * time_reduction
+        rounded.append(r)
+    assert list(rounded) == sorted(set(rounded)), (
+        f"frame buckets must be strictly ascending after rounding: {rounded}"
+    )
+    toks = tuple(sorted(set(dcfg.token_buckets)))
+    return BucketSpec(
+        frame_buckets=tuple(rounded),
+        token_buckets=toks,
+        hop_length=fcfg.hop_length,
+        time_reduction=time_reduction,
+    )
+
+
+def plan_epoch(
+    lengths: list[tuple[int, int]],     # per-utt (n_samples, n_tokens)
+    spec: BucketSpec,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    drop_remainder: bool = True,
+) -> tuple[list[tuple[tuple[int, int], list[int], int]], list[int]]:
+    """Deterministic epoch plan.
+
+    -> (list of (bucket_key, utt_indices, n_real) batches in randomized
+        order, list of skipped utt indices).
+    Every non-skipped utterance appears in exactly one batch as a *real*
+    row (tested: no sample dropped or duplicated, SURVEY.md §5.2).  With
+    ``drop_remainder=False`` short final chunks are padded by repeating
+    their first rows; ``n_real`` marks how many leading rows are genuine.
+    """
+    rng = np.random.default_rng((seed, epoch))
+    by_bucket: dict[tuple[int, int], list[int]] = {}
+    skipped: list[int] = []
+    order = rng.permutation(len(lengths))
+    for i in order:
+        key = spec.assign(*lengths[int(i)])
+        if key is None:
+            skipped.append(int(i))
+            continue
+        by_bucket.setdefault(key, []).append(int(i))
+
+    batches: list[tuple[tuple[int, int], list[int], int]] = []
+    for key, idxs in by_bucket.items():
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s : s + batch_size]
+            n_real = len(chunk)
+            if n_real < batch_size:
+                if drop_remainder:
+                    continue
+                chunk = (chunk * ((batch_size // n_real) + 1))[:batch_size]
+            batches.append((key, chunk, n_real))
+    # interleave buckets in random order (stable shuffling)
+    perm = rng.permutation(len(batches))
+    return [batches[int(p)] for p in perm], skipped

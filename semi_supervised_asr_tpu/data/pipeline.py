@@ -1,0 +1,138 @@
+"""Per-host batched input pipeline (SURVEY.md §2.2 B1, BASELINE.json:11).
+
+Assembles fixed-shape batches from a dataset + epoch plan:
+
+* audio padded to the bucket's sample count with reflect-tail padding
+  (frontend parity — ops/frontend_oracle.pad_for_batch);
+* tokens PAD-padded to the token bucket;
+* per-host sharding: host ``p`` of ``n`` takes batches ``p, p+n, ...`` of
+  the deterministic global plan, so all hosts agree on the epoch without
+  communication (grain-style index sharding keyed by jax.process_index());
+* ``real`` row mask marks remainder-padding duplicate rows (weight 0 in
+  losses/metrics).
+
+Semi-supervised streams (labeled audio+text, unlabeled audio, unlabeled
+text) are independent iterators zipped by the solver (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from semi_supervised_asr_tpu.config import DataConfig, FrontendConfig
+from semi_supervised_asr_tpu.data.bucketing import BucketSpec, plan_epoch
+from semi_supervised_asr_tpu.data.vocab import PAD
+from semi_supervised_asr_tpu.ops.frontend_oracle import pad_for_batch
+
+
+@dataclass
+class Batch:
+    """One fixed-shape training batch (host numpy; device-put by the step)."""
+
+    audio: np.ndarray          # [B, S] float32
+    audio_lens: np.ndarray     # [B] int32
+    tokens: np.ndarray         # [B, U] int32 (EOS-terminated, PAD-padded)
+    token_lens: np.ndarray     # [B] int32 (incl. EOS)
+    real: np.ndarray           # [B] bool — False on remainder-duplicate rows
+    bucket: tuple[int, int]    # (frame_bucket, token_bucket)
+    uids: list
+
+
+def assemble_batch(
+    dataset,
+    idxs: list[int],
+    n_real: int,
+    bucket: tuple[int, int],
+    spec: BucketSpec,
+    fcfg: FrontendConfig,
+) -> Batch:
+    fb, tb = bucket
+    s_len = spec.samples_for_frames(fb)
+    b = len(idxs)
+    audio = np.zeros((b, s_len), np.float32)
+    audio_lens = np.zeros((b,), np.int32)
+    tokens = np.full((b, tb), PAD, np.int32)
+    token_lens = np.zeros((b,), np.int32)
+    uids = []
+    for r, i in enumerate(idxs):
+        utt = dataset[i]
+        n = min(len(utt.audio), s_len)
+        audio[r] = pad_for_batch(utt.audio[:n].astype(np.float32), s_len, fcfg)
+        audio_lens[r] = n
+        u = min(len(utt.tokens), tb)
+        tokens[r, :u] = utt.tokens[:u]
+        token_lens[r] = u
+        uids.append(utt.uid)
+    real = np.arange(b) < n_real
+    return Batch(audio, audio_lens, tokens, token_lens, real, bucket, uids)
+
+
+def epoch_batches(
+    dataset,
+    spec: BucketSpec,
+    fcfg: FrontendConfig,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    drop_remainder: bool = True,
+) -> Iterator[Batch]:
+    """Deterministic per-host batch stream for one epoch."""
+    lengths = [
+        (dataset.audio_len(i), dataset.token_len(i))
+        for i in range(len(dataset))
+    ]
+    plan, _skipped = plan_epoch(
+        lengths, spec, batch_size, seed, epoch, drop_remainder
+    )
+    for k, (bucket, idxs, n_real) in enumerate(plan):
+        if k % num_shards != shard_index:
+            continue
+        yield assemble_batch(dataset, idxs, n_real, bucket, spec, fcfg)
+
+
+def repeating_batches(
+    dataset,
+    spec: BucketSpec,
+    fcfg: FrontendConfig,
+    batch_size: int,
+    seed: int,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    drop_remainder: bool = True,
+    start_epoch: int = 0,
+) -> Iterator[Batch]:
+    """Endless stream: new deterministic shuffle every epoch."""
+    for epoch in itertools.count(start_epoch):
+        yield from epoch_batches(
+            dataset, spec, fcfg, batch_size, seed, epoch,
+            shard_index, num_shards, drop_remainder,
+        )
+
+
+def compute_global_cmvn(
+    dataset, fcfg: FrontendConfig, max_utts: int = 256
+) -> tuple[np.ndarray, np.ndarray]:
+    """Global CMVN stats from up to ``max_utts`` utterances (host, fp64).
+
+    Reference counterpart: the preprocessing script's corpus CMVN pass
+    (SURVEY.md §3 #6); streamed accumulation, one utterance at a time.
+    """
+    from semi_supervised_asr_tpu.ops import frontend_oracle as oracle
+
+    n = min(len(dataset), max_utts)
+    count = 0
+    s1 = s2 = 0.0
+    for i in range(n):
+        lm = oracle.log_mel(dataset[i].audio.astype(np.float64), fcfg)
+        s1 = s1 + lm.sum(axis=0)
+        s2 = s2 + (lm**2).sum(axis=0)
+        count += lm.shape[0]
+    mean = s1 / count
+    var = np.maximum(s2 / count - mean**2, 0.0)
+    return mean.astype(np.float32), (1.0 / np.sqrt(var + 1e-8)).astype(np.float32)

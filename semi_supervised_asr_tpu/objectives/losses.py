@@ -103,6 +103,7 @@ def pseudo_label_loss(
     feat_lens: jax.Array,
     rng: jax.Array,
     max_len: int,
+    row_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Pseudo-label consistency on unlabeled AUDIO (SURVEY.md §4.2).
 
@@ -139,6 +140,8 @@ def pseudo_label_loss(
     keep = (conf >= jnp.log(jnp.maximum(obj_cfg.pseudo_confidence, 1e-8))
             if obj_cfg.pseudo_confidence > 0.0
             else jnp.ones_like(conf, bool))
+    if row_mask is not None:
+        keep = keep & row_mask  # drop remainder-duplicate rows
     keep_f = keep.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(mask * keep_f[:, None]), 1.0)
     return jnp.sum(nll * keep_f[:, None]) / denom

@@ -1,0 +1,55 @@
+"""LR and teacher-forcing schedules (SURVEY.md §3 #18)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+from semi_supervised_asr_tpu.config import ObjectiveConfig, TrainConfig
+
+
+def learning_rate_schedule(cfg: TrainConfig) -> optax.Schedule:
+    base = cfg.learning_rate
+    floor = base * cfg.lr_min_ratio
+    if cfg.lr_schedule == "constant":
+        main = optax.constant_schedule(base)
+    elif cfg.lr_schedule == "cosine":
+        main = optax.cosine_decay_schedule(
+            base, max(cfg.decay_steps, 1), alpha=cfg.lr_min_ratio
+        )
+    elif cfg.lr_schedule == "exponential":
+        main = optax.exponential_decay(
+            base, max(cfg.decay_steps, 1), decay_rate=cfg.lr_min_ratio,
+            end_value=floor,
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if cfg.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, base, cfg.warmup_steps)
+        return optax.join_schedules([warm, main], [cfg.warmup_steps])
+    return main
+
+
+def tf_rate_at(step, obj: ObjectiveConfig):
+    """Linear teacher-forcing decay from tf_rate_start to tf_rate_end."""
+    frac = jnp.clip(
+        jnp.asarray(step, jnp.float32) / max(obj.tf_decay_steps, 1), 0.0, 1.0
+    )
+    return obj.tf_rate_start + (obj.tf_rate_end - obj.tf_rate_start) * frac
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    lr = learning_rate_schedule(cfg)
+    if cfg.optimizer == "adam":
+        opt = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+    elif cfg.optimizer == "adamw":
+        opt = optax.adamw(
+            lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay
+        )
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.grad_clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    return opt

@@ -1,0 +1,217 @@
+"""The fused jit train step (BASELINE.json:5).
+
+One compiled function covers the reference's entire per-batch region
+(SURVEY.md §4.1-4.2): frontend(+SpecAugment) -> listener scan -> speller
+scan -> masked CE (+ text-AE + pseudo-label terms) -> grad -> optax update
+-> EMA teacher update.  The only host<->device boundaries are the batch
+device-put and the scalar metrics fetch.
+
+Semi-supervised branches are enabled STATICALLY (config lambdas at trace
+time), so the supervised-only step compiles none of their graphs.  The
+pseudo-label teacher pass is a stop-gradient greedy ``lax.scan`` inside the
+same step — never a host round-trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from semi_supervised_asr_tpu.config import Config
+from semi_supervised_asr_tpu.data.vocab import PAD
+from semi_supervised_asr_tpu.models import seq2seq as M
+from semi_supervised_asr_tpu.objectives import losses as LO
+from semi_supervised_asr_tpu.ops import frontend as F
+from semi_supervised_asr_tpu.training import schedules
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: object
+    ema_params: dict          # = params when EMA disabled
+    step: jax.Array           # int32 scalar
+    rng: jax.Array
+
+
+def init_train_state(cfg: Config, rng: jax.Array) -> TrainState:
+    k_model, k_state = jax.random.split(rng)
+    params = M.init_model(k_model, cfg.model)
+    opt = schedules.make_optimizer(cfg.train)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+        step=jnp.zeros((), jnp.int32),
+        rng=k_state,
+    )
+
+
+def featurize(
+    cfg: Config,
+    audio: jax.Array,
+    audio_lens: jax.Array,
+    cmvn: tuple[jax.Array, jax.Array] | None,
+    rng: jax.Array | None,
+    augment: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Raw audio -> (features, frame lengths), SpecAugment when training."""
+    fcfg = cfg.frontend
+    mean, inv_std = (cmvn if cmvn is not None else (None, None))
+    feats, lens = F.log_mel_features(audio, audio_lens, fcfg, mean, inv_std)
+    if augment and fcfg.spec_augment and rng is not None:
+        feats = F.spec_augment(rng, feats, lens, fcfg)
+    return feats, lens
+
+
+def _mask_unreal(tokens: jax.Array, real: jax.Array) -> jax.Array:
+    """Remainder-duplicate rows contribute nothing: their targets become
+    all-PAD, which zeroes their token mask in the CE."""
+    return jnp.where(real[:, None], tokens, PAD)
+
+
+def supervised_step_fn(
+    cfg: Config,
+    opt: optax.GradientTransformation,
+    state: TrainState,
+    audio: jax.Array,
+    audio_lens: jax.Array,
+    tokens: jax.Array,
+    real: jax.Array,
+    cmvn: tuple[jax.Array, jax.Array] | None,
+    unlab_audio: jax.Array | None = None,
+    unlab_audio_lens: jax.Array | None = None,
+    unlab_real: jax.Array | None = None,
+    unlab_text: jax.Array | None = None,
+    unlab_text_real: jax.Array | None = None,
+) -> tuple[TrainState, dict]:
+    """Shared body for supervised and semi-supervised steps."""
+    obj = cfg.objective
+    rng, k_feat, k_tf, k_pl_feat, k_pl = jax.random.split(state.rng, 5)
+    tf_rate = schedules.tf_rate_at(state.step, obj)
+    tokens = _mask_unreal(tokens, real)
+
+    def loss_fn(params):
+        feats, flens = featurize(cfg, audio, audio_lens, cmvn, k_feat, True)
+        loss, aux = LO.supervised_loss(
+            params, cfg.model, obj, feats, flens, tokens, tf_rate, k_tf
+        )
+        metrics = {"ce": aux["ce"], "acc": aux["acc"]}
+
+        if obj.lambda_text_ae > 0.0 and unlab_text is not None:
+            text = _mask_unreal(unlab_text, unlab_text_real)
+            ae = LO.text_ae_loss(params, cfg.model, obj, text)
+            loss = loss + obj.lambda_text_ae * ae
+            metrics["text_ae"] = ae
+
+        if obj.lambda_pseudo > 0.0 and unlab_audio is not None:
+            teacher = state.ema_params if obj.use_ema_teacher else params
+            clean, clens = featurize(
+                cfg, unlab_audio, unlab_audio_lens, cmvn, None, False
+            )
+            augmented, _ = featurize(
+                cfg, unlab_audio, unlab_audio_lens, cmvn, k_pl_feat, True
+            )
+            max_len = cfg.decode.max_decode_len
+            # cap pseudo-label length by the token bucket of the labeled
+            # stream to keep decoder compile shapes bounded
+            max_len = min(max_len, tokens.shape[1])
+            pl = LO.pseudo_label_loss(
+                params, teacher, cfg.model, obj, clean, augmented, clens,
+                k_pl, max_len, row_mask=unlab_real,
+            )
+            loss = loss + obj.lambda_pseudo * pl
+            metrics["pseudo"] = pl
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    gnorm = optax.global_norm(grads)
+    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    if obj.use_ema_teacher and (obj.lambda_pseudo > 0.0):
+        d = obj.ema_decay
+        new_ema = jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_params
+        )
+    else:
+        new_ema = state.ema_params
+
+    new_state = TrainState(
+        params=new_params,
+        opt_state=new_opt_state,
+        ema_params=new_ema,
+        step=state.step + 1,
+        rng=rng,
+    )
+    metrics = dict(
+        metrics,
+        loss=loss,
+        grad_norm=gnorm,
+        tf_rate=tf_rate,
+        frames=jnp.sum(jnp.where(real, audio_lens, 0))
+        // cfg.frontend.hop_length,
+    )
+    return new_state, metrics
+
+
+def make_train_step(cfg: Config, semi_supervised: bool = False, mesh=None):
+    """Build the fused jit step; compiles once per bucket shape.
+
+    Returns ``step(state, *batch_arrays, cmvn_mean, cmvn_std) ->
+    (state, metrics)``.
+
+    With ``mesh`` (data-parallel, config C5): the train state is
+    replicated, batch arrays are sharded over the ``data`` axis, and XLA's
+    GSPMD partitioner inserts the gradient allreduce (an ICI psum on a
+    real slice).  The state is donated so params/optimizer buffers update
+    in place.
+    """
+    opt = schedules.make_optimizer(cfg.train)
+
+    if not semi_supervised:
+
+        def step_body(state, audio, audio_lens, tokens, real,
+                      cmvn_mean, cmvn_std):
+            return supervised_step_fn(
+                cfg, opt, state, audio, audio_lens, tokens, real,
+                (cmvn_mean, cmvn_std),
+            )
+
+        n_batch_args = 4
+        fn = step_body
+    else:
+
+        def semi_body(state, audio, audio_lens, tokens, real,
+                      ua, ua_lens, ua_real, utext, utext_real,
+                      cmvn_mean, cmvn_std):
+            return supervised_step_fn(
+                cfg, opt, state, audio, audio_lens, tokens, real,
+                (cmvn_mean, cmvn_std),
+                unlab_audio=ua, unlab_audio_lens=ua_lens, unlab_real=ua_real,
+                unlab_text=utext, unlab_text_real=utext_real,
+            )
+
+        n_batch_args = 9
+        fn = semi_body
+
+    donate = (0,) if cfg.parallel.donate_state else ()
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=donate)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(cfg.parallel.data_axis))
+    in_sh = (repl,) + (data,) * n_batch_args + (repl, repl)
+    return jax.jit(
+        fn,
+        in_shardings=in_sh,
+        out_shardings=(repl, repl),
+        donate_argnums=donate,
+    )

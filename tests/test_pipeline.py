@@ -1,0 +1,136 @@
+"""Data pipeline tests: bucket assignment, epoch integrity (no drop/dup),
+shard partition, static shapes (SURVEY.md §5.2 bucketing)."""
+
+import numpy as np
+
+from semi_supervised_asr_tpu.config import DataConfig, FrontendConfig
+from semi_supervised_asr_tpu.data import vocab as V
+from semi_supervised_asr_tpu.data.bucketing import make_bucket_spec, plan_epoch
+from semi_supervised_asr_tpu.data.pipeline import (
+    compute_global_cmvn,
+    epoch_batches,
+)
+from semi_supervised_asr_tpu.data.synthetic import SyntheticDataset
+
+FCFG = FrontendConfig(spec_augment=False)
+DCFG = DataConfig(
+    frame_buckets=(96, 200, 400), token_buckets=(8, 16), num_synthetic_utts=64
+)
+
+
+def make_ds(n=64):
+    return SyntheticDataset(V.timit_vocab(), DCFG, FCFG, n_utts=n)
+
+
+class TestBucketSpec:
+    def test_rounding_to_time_reduction(self):
+        spec = make_bucket_spec(DCFG, FCFG, time_reduction=8)
+        assert all(b % 8 == 0 for b in spec.frame_buckets)
+
+    def test_samples_frames_roundtrip(self):
+        spec = make_bucket_spec(DCFG, FCFG, 8)
+        for fb in spec.frame_buckets:
+            assert spec.frames_for_samples(spec.samples_for_frames(fb)) == fb
+
+    def test_assign_too_long_is_none(self):
+        spec = make_bucket_spec(DCFG, FCFG, 8)
+        huge = spec.samples_for_frames(spec.frame_buckets[-1]) + 10_000
+        assert spec.assign(huge, 4) is None
+        assert spec.assign(1000, 99) is None
+
+
+class TestEpochPlan:
+    def test_no_drop_no_dup(self):
+        spec = make_bucket_spec(DCFG, FCFG, 8)
+        ds = make_ds()
+        lengths = [(ds.audio_len(i), ds.token_len(i)) for i in range(len(ds))]
+        plan, skipped = plan_epoch(lengths, spec, 4, seed=0, epoch=0,
+                                   drop_remainder=False)
+        seen = [i for (_, idxs, n_real) in plan for i in idxs[:n_real]]
+        assert sorted(seen + skipped) == list(range(len(ds)))
+        assert len(set(seen)) == len(seen)
+
+    def test_different_epochs_differ(self):
+        spec = make_bucket_spec(DCFG, FCFG, 8)
+        ds = make_ds()
+        lengths = [(ds.audio_len(i), ds.token_len(i)) for i in range(len(ds))]
+        p0, _ = plan_epoch(lengths, spec, 4, 0, 0, False)
+        p1, _ = plan_epoch(lengths, spec, 4, 0, 1, False)
+        assert [b[1] for b in p0] != [b[1] for b in p1]
+
+    def test_deterministic(self):
+        spec = make_bucket_spec(DCFG, FCFG, 8)
+        ds = make_ds()
+        lengths = [(ds.audio_len(i), ds.token_len(i)) for i in range(len(ds))]
+        a, _ = plan_epoch(lengths, spec, 4, 7, 3, False)
+        b, _ = plan_epoch(lengths, spec, 4, 7, 3, False)
+        assert a == b
+
+
+class TestBatches:
+    def test_static_shapes_from_bucket_set(self):
+        spec = make_bucket_spec(DCFG, FCFG, 8)
+        ds = make_ds()
+        shapes = set()
+        for batch in epoch_batches(ds, spec, FCFG, 4, 0, 0,
+                                   drop_remainder=False):
+            assert batch.audio.shape[0] == 4
+            fb, tb = batch.bucket
+            assert fb in spec.frame_buckets and tb in spec.token_buckets
+            assert batch.audio.shape[1] == spec.samples_for_frames(fb)
+            assert batch.tokens.shape[1] == tb
+            shapes.add(batch.audio.shape + batch.tokens.shape)
+            # lengths consistent
+            assert np.all(batch.audio_lens <= batch.audio.shape[1])
+            assert np.all(batch.token_lens <= tb)
+            # every real row ends with EOS at token_lens-1
+            for r in range(4):
+                if batch.real[r]:
+                    assert batch.tokens[r, batch.token_lens[r] - 1] == V.EOS
+        assert len(shapes) <= len(spec.frame_buckets) * len(spec.token_buckets)
+
+    def test_sharding_partitions_batches(self):
+        spec = make_bucket_spec(DCFG, FCFG, 8)
+        ds = make_ds()
+
+        def uids(shard, n):
+            out = []
+            for b in epoch_batches(ds, spec, FCFG, 4, 0, 0, shard, n, False):
+                out.extend(u for u, r in zip(b.uids, b.real) if r)
+            return out
+
+        all_uids = uids(0, 1)
+        sharded = [uids(s, 4) for s in range(4)]
+        flat = [u for s in sharded for u in s]
+        assert sorted(flat) == sorted(all_uids)
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert not (set(sharded[a]) & set(sharded[b]))
+
+
+class TestCMVN:
+    def test_global_stats_shapes(self):
+        ds = make_ds(8)
+        mean, inv_std = compute_global_cmvn(ds, FCFG, max_utts=8)
+        assert mean.shape == (FCFG.n_mels,)
+        assert inv_std.shape == (FCFG.n_mels,)
+        assert np.all(inv_std > 0)
+
+
+class TestSynthetic:
+    def test_deterministic_utts(self):
+        ds = make_ds(4)
+        a, b = ds[2], ds[2]
+        np.testing.assert_array_equal(a.audio, b.audio)
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+
+    def test_length_probes_match(self):
+        ds = make_ds(16)
+        for i in range(16):
+            utt = ds[i]
+            assert ds.audio_len(i) == len(utt.audio)
+            assert ds.token_len(i) == len(utt.tokens)
+
+    def test_tokens_end_with_eos(self):
+        ds = make_ds(4)
+        assert ds[0].tokens[-1] == V.EOS

@@ -1,0 +1,117 @@
+"""Fused train step tests: supervised + semi-supervised variants run,
+losses decrease on an overfit batch, metrics finite (configs C1/C4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_asr_tpu.config import (
+    Config, DataConfig, FrontendConfig, ModelConfig, ObjectiveConfig,
+    TrainConfig,
+)
+from semi_supervised_asr_tpu.training import train_step as TS
+
+CFG = Config(
+    frontend=FrontendConfig(spec_augment=False, cmvn="global"),
+    model=ModelConfig(
+        n_mels=80, vocab_size=16, enc_hidden=16, enc_layers=2,
+        enc_base_layers=1, attn_dim=8, attn_conv_channels=4,
+        attn_conv_width=5, dec_hidden=16, dec_layers=1, embed_dim=8,
+        compute_dtype="float32",
+    ),
+    objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
+    train=TrainConfig(learning_rate=3e-3, grad_clip_norm=5.0, batch_size=2),
+)
+SEMI_CFG = CFG.replace(
+    objective=ObjectiveConfig(
+        lambda_text_ae=0.3, lambda_pseudo=0.3, use_ema_teacher=True,
+        tf_rate_start=1.0, tf_rate_end=1.0,
+    )
+)
+
+
+def make_batch(seed=0, b=2, s=3040, u=6):
+    rng = np.random.default_rng(seed)
+    audio = rng.standard_normal((b, s)).astype(np.float32) * 0.1
+    audio_lens = np.full((b,), s, np.int32)
+    tokens = np.full((b, u), 0, np.int32)
+    for i in range(b):
+        n = u - 1
+        tokens[i, :n] = rng.integers(4, 16, n)
+        tokens[i, n] = 2  # EOS
+    real = np.ones((b,), bool)
+    cmvn = (np.zeros(80, np.float32), np.ones(80, np.float32))
+    return audio, audio_lens, tokens, real, cmvn
+
+
+class TestSupervisedStep:
+    def test_runs_and_learns(self):
+        state = TS.init_train_state(CFG, jax.random.PRNGKey(0))
+        step = TS.make_train_step(CFG)
+        audio, alens, tokens, real, cmvn = make_batch()
+        losses = []
+        for _ in range(12):
+            state, m = step(state, audio, alens, tokens, real, *cmvn)
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] * 0.8, losses  # overfits a fixed batch
+        assert int(state.step) == 12
+
+    def test_metrics_content(self):
+        state = TS.init_train_state(CFG, jax.random.PRNGKey(1))
+        step = TS.make_train_step(CFG)
+        audio, alens, tokens, real, cmvn = make_batch(1)
+        _, m = step(state, audio, alens, tokens, real, *cmvn)
+        for k in ("loss", "ce", "acc", "grad_norm", "tf_rate", "frames"):
+            assert k in m
+        assert float(m["grad_norm"]) > 0
+        assert int(m["frames"]) == 2 * 3040 // 160
+
+    def test_unreal_rows_no_gradient(self):
+        state = TS.init_train_state(CFG, jax.random.PRNGKey(2))
+        step = TS.make_train_step(CFG)
+        audio, alens, tokens, real, cmvn = make_batch(2)
+        # all rows fake -> zero loss contribution -> zero grad norm
+        fake = np.zeros_like(real)
+        _, m = step(state, audio, alens, tokens, fake, *cmvn)
+        assert float(m["loss"]) == 0.0
+        assert float(m["grad_norm"]) == 0.0
+
+
+class TestSemiSupervisedStep:
+    def test_semi_step_runs(self):
+        state = TS.init_train_state(SEMI_CFG, jax.random.PRNGKey(3))
+        step = TS.make_train_step(SEMI_CFG, semi_supervised=True)
+        audio, alens, tokens, real, cmvn = make_batch(3)
+        ua, ualens, _, ureal, _ = make_batch(4)
+        utext = np.asarray([[5, 6, 7, 2, 0, 0], [8, 9, 2, 0, 0, 0]], np.int32)
+        utreal = np.ones((2,), bool)
+        state, m = step(
+            state, audio, alens, tokens, real,
+            ua, ualens, ureal, utext, utreal, *cmvn,
+        )
+        for k in ("loss", "ce", "text_ae", "pseudo"):
+            assert k in m and np.isfinite(float(m[k])), (k, m.get(k))
+
+    def test_ema_moves_toward_params(self):
+        state = TS.init_train_state(SEMI_CFG, jax.random.PRNGKey(4))
+        step = TS.make_train_step(SEMI_CFG, semi_supervised=True)
+        audio, alens, tokens, real, cmvn = make_batch(5)
+        ua, ualens, _, ureal, _ = make_batch(6)
+        utext = np.asarray([[5, 6, 2, 0, 0, 0], [7, 8, 2, 0, 0, 0]], np.int32)
+        utreal = np.ones((2,), bool)
+        # snapshot to host: the step donates the state, deleting old buffers
+        p0 = np.asarray(state.params["speller"]["w_out"]).copy()
+        e0 = np.asarray(state.ema_params["speller"]["w_out"]).copy()
+        np.testing.assert_array_equal(p0, e0)
+        for _ in range(3):
+            state, _ = step(
+                state, audio, alens, tokens, real,
+                ua, ualens, ureal, utext, utreal, *cmvn,
+            )
+        p = np.asarray(state.params["speller"]["w_out"])
+        e = np.asarray(state.ema_params["speller"]["w_out"])
+        assert not np.allclose(p, e)       # EMA lags params
+        d0 = np.abs(e0 - p).mean()
+        d1 = np.abs(e - p).mean()
+        assert d1 < d0                     # but tracks them
