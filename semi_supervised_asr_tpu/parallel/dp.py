@@ -55,6 +55,6 @@ def make_psum_grad_fn(cfg: Config, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
