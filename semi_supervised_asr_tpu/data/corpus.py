@@ -1,0 +1,126 @@
+"""Manifest-backed corpora (TIMIT / LibriSpeech) + HDF5 feature store.
+
+Reference counterparts: the offline preprocessing scripts and HDF5 feature
+store (SURVEY.md §3 #1-#3).  The build prefers raw audio + the on-device
+fused frontend (features never hit host memory, config C2), but the HDF5
+store is kept for reference parity and for corpora whose audio decode is
+expensive.
+
+Manifest format: one JSON object per line —
+    {"uid": ..., "audio": "path.wav|path.npy", "n_samples": int,
+     "text": "..."}           (unit-tokenized by the vocab)
+or  {"uid": ..., "audio": ..., "n_samples": int, "tokens": [ids...]}
+Audio loading: 16-bit PCM WAV via scipy.io.wavfile, or float32 .npy.
+(.flac is NOT supported — no soundfile/librosa in the image; convert to
+wav/npy at preprocess time, SURVEY.md §2.2.)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from semi_supervised_asr_tpu.data.synthetic import Utterance
+from semi_supervised_asr_tpu.data.vocab import EOS, Vocab
+
+
+def load_audio(path: str | Path) -> np.ndarray:
+    path = Path(path)
+    if path.suffix.lower() == ".npy":
+        return np.load(path).astype(np.float32)
+    if path.suffix.lower() == ".wav":
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(path)
+        if data.dtype == np.int16:
+            return data.astype(np.float32) / 32768.0
+        if data.dtype == np.int32:
+            return data.astype(np.float32) / 2147483648.0
+        return data.astype(np.float32)
+    raise ValueError(f"unsupported audio format: {path.suffix}")
+
+
+class ManifestDataset:
+    """Lazy corpus over a jsonl manifest; lengths come from the manifest so
+    bucketing never touches audio files."""
+
+    def __init__(self, manifest: str | Path, vocab: Vocab):
+        self.root = Path(manifest).parent
+        self.vocab = vocab
+        self.entries = []
+        with open(manifest) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    self.entries.append(json.loads(line))
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _tokens(self, e: dict) -> np.ndarray:
+        if "tokens" in e:
+            ids = list(e["tokens"])
+        else:
+            ids = self.vocab.encode_text(e["text"])
+        if not ids or ids[-1] != EOS:
+            ids = ids + [EOS]
+        return np.asarray(ids, np.int32)
+
+    def __getitem__(self, i: int) -> Utterance:
+        e = self.entries[i]
+        path = Path(e["audio"])
+        if not path.is_absolute():
+            path = self.root / path
+        return Utterance(
+            uid=e["uid"],
+            audio=load_audio(path),
+            tokens=self._tokens(e),
+            text=e.get("text", ""),
+        )
+
+    def audio_len(self, i: int) -> int:
+        return int(self.entries[i]["n_samples"])
+
+    def token_len(self, i: int) -> int:
+        return len(self._tokens(self.entries[i]))
+
+
+class H5FeatureStore:
+    """Precomputed log-mel features + tokens in HDF5 (reference parity).
+
+    Layout: one group per utterance — ``feats`` [T, M] float32,
+    ``tokens`` [U] int32, attrs ``uid``/``text``.
+    """
+
+    def __init__(self, path: str | Path, mode: str = "r"):
+        import h5py
+
+        self.h5 = h5py.File(path, mode)
+        self._uids = sorted(self.h5.keys()) if mode == "r" else []
+
+    def add(self, uid: str, feats: np.ndarray, tokens: np.ndarray,
+            text: str = "") -> None:
+        g = self.h5.create_group(uid)
+        g.create_dataset("feats", data=np.asarray(feats, np.float32))
+        g.create_dataset("tokens", data=np.asarray(tokens, np.int32))
+        g.attrs["text"] = text
+        self._uids.append(uid)
+
+    def __len__(self) -> int:
+        return len(self._uids)
+
+    def get(self, i: int) -> tuple[str, np.ndarray, np.ndarray, str]:
+        uid = self._uids[i]
+        g = self.h5[uid]
+        return uid, g["feats"][()], g["tokens"][()], str(g.attrs["text"])
+
+    def feat_len(self, i: int) -> int:
+        return self.h5[self._uids[i]]["feats"].shape[0]
+
+    def token_len(self, i: int) -> int:
+        return self.h5[self._uids[i]]["tokens"].shape[0]
+
+    def close(self) -> None:
+        self.h5.close()

@@ -115,6 +115,35 @@ def repeating_batches(
         )
 
 
+def text_batches(
+    dataset,
+    token_bucket: int,
+    batch_size: int,
+    seed: int,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Endless unlabeled-TEXT stream: (tokens [B, U], real [B]).
+
+    One static token bucket (the largest) so the semi-supervised step
+    compiles once per labeled bucket, not per text shape.
+    """
+    for epoch in itertools.count():
+        rng = np.random.default_rng((seed, epoch, 17))
+        order = rng.permutation(len(dataset))
+        order = order[shard_index::num_shards]
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            idxs = order[s : s + batch_size]
+            tokens = np.full((batch_size, token_bucket), PAD, np.int32)
+            real = np.zeros((batch_size,), bool)
+            for r, i in enumerate(idxs):
+                t = dataset[int(i)].tokens
+                u = min(len(t), token_bucket)
+                tokens[r, :u] = t[:u]
+                real[r] = True
+            yield tokens, real
+
+
 def compute_global_cmvn(
     dataset, fcfg: FrontendConfig, max_utts: int = 256
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,70 @@
+"""Dataset registry: name -> (train, dev, unlabeled_audio, unlabeled_text).
+
+``synthetic`` is always available (SURVEY.md §8.3 risk 6: no corpora in the
+image, every gate has a synthetic variant).  ``timit`` / ``librispeech``
+load manifest-backed corpora produced by ``data/preprocess.py`` when real
+data exists on disk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from semi_supervised_asr_tpu.config import Config
+from semi_supervised_asr_tpu.data.vocab import Vocab, char_vocab, timit_vocab
+from semi_supervised_asr_tpu.data.synthetic import SyntheticDataset
+
+
+@dataclass
+class DataBundle:
+    vocab: Vocab
+    train: object
+    dev: object
+    unlabeled_audio: object | None = None
+    unlabeled_text: object | None = None
+
+
+def build_vocab(cfg: Config) -> Vocab:
+    return timit_vocab() if cfg.data.unit == "phone" else char_vocab()
+
+
+def build_datasets(cfg: Config) -> DataBundle:
+    d = cfg.data
+    vocab = build_vocab(cfg)
+    if d.dataset == "synthetic":
+        import dataclasses as dc
+
+        n = d.num_synthetic_utts
+        dev_cfg = dc.replace(d, synthetic_seed=d.synthetic_seed + 1)
+        unlab_cfg = dc.replace(d, synthetic_seed=d.synthetic_seed + 2)
+        text_cfg = dc.replace(d, synthetic_seed=d.synthetic_seed + 3)
+        return DataBundle(
+            vocab=vocab,
+            train=SyntheticDataset(vocab, d, cfg.frontend, n_utts=n),
+            dev=SyntheticDataset(vocab, dev_cfg, cfg.frontend,
+                                 n_utts=max(n // 4, 4)),
+            unlabeled_audio=SyntheticDataset(
+                vocab, unlab_cfg, cfg.frontend, n_utts=n, labeled=False
+            ),
+            unlabeled_text=SyntheticDataset(
+                vocab, text_cfg, cfg.frontend, n_utts=n
+            ),
+        )
+    if d.dataset in ("timit", "librispeech"):
+        from semi_supervised_asr_tpu.data.corpus import ManifestDataset
+
+        def load(split):
+            return ManifestDataset(f"{d.data_dir}/{split}.jsonl", vocab)
+
+        return DataBundle(
+            vocab=vocab,
+            train=load(d.labeled_split),
+            dev=load("dev"),
+            unlabeled_audio=(
+                load(d.unlabeled_audio_split) if d.unlabeled_audio_split else None
+            ),
+            unlabeled_text=(
+                load(d.unlabeled_text_split) if d.unlabeled_text_split else None
+            ),
+        )
+    raise ValueError(f"unknown dataset {d.dataset!r}")

@@ -147,6 +147,73 @@ def log_mel_features(
 # SpecAugment (Park et al. 2019, arXiv:1904.08779) under jax PRNG.
 # ---------------------------------------------------------------------------
 
+def sample_specaug_params(
+    key: jax.Array,
+    batch: int,
+    n_mels: int,
+    feat_lens: jax.Array,
+    cfg: FrontendConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sample mask band parameters (shared by the unfused and fused paths,
+    so the Pallas kernel is bit-parity-testable against this module).
+
+    -> (fstarts [B,mF], fwidths [B,mF], tstarts [B,mT], twidths [B,mT]),
+    all int32.  Frequency masks: width U[0, F]; time masks: width
+    U[0, min(T_param, p*len)], confined to the valid region.
+    """
+    b, m = batch, n_mels
+    kf, kt_w, kt_s = jax.random.split(key, 3)
+
+    fwidths = jax.random.randint(
+        jax.random.fold_in(kf, 0), (b, cfg.n_freq_masks), 0,
+        min(cfg.freq_mask_param, m) + 1,
+    )
+    fstarts = (
+        jax.random.uniform(jax.random.fold_in(kf, 1), (b, cfg.n_freq_masks))
+        * jnp.maximum(m - fwidths, 1)
+    ).astype(jnp.int32)
+
+    cap = jnp.minimum(
+        jnp.full((b,), cfg.time_mask_param, dtype=jnp.int32),
+        (cfg.time_mask_max_ratio * feat_lens.astype(jnp.float32)).astype(
+            jnp.int32
+        ),
+    )
+    tw_u = jax.random.uniform(kt_w, (b, cfg.n_time_masks))
+    twidths = (tw_u * (cap[:, None].astype(jnp.float32) + 1.0)).astype(
+        jnp.int32
+    )
+    tstarts = (
+        jax.random.uniform(kt_s, (b, cfg.n_time_masks))
+        * jnp.maximum(feat_lens[:, None] - twidths, 1).astype(jnp.float32)
+    ).astype(jnp.int32)
+    return fstarts, fwidths, tstarts, twidths
+
+
+def apply_specaug_masks(
+    feats: jax.Array,
+    fstarts: jax.Array,
+    fwidths: jax.Array,
+    tstarts: jax.Array,
+    twidths: jax.Array,
+    mask_value: float = 0.0,
+) -> jax.Array:
+    """Build + apply band masks from sampled parameters ([B,T,M] -> same)."""
+    b, t, m = feats.shape
+    fpos = jnp.arange(m).reshape(1, 1, -1)
+    fmask = jnp.any(
+        (fpos >= fstarts[..., None]) & (fpos < (fstarts + fwidths)[..., None]),
+        axis=1,
+    )
+    tpos = jnp.arange(t).reshape(1, 1, -1)
+    tmask = jnp.any(
+        (tpos >= tstarts[..., None]) & (tpos < (tstarts + twidths)[..., None]),
+        axis=1,
+    )
+    masked = jnp.where(fmask[:, None, :], mask_value, feats)
+    return jnp.where(tmask[:, :, None], mask_value, masked)
+
+
 def spec_augment(
     key: jax.Array,
     feats: jax.Array,
@@ -154,47 +221,7 @@ def spec_augment(
     cfg: FrontendConfig,
     mask_value: float = 0.0,
 ) -> jax.Array:
-    """Apply SpecAugment to [B, T, M] features (train only).
-
-    Frequency masks: ``n_freq_masks`` bands of width U[0, F].
-    Time masks: ``n_time_masks`` bands of width U[0, min(T_param, p*len)],
-    confined to the valid region of each utterance.
-    """
+    """Apply SpecAugment to [B, T, M] features (train only)."""
     b, t, m = feats.shape
-    kf, kt_w, kt_s = jax.random.split(key, 3)
-
-    # Frequency masks: same machinery for every row (widths independent).
-    fwidths = jax.random.randint(
-        jax.random.fold_in(kf, 0), (b, cfg.n_freq_masks, 1), 0,
-        min(cfg.freq_mask_param, m) + 1,
-    )
-    fstarts = (
-        jax.random.uniform(jax.random.fold_in(kf, 1), (b, cfg.n_freq_masks, 1))
-        * jnp.maximum(m - fwidths, 1)
-    ).astype(jnp.int32)
-    fpos = jnp.arange(m).reshape(1, 1, -1)
-    fmask = jnp.any((fpos >= fstarts) & (fpos < fstarts + fwidths), axis=1)
-
-    # Time masks: width capped by both T_param and p * utt_len.
-    cap = jnp.minimum(
-        jnp.full((b,), cfg.time_mask_param, dtype=jnp.int32),
-        (cfg.time_mask_max_ratio * feat_lens.astype(jnp.float32)).astype(
-            jnp.int32
-        ),
-    )
-    tw_u = jax.random.uniform(kt_w, (b, cfg.n_time_masks, 1))
-    twidths = (tw_u * (cap[:, None, None].astype(jnp.float32) + 1.0)).astype(
-        jnp.int32
-    )
-    tstarts = (
-        jax.random.uniform(kt_s, (b, cfg.n_time_masks, 1))
-        * jnp.maximum(feat_lens[:, None, None] - twidths, 1).astype(
-            jnp.float32
-        )
-    ).astype(jnp.int32)
-    tpos = jnp.arange(t).reshape(1, 1, -1)
-    tmask = jnp.any((tpos >= tstarts) & (tpos < tstarts + twidths), axis=1)
-
-    masked = jnp.where(fmask[:, None, :], mask_value, feats)
-    masked = jnp.where(tmask[:, :, None], mask_value, masked)
-    return masked
+    params = sample_specaug_params(key, b, m, feat_lens, cfg)
+    return apply_specaug_masks(feats, *params, mask_value=mask_value)

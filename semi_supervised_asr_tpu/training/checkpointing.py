@@ -1,0 +1,82 @@
+"""Checkpoint / resume via orbax (SURVEY.md §6, §3 #19).
+
+Reference contract: ``torch.save({model,opt,step})`` + ``--load`` resume +
+best-metric checkpoint retention.  TPU-grade realization: orbax
+CheckpointManager with async-capable sharded saves, an atomic latest-step
+pointer, bounded retention, and a separate best-metric checkpoint.
+The saved tree is the full TrainState (params, opt state, EMA params,
+step, PRNG key) plus the data-iterator position (epoch, batch index) so
+``--resume auto`` continues the exact stream.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from semi_supervised_asr_tpu.training.train_step import TrainState
+
+
+class Checkpointer:
+    def __init__(
+        self,
+        directory: str | Path,
+        max_to_keep: int = 3,
+        best_metric: str | None = None,
+        best_mode: str = "min",
+    ):
+        self.dir = Path(directory).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=(lambda m: m[best_metric]) if best_metric else None,
+            best_mode=best_mode,
+            enable_async_checkpointing=False,  # deterministic for tests
+        )
+        self.mgr = ocp.CheckpointManager(self.dir, options=options)
+
+    def save(
+        self,
+        step: int,
+        state: TrainState,
+        data_pos: dict | None = None,
+        metrics: dict | None = None,
+    ) -> None:
+        tree = {
+            "state": state._asdict(),
+            "data_pos": data_pos or {"epoch": 0, "batch": 0},
+        }
+        self.mgr.save(
+            step,
+            args=ocp.args.StandardSave(tree),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self.mgr.latest_step()
+
+    def best_step(self) -> int | None:
+        return self.mgr.best_step()
+
+    def restore(
+        self, state_template: TrainState, step: int | None = None
+    ) -> tuple[TrainState, dict, int]:
+        """-> (state, data_pos, step). Template supplies shapes/dtypes."""
+        if step is None:
+            step = self.latest_step()
+        assert step is not None, f"no checkpoint found in {self.dir}"
+        template = {
+            "state": state_template._asdict(),
+            "data_pos": {"epoch": 0, "batch": 0},
+        }
+        tree = self.mgr.restore(step, args=ocp.args.StandardRestore(template))
+        state = TrainState(**tree["state"])
+        return state, tree["data_pos"], int(step)
+
+    def close(self) -> None:
+        self.mgr.close()

@@ -1,0 +1,325 @@
+"""Solver: the train/eval driver (SURVEY.md §3 #18, L3).
+
+Mirrors the reference's ``Solver`` surface — ``train()``, ``validate()``,
+``test()`` — rebuilt around the fused jit step:
+
+* one compiled step per (frame_bucket, token_bucket) pair;
+* semi-supervised mode zips the labeled stream with unlabeled audio/text
+  streams (each padded to ONE static shape to bound compile count);
+* periodic validation greedy-decodes the dev set and scores PER (phone) or
+  CER/WER (char) via the native edit-distance kernel;
+* orbax checkpoints every ``ckpt_every`` steps + best-metric retention;
+* all device work stays on device — the host touches only raw batches and
+  scalar metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_asr_tpu.config import Config
+from semi_supervised_asr_tpu.data import registry
+from semi_supervised_asr_tpu.data.bucketing import make_bucket_spec
+from semi_supervised_asr_tpu.data import pipeline as pipe
+from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+from semi_supervised_asr_tpu.decode.greedy import greedy_decode_from_enc
+from semi_supervised_asr_tpu.models import seq2seq as M
+from semi_supervised_asr_tpu.parallel import mesh as MESH
+from semi_supervised_asr_tpu.training import train_step as TS
+from semi_supervised_asr_tpu.training.checkpointing import Checkpointer
+from semi_supervised_asr_tpu.utils import metrics as MET
+from semi_supervised_asr_tpu.utils.logging import MetricsLogger
+
+
+class Solver:
+    def __init__(self, cfg: Config, workdir: str | Path, use_mesh: bool | None = None):
+        self.workdir = Path(workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+
+        self.bundle = registry.build_datasets(cfg)
+        self.vocab = self.bundle.vocab
+        # finalize model config from data
+        cfg = cfg.replace(
+            model=__import__("dataclasses").replace(
+                cfg.model,
+                vocab_size=self.vocab.size,
+                n_mels=cfg.frontend.n_mels,
+            )
+        )
+        self.cfg = cfg
+        self.semi = (
+            cfg.objective.lambda_text_ae > 0.0
+            or cfg.objective.lambda_pseudo > 0.0
+        )
+
+        self.spec = make_bucket_spec(
+            cfg.data, cfg.frontend, cfg.model.time_reduction
+        )
+        self.log = MetricsLogger(self.workdir)
+
+        # global CMVN stats (cached)
+        stats_path = self.workdir / "cmvn.npz"
+        if stats_path.exists():
+            z = np.load(stats_path)
+            self.cmvn = (z["mean"], z["inv_std"])
+        else:
+            mean, inv_std = pipe.compute_global_cmvn(
+                self.bundle.train, cfg.frontend
+            )
+            np.savez(stats_path, mean=mean, inv_std=inv_std)
+            self.cmvn = (mean, inv_std)
+
+        # device mesh: data-parallel whenever >1 device is visible
+        if use_mesh is None:
+            use_mesh = len(jax.devices()) > 1
+        self.mesh = MESH.make_mesh(cfg.parallel) if use_mesh else None
+        if self.mesh is not None:
+            n_data = self.mesh.devices.shape[0]
+            assert cfg.train.batch_size % n_data == 0, (
+                f"global batch_size {cfg.train.batch_size} must be divisible "
+                f"by the data-axis size {n_data}; adjust train.batch_size or "
+                f"run single-device (use_mesh=False)"
+            )
+
+        self.state = TS.init_train_state(
+            cfg, jax.random.PRNGKey(cfg.train.seed)
+        )
+        self.step_fn = TS.make_train_step(cfg, self.semi, self.mesh)
+        self.ckpt = Checkpointer(
+            self.workdir / cfg.train.ckpt_dir,
+            max_to_keep=cfg.train.keep_ckpts,
+            best_metric="dev_error",
+        )
+        self._decode_fns: dict = {}
+        self.data_pos = {"epoch": 0, "batch": 0}
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+
+    def _labeled_stream(self, start_epoch: int = 0):
+        shard, n_shards = jax.process_index(), jax.process_count()
+        return pipe.repeating_batches(
+            self.bundle.train, self.spec, self.cfg.frontend,
+            self.cfg.train.batch_size, self.cfg.train.seed,
+            shard_index=shard, num_shards=n_shards,
+            drop_remainder=self.cfg.data.drop_remainder,
+            start_epoch=start_epoch,
+        )
+
+    def _unlabeled_streams(self):
+        """Unlabeled audio padded to the LARGEST frame bucket; text to the
+        largest token bucket — one static shape each."""
+        shard, n_shards = jax.process_index(), jax.process_count()
+        cfg = self.cfg
+        ua = None
+        if cfg.objective.lambda_pseudo > 0.0 and self.bundle.unlabeled_audio:
+            import dataclasses as dc
+
+            big = dc.replace(
+                cfg.data,
+                frame_buckets=(self.spec.frame_buckets[-1],),
+                token_buckets=(self.spec.token_buckets[-1],),
+            )
+            big_spec = make_bucket_spec(
+                big, cfg.frontend, cfg.model.time_reduction
+            )
+            ua = pipe.repeating_batches(
+                self.bundle.unlabeled_audio, big_spec, cfg.frontend,
+                cfg.train.batch_size, cfg.train.seed + 1,
+                shard_index=shard, num_shards=n_shards,
+                drop_remainder=False,
+            )
+        ut = None
+        if cfg.objective.lambda_text_ae > 0.0 and self.bundle.unlabeled_text:
+            ut = pipe.text_batches(
+                self.bundle.unlabeled_text, self.spec.token_buckets[-1],
+                cfg.train.batch_size, cfg.train.seed + 2,
+                shard_index=shard, num_shards=n_shards,
+            )
+        return ua, ut
+
+    def _put(self, *arrays):
+        if self.mesh is not None:
+            return MESH.shard_batch_arrays(self.mesh, self.cfg.parallel, *arrays)
+        return tuple(jnp.asarray(a) for a in arrays)
+
+    def train(self, resume: bool = False) -> dict:
+        cfg = self.cfg
+        if resume and self.ckpt.latest_step() is not None:
+            self.state, self.data_pos, start = self.ckpt.restore(self.state)
+            self.log.info(f"resumed from step {start}")
+
+        labeled = self._labeled_stream(self.data_pos["epoch"])
+        ua_stream, ut_stream = self._unlabeled_streams()
+
+        t_last = time.perf_counter()
+        frames_acc = 0
+        last_eval = {}
+        while int(self.state.step) < cfg.train.total_steps:
+            batch = next(labeled)
+            args = self._put(batch.audio, batch.audio_lens, batch.tokens,
+                             batch.real)
+            if self.semi:
+                if ua_stream is not None:
+                    ub = next(ua_stream)
+                    ua = self._put(ub.audio, ub.audio_lens, ub.real)
+                else:  # text-AE only: feed zero-size-safe dummies
+                    ua = self._put(
+                        np.zeros_like(batch.audio),
+                        np.zeros_like(batch.audio_lens),
+                        np.zeros_like(batch.real),
+                    )
+                if ut_stream is not None:
+                    toks, real = next(ut_stream)
+                    ut = self._put(toks, real)
+                else:
+                    ut = self._put(
+                        np.zeros_like(batch.tokens),
+                        np.zeros_like(batch.real),
+                    )
+                self.state, m = self.step_fn(
+                    self.state, *args,
+                    ua[0], ua[1], ua[2], ut[0], ut[1],
+                    jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]),
+                )
+            else:
+                self.state, m = self.step_fn(
+                    self.state, *args,
+                    jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]),
+                )
+
+            step = int(self.state.step)
+            frames_acc += int(m["frames"])
+            if step % cfg.train.log_every == 0:
+                dt = time.perf_counter() - t_last
+                scalars = {k: float(v) for k, v in m.items()}
+                scalars["frames_per_sec"] = frames_acc / max(dt, 1e-9)
+                scalars["steps_per_sec"] = cfg.train.log_every / max(dt, 1e-9)
+                self.log.log(step, scalars, "train")
+                self.log.info(
+                    f"step {step} loss {scalars['loss']:.4f} "
+                    f"acc {scalars.get('acc', 0):.3f} "
+                    f"fps {scalars['frames_per_sec']:.0f}"
+                )
+                t_last = time.perf_counter()
+                frames_acc = 0
+
+            if cfg.train.eval_every > 0 and step % cfg.train.eval_every == 0:
+                last_eval = self.validate()
+                self.log.log(step, last_eval, "dev")
+                self.ckpt.save(
+                    step, self.state, self.data_pos,
+                    {"dev_error": last_eval["dev_error"]},
+                )
+            elif cfg.train.ckpt_every > 0 and step % cfg.train.ckpt_every == 0:
+                self.ckpt.save(step, self.state, self.data_pos,
+                               {"dev_error": last_eval.get("dev_error", 1e9)})
+
+        if int(self.state.step) % cfg.train.ckpt_every != 0:
+            last_eval = self.validate()
+            self.ckpt.save(int(self.state.step), self.state, self.data_pos,
+                           {"dev_error": last_eval["dev_error"]})
+        return last_eval
+
+    # ------------------------------------------------------------------ #
+    # evaluation
+    # ------------------------------------------------------------------ #
+
+    def _greedy_fn(self):
+        if "greedy" not in self._decode_fns:
+            cfg = self.cfg
+
+            @jax.jit
+            def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
+                feats, flens = TS.featurize(
+                    cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
+                )
+                enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
+                max_u = cfg.data.token_buckets[-1]
+                return greedy_decode_from_enc(
+                    params["speller"], cfg.model, enc, enc_mask, keys, max_u
+                )
+
+            self._decode_fns["greedy"] = fn
+        return self._decode_fns["greedy"]
+
+    def _beam_fn(self):
+        if "beam" not in self._decode_fns:
+            cfg = self.cfg
+
+            @jax.jit
+            def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
+                feats, flens = TS.featurize(
+                    cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
+                )
+                enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
+                max_u = cfg.data.token_buckets[-1]
+                return beam_decode_from_enc(
+                    params["speller"], cfg.model, cfg.decode,
+                    enc, enc_mask, keys, max_u,
+                )
+
+            self._decode_fns["beam"] = fn
+        return self._decode_fns["beam"]
+
+    def _score_batches(self, dataset, params, mode: str) -> tuple[float, list]:
+        """Decode a dataset, return (error rate, hypothesis records)."""
+        fn = self._greedy_fn() if mode == "greedy" else self._beam_fn()
+        er = MET.ErrorRate()
+        records = []
+        for batch in pipe.epoch_batches(
+            dataset, self.spec, self.cfg.frontend,
+            self.cfg.train.batch_size, seed=0, epoch=0,
+            drop_remainder=False,
+        ):
+            out = fn(params, jnp.asarray(batch.audio),
+                     jnp.asarray(batch.audio_lens),
+                     jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]))
+            hyps = np.asarray(out[0])
+            refs = batch.tokens
+            if self.cfg.data.unit == "phone":
+                d, n = MET.per_batch(hyps, refs, self.vocab)
+            else:
+                d, n = MET.cer_batch(hyps, refs)
+            er.update(d[batch.real], n[batch.real])
+            for r in range(len(hyps)):
+                if not batch.real[r]:
+                    continue
+                records.append({
+                    "uid": batch.uids[r],
+                    "ref": self.vocab.decode_text(refs[r]),
+                    "hyp": self.vocab.decode_text(hyps[r]),
+                    "errors": int(d[r]), "ref_len": int(n[r]),
+                })
+        return er.rate, records
+
+    def validate(self) -> dict:
+        rate, _ = self._score_batches(
+            self.bundle.dev, self.state.params, "greedy"
+        )
+        return {"dev_error": rate}
+
+    def test(
+        self, mode: str = "beam", restore_best: bool = True,
+        out_path: str | Path | None = None,
+    ) -> dict:
+        params = self.state.params
+        if restore_best and self.ckpt.latest_step() is not None:
+            step = self.ckpt.best_step() or self.ckpt.latest_step()
+            state, _, _ = self.ckpt.restore(self.state, step)
+            params = state.params
+        rate, records = self._score_batches(self.bundle.dev, params, mode)
+        if out_path is not None:
+            import json
+
+            with open(out_path, "w") as f:
+                for rec in records:
+                    f.write(json.dumps(rec) + "\n")
+        metric = "per" if self.cfg.data.unit == "phone" else "cer"
+        return {metric: rate, "n_utts": len(records), "mode": mode}

@@ -1,0 +1,112 @@
+"""Integration gates (SURVEY.md §5.2-2):
+* C1 overfit: synthetic corpus to ~0 PER within N steps;
+* checkpoint -> resume: bitwise-equal params;
+* CLI train/test entrypoints end-to-end.
+These are the slowest tests in the suite (~minutes on CPU)."""
+
+import json
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from semi_supervised_asr_tpu.config import load_config
+from semi_supervised_asr_tpu.training.solver import Solver
+
+CONFIG = "configs/synthetic_smoke.yaml"
+
+
+def small_cfg(**overrides):
+    ovs = [f"{k}={v}" for k, v in overrides.items()]
+    return load_config(CONFIG, ovs)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """One shared short training run (16 utts, 200 steps)."""
+    wd = tmp_path_factory.mktemp("overfit")
+    cfg = small_cfg(**{
+        "data.num_synthetic_utts": 16,
+        "train.batch_size": 8,
+        "train.learning_rate": 0.003,
+        "train.total_steps": 200,
+        "train.eval_every": 200,
+        "train.ckpt_every": 100,
+        "train.log_every": 50,
+    })
+    solver = Solver(cfg, wd, use_mesh=False)
+    solver.train()
+    return solver, wd
+
+
+class TestOverfitGate:
+    def test_c1_overfit_to_near_zero_per(self, trained):
+        solver, _ = trained
+        rate, _ = solver._score_batches(
+            solver.bundle.train, solver.state.params, "greedy"
+        )
+        assert rate < 0.1, f"train PER {rate} after overfit run"
+
+    def test_beam_also_near_zero(self, trained):
+        solver, _ = trained
+        rate, _ = solver._score_batches(
+            solver.bundle.train, solver.state.params, "beam"
+        )
+        assert rate < 0.1
+
+
+class TestCheckpointResume:
+    def test_restore_bitwise_equal(self, trained):
+        solver, _ = trained
+        template = solver.state
+        restored, data_pos, step = solver.ckpt.restore(template)
+        assert step == 200
+        for a, b in zip(
+            jax.tree.leaves(restored.params), jax.tree.leaves(template.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer state restored too
+        for a, b in zip(
+            jax.tree.leaves(restored.opt_state),
+            jax.tree.leaves(template.opt_state),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_best_step_tracked(self, trained):
+        solver, _ = trained
+        assert solver.ckpt.latest_step() == 200
+        assert solver.ckpt.best_step() is not None
+
+
+class TestCLI:
+    def test_test_entrypoint_on_saved_ckpt(self, trained):
+        _, wd = trained
+        out = subprocess.run(
+            [sys.executable, "-m", "semi_supervised_asr_tpu.main",
+             "--config", CONFIG, "--test", "--load-dir", str(wd),
+             "--platform", "cpu", "--beam", "1",
+             "--hyp-out", str(wd / "hyps.jsonl"),
+             "data.num_synthetic_utts=16"],
+            capture_output=True, text=True, timeout=560,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        result = json.loads(out.stdout.strip().splitlines()[-1])
+        assert "per" in result and result["n_utts"] > 0
+        hyps = [json.loads(l) for l in open(wd / "hyps.jsonl")]
+        assert len(hyps) == result["n_utts"]
+        assert {"uid", "ref", "hyp", "errors", "ref_len"} <= set(hyps[0])
+
+    def test_train_entrypoint_tiny(self, tmp_path):
+        out = subprocess.run(
+            [sys.executable, "-m", "semi_supervised_asr_tpu.main",
+             "--config", CONFIG, "--train", "--workdir", str(tmp_path),
+             "--platform", "cpu",
+             "train.total_steps=3", "train.eval_every=0",
+             "train.ckpt_every=3", "train.log_every=1",
+             "data.num_synthetic_utts=16", "train.batch_size=8"],
+            capture_output=True, text=True, timeout=560,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert (tmp_path / "metrics.jsonl").exists()
