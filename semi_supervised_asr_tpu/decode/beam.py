@@ -119,8 +119,9 @@ def beam_decode_from_enc(
             "context": gather_rows(state_new["context"], beam_idx, 0),
             "alpha": gather_rows(state_new["alpha"], beam_idx, 0),
         }
+        # LM state leaves are [L, B*K, H] stacks: the lattice row is axis 1.
         new_lm_state = (
-            jax.tree.map(lambda x: gather_rows(x, beam_idx, 0), lm_state_new)
+            jax.tree.map(lambda x: gather_rows(x, beam_idx, 1), lm_state_new)
             if use_lm
             else lm_state_new
         )

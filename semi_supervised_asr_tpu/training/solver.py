@@ -161,7 +161,8 @@ class Solver:
         t_last = time.perf_counter()
         frames_acc = 0
         last_eval = {}
-        while int(self.state.step) < cfg.train.total_steps:
+        host_step = int(self.state.step)  # host-side mirror of state.step
+        while host_step < cfg.train.total_steps:
             batch = next(labeled)
             args = self._put(batch.audio, batch.audio_lens, batch.tokens,
                              batch.real)
@@ -194,8 +195,16 @@ class Solver:
                     jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]),
                 )
 
-            step = int(self.state.step)
-            frames_acc += int(m["frames"])
+            # Never fetch device metrics per step: through the TPU tunnel a
+            # scalar fetch costs ~2x the step itself.  Step and frame counts
+            # come from the HOST; device scalars are fetched only at the
+            # log boundary (steps in between pipeline freely).
+            host_step += 1
+            step = host_step
+            frames_acc += (
+                int(batch.audio_lens[batch.real].sum())
+                // self.cfg.frontend.hop_length
+            )
             if step % cfg.train.log_every == 0:
                 dt = time.perf_counter() - t_last
                 scalars = {k: float(v) for k, v in m.items()}

@@ -50,6 +50,16 @@ def init_train_state(cfg: Config, rng: jax.Array) -> TrainState:
     )
 
 
+def _use_fused_frontend(cfg: Config) -> bool:
+    """Fused Pallas post-FFT kernel: TPU only (interpret mode is for tests),
+    global-CMVN only (utterance CMVN needs cross-tile stats)."""
+    return (
+        cfg.frontend.fused_pallas
+        and cfg.frontend.cmvn == "global"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def featurize(
     cfg: Config,
     audio: jax.Array,
@@ -61,6 +71,15 @@ def featurize(
     """Raw audio -> (features, frame lengths), SpecAugment when training."""
     fcfg = cfg.frontend
     mean, inv_std = (cmvn if cmvn is not None else (None, None))
+    if _use_fused_frontend(cfg) and mean is not None:
+        from semi_supervised_asr_tpu.ops.pallas_frontend import (
+            fused_log_mel_features,
+        )
+
+        return fused_log_mel_features(
+            audio, audio_lens, fcfg, mean, inv_std,
+            rng=rng, augment=augment and fcfg.spec_augment,
+        )
     feats, lens = F.log_mel_features(audio, audio_lens, fcfg, mean, inv_std)
     if augment and fcfg.spec_augment and rng is not None:
         feats = F.spec_augment(rng, feats, lens, fcfg)
