@@ -23,12 +23,16 @@ import numpy as np
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--frames", type=int, default=400)   # 4s utterances
     p.add_argument("--tokens", type=int, default=48)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--platform", default=None)
+    p.add_argument("--mode", default="train", choices=["train", "decode"],
+                   help="train: fused train step; decode: jit beam search "
+                        "(beam=5, cached encoder states)")
+    p.add_argument("--beam", type=int, default=5)
     args = p.parse_args()
 
     if args.platform:
@@ -65,27 +69,66 @@ def main() -> int:
     real = np.ones((b,), bool)
     cmvn = (np.zeros(80, np.float32), np.ones(80, np.float32))
 
-    state = TS.init_train_state(cfg, jax.random.PRNGKey(0))
-    step = TS.make_train_step(cfg)
+    if args.mode == "train":
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(0))
+        step = TS.make_train_step(cfg)
+        dev_args = [jax.device_put(x) for x in
+                    (audio, audio_lens, tokens, real, *cmvn)]
 
-    dev_args = [jax.device_put(x) for x in
-                (audio, audio_lens, tokens, real, *cmvn)]
+        for _ in range(args.warmup):
+            state, m = step(state, *dev_args)
+        _ = float(m["loss"])  # host fetch forces completion
+        # (block_until_ready proved unreliable through the axon tunnel)
 
-    for _ in range(args.warmup):
-        state, m = step(state, *dev_args)
-    _ = float(m["loss"])  # host fetch forces completion (block_until_ready
-    # proved unreliable through the axon tunnel — returned before execution)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, m = step(state, *dev_args)
+        _ = float(m["loss"])  # fetch-at-end: steps pipeline, transfer fences
+        dt = time.perf_counter() - t0
+        tail = f"loss={float(m['loss']):.3f}"
+        metric = "train_frames_per_sec_per_chip"
+    else:
+        import dataclasses
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, m = step(state, *dev_args)
-    _ = float(m["loss"])  # fetch-at-end: steps pipeline, transfer fences
-    dt = time.perf_counter() - t0
+        import jax.numpy as jnp
+
+        from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+        from semi_supervised_asr_tpu.models import seq2seq as MM
+        from semi_supervised_asr_tpu.training.train_step import featurize
+
+        cfg = cfg.replace(
+            decode=dataclasses.replace(cfg.decode, beam_size=args.beam)
+        )
+        params = MM.init_model(jax.random.PRNGKey(0), cfg.model)
+
+        @jax.jit
+        def decode_fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
+            feats, flens = featurize(
+                cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
+            )
+            enc, enc_mask, keys = MM.encode(params, feats, flens, cfg.model)
+            return beam_decode_from_enc(
+                params["speller"], cfg.model, cfg.decode,
+                enc, enc_mask, keys, u,
+            )
+
+        dev_args = [jax.device_put(x) for x in (audio, audio_lens, *cmvn)]
+        for _ in range(args.warmup):
+            hyps, scores = decode_fn(params, *dev_args)
+        _ = np.asarray(scores)
+
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            hyps, scores = decode_fn(params, *dev_args)
+        _ = np.asarray(scores)
+        dt = time.perf_counter() - t0
+        tail = f"beam={args.beam}"
+        metric = "decode_frames_per_sec_per_chip"
 
     frames_total = b * f * args.steps  # 10ms audio frames consumed
     fps = frames_total / dt
     result = {
-        "metric": "train_frames_per_sec_per_chip",
+        "metric": metric,
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 20000.0, 4),
@@ -93,7 +136,7 @@ def main() -> int:
     print(json.dumps(result))
     print(
         f"# device={jax.devices()[0]} step_time={dt/args.steps*1000:.1f}ms "
-        f"batch={b} frames={f} loss={float(m['loss']):.3f}",
+        f"batch={b} frames={f} {tail}",
         flush=True,
     )
     return 0

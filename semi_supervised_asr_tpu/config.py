@@ -130,6 +130,10 @@ class TrainConfig:
     seed: int = 0
     ckpt_dir: str = "checkpoints"
     remat_encoder: bool = False       # jax.checkpoint the listener
+    # observability (SURVEY.md §6): trace N steps with jax.profiler
+    profile_steps: int = 0            # 0 disables
+    profile_start: int = 10
+    debug_nans: bool = False          # jax_debug_nans for repro sessions
 
 
 @dataclass(frozen=True)
@@ -139,7 +143,21 @@ class DecodeConfig:
     max_decode_len: int = 256         # hard cap (static shape under jit)
     length_penalty: float = 1.0       # score / len**penalty
     lm_weight: float = 0.0            # shallow-fusion LM weight
+    lm_ckpt: str = ""                 # workdir of a trained LM (lm_trainer)
     coverage_weight: float = 0.0
+
+
+@dataclass(frozen=True)
+class LMConfig:
+    """External LM for shallow fusion (models/lm.py, lm_trainer.py)."""
+
+    embed_dim: int = 128
+    hidden: int = 512
+    layers: int = 1
+    learning_rate: float = 1e-3
+    total_steps: int = 5000
+    batch_size: int = 64
+    log_every: int = 200
 
 
 @dataclass(frozen=True)
@@ -159,6 +177,10 @@ class DataConfig:
     num_synthetic_utts: int = 128
     synthetic_seed: int = 1234
     drop_remainder: bool = True
+    # train from precomputed HDF5 log-mel features (<data_dir>/<split>.h5,
+    # written by preprocess --features) instead of raw audio + on-device
+    # frontend.  Reference-parity path; the raw-audio path is preferred (C2).
+    use_feature_store: bool = False
 
 
 @dataclass(frozen=True)
@@ -174,6 +196,7 @@ class ParallelConfig:
 @dataclass(frozen=True)
 class Config:
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    lm: LMConfig = field(default_factory=LMConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     objective: ObjectiveConfig = field(default_factory=ObjectiveConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
@@ -194,6 +217,7 @@ class Config:
 
 _SECTIONS = {
     "frontend": FrontendConfig,
+    "lm": LMConfig,
     "model": ModelConfig,
     "objective": ObjectiveConfig,
     "train": TrainConfig,

@@ -87,6 +87,35 @@ class ManifestDataset:
         return len(self._tokens(self.entries[i]))
 
 
+class FeatureDataset:
+    """Dataset over an H5FeatureStore for the precomputed-features training
+    path (``data.use_feature_store``).  Lengths are FRAMES, not samples —
+    the feature pipeline buckets on frames directly."""
+
+    def __init__(self, h5_path: str | Path, vocab: Vocab):
+        self.store = H5FeatureStore(h5_path)
+        self.vocab = vocab
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def __getitem__(self, i: int):
+        uid, feats, tokens, text = self.store.get(i)
+        if len(tokens) == 0 or tokens[-1] != EOS:
+            tokens = np.concatenate([tokens, [EOS]]).astype(np.int32)
+        return Utterance(uid=uid, audio=feats, tokens=tokens, text=text)
+
+    def feat_len(self, i: int) -> int:
+        return self.store.feat_len(i)
+
+    def token_len(self, i: int) -> int:
+        n = self.store.token_len(i)
+        # +1 when the stored tokens lack the trailing EOS
+        uid = self.store._uids[i]
+        toks = self.store.h5[uid]["tokens"]
+        return n if (n and toks[n - 1] == EOS) else n + 1
+
+
 class H5FeatureStore:
     """Precomputed log-mel features + tokens in HDF5 (reference parity).
 

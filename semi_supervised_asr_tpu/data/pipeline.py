@@ -115,6 +115,84 @@ def repeating_batches(
         )
 
 
+@dataclass
+class FeatureBatch:
+    """Precomputed-features batch (data.use_feature_store path)."""
+
+    feats: np.ndarray          # [B, T, M] float32 raw log-mel (no CMVN)
+    feat_lens: np.ndarray      # [B] int32
+    tokens: np.ndarray         # [B, U] int32
+    token_lens: np.ndarray     # [B]
+    real: np.ndarray           # [B] bool
+    bucket: tuple[int, int]
+    uids: list
+
+
+def assemble_feature_batch(
+    dataset,
+    idxs: list[int],
+    n_real: int,
+    bucket: tuple[int, int],
+) -> FeatureBatch:
+    fb, tb = bucket
+    b = len(idxs)
+    first = dataset[idxs[0]]
+    m = first.audio.shape[1]
+    feats = np.zeros((b, fb, m), np.float32)
+    feat_lens = np.zeros((b,), np.int32)
+    tokens = np.full((b, tb), PAD, np.int32)
+    token_lens = np.zeros((b,), np.int32)
+    uids = []
+    for r, i in enumerate(idxs):
+        utt = dataset[i]
+        t = min(utt.audio.shape[0], fb)
+        feats[r, :t] = utt.audio[:t]
+        feat_lens[r] = t
+        u = min(len(utt.tokens), tb)
+        tokens[r, :u] = utt.tokens[:u]
+        token_lens[r] = u
+        uids.append(utt.uid)
+    real = np.arange(b) < n_real
+    return FeatureBatch(feats, feat_lens, tokens, token_lens, real, bucket, uids)
+
+
+def epoch_feature_batches(
+    dataset,
+    spec: BucketSpec,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    drop_remainder: bool = True,
+) -> Iterator[FeatureBatch]:
+    """Feature-store variant of epoch_batches: buckets on FRAMES directly."""
+    lengths = []
+    for i in range(len(dataset)):
+        frames, toks = dataset.feat_len(i), dataset.token_len(i)
+        # plan_epoch buckets via frames_for_samples(n_samples); invert it so
+        # the frame count round-trips exactly: samples = (frames-1)*hop
+        lengths.append((spec.samples_for_frames(frames), toks))
+    plan, _skipped = plan_epoch(
+        lengths, spec, batch_size, seed, epoch, drop_remainder
+    )
+    for k, (bucket, idxs, n_real) in enumerate(plan):
+        if k % num_shards != shard_index:
+            continue
+        yield assemble_feature_batch(dataset, idxs, n_real, bucket)
+
+
+def repeating_feature_batches(
+    dataset, spec, batch_size, seed,
+    shard_index=0, num_shards=1, drop_remainder=True, start_epoch=0,
+) -> Iterator[FeatureBatch]:
+    for epoch in itertools.count(start_epoch):
+        yield from epoch_feature_batches(
+            dataset, spec, batch_size, seed, epoch,
+            shard_index, num_shards, drop_remainder,
+        )
+
+
 def text_batches(
     dataset,
     token_bucket: int,
@@ -142,6 +220,23 @@ def text_batches(
                 tokens[r, :u] = t[:u]
                 real[r] = True
             yield tokens, real
+
+
+def compute_global_cmvn_features(
+    dataset, max_utts: int = 256
+) -> tuple[np.ndarray, np.ndarray]:
+    """Global CMVN from a FeatureDataset (stored log-mel, fp64 accum)."""
+    n = min(len(dataset), max_utts)
+    count = 0
+    s1 = s2 = 0.0
+    for i in range(n):
+        f = dataset[i].audio.astype(np.float64)  # [T, M] features
+        s1 = s1 + f.sum(axis=0)
+        s2 = s2 + (f**2).sum(axis=0)
+        count += f.shape[0]
+    mean = s1 / count
+    var = np.maximum(s2 / count - mean**2, 0.0)
+    return mean.astype(np.float32), (1.0 / np.sqrt(var + 1e-8)).astype(np.float32)
 
 
 def compute_global_cmvn(

@@ -51,10 +51,16 @@ def build_datasets(cfg: Config) -> DataBundle:
             ),
         )
     if d.dataset in ("timit", "librispeech"):
-        from semi_supervised_asr_tpu.data.corpus import ManifestDataset
+        if d.use_feature_store:
+            from semi_supervised_asr_tpu.data.corpus import FeatureDataset
 
-        def load(split):
-            return ManifestDataset(f"{d.data_dir}/{split}.jsonl", vocab)
+            def load(split):
+                return FeatureDataset(f"{d.data_dir}/{split}.h5", vocab)
+        else:
+            from semi_supervised_asr_tpu.data.corpus import ManifestDataset
+
+            def load(split):
+                return ManifestDataset(f"{d.data_dir}/{split}.jsonl", vocab)
 
         return DataBundle(
             vocab=vocab,

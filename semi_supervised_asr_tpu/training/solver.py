@@ -56,6 +56,7 @@ class Solver:
             cfg.objective.lambda_text_ae > 0.0
             or cfg.objective.lambda_pseudo > 0.0
         )
+        self.from_features = cfg.data.use_feature_store
 
         self.spec = make_bucket_spec(
             cfg.data, cfg.frontend, cfg.model.time_reduction
@@ -67,6 +68,10 @@ class Solver:
         if stats_path.exists():
             z = np.load(stats_path)
             self.cmvn = (z["mean"], z["inv_std"])
+        elif self.from_features:
+            mean, inv_std = pipe.compute_global_cmvn_features(self.bundle.train)
+            np.savez(stats_path, mean=mean, inv_std=inv_std)
+            self.cmvn = (mean, inv_std)
         else:
             mean, inv_std = pipe.compute_global_cmvn(
                 self.bundle.train, cfg.frontend
@@ -89,7 +94,9 @@ class Solver:
         self.state = TS.init_train_state(
             cfg, jax.random.PRNGKey(cfg.train.seed)
         )
-        self.step_fn = TS.make_train_step(cfg, self.semi, self.mesh)
+        self.step_fn = TS.make_train_step(
+            cfg, self.semi, self.mesh, from_features=self.from_features
+        )
         self.ckpt = Checkpointer(
             self.workdir / cfg.train.ckpt_dir,
             max_to_keep=cfg.train.keep_ckpts,
@@ -104,6 +111,14 @@ class Solver:
 
     def _labeled_stream(self, start_epoch: int = 0):
         shard, n_shards = jax.process_index(), jax.process_count()
+        if self.from_features:
+            return pipe.repeating_feature_batches(
+                self.bundle.train, self.spec,
+                self.cfg.train.batch_size, self.cfg.train.seed,
+                shard_index=shard, num_shards=n_shards,
+                drop_remainder=self.cfg.data.drop_remainder,
+                start_epoch=start_epoch,
+            )
         return pipe.repeating_batches(
             self.bundle.train, self.spec, self.cfg.frontend,
             self.cfg.train.batch_size, self.cfg.train.seed,
@@ -111,6 +126,13 @@ class Solver:
             drop_remainder=self.cfg.data.drop_remainder,
             start_epoch=start_epoch,
         )
+
+    @staticmethod
+    def _step_inputs(batch):
+        """(array-ish x4) for the step, from either batch flavor."""
+        if hasattr(batch, "audio"):
+            return batch.audio, batch.audio_lens, batch.tokens, batch.real
+        return batch.feats, batch.feat_lens, batch.tokens, batch.real
 
     def _unlabeled_streams(self):
         """Unlabeled audio padded to the LARGEST frame bucket; text to the
@@ -129,12 +151,20 @@ class Solver:
             big_spec = make_bucket_spec(
                 big, cfg.frontend, cfg.model.time_reduction
             )
-            ua = pipe.repeating_batches(
-                self.bundle.unlabeled_audio, big_spec, cfg.frontend,
-                cfg.train.batch_size, cfg.train.seed + 1,
-                shard_index=shard, num_shards=n_shards,
-                drop_remainder=False,
-            )
+            if self.from_features:
+                ua = pipe.repeating_feature_batches(
+                    self.bundle.unlabeled_audio, big_spec,
+                    cfg.train.batch_size, cfg.train.seed + 1,
+                    shard_index=shard, num_shards=n_shards,
+                    drop_remainder=False,
+                )
+            else:
+                ua = pipe.repeating_batches(
+                    self.bundle.unlabeled_audio, big_spec, cfg.frontend,
+                    cfg.train.batch_size, cfg.train.seed + 1,
+                    shard_index=shard, num_shards=n_shards,
+                    drop_remainder=False,
+                )
         ut = None
         if cfg.objective.lambda_text_ae > 0.0 and self.bundle.unlabeled_text:
             ut = pipe.text_batches(
@@ -151,6 +181,8 @@ class Solver:
 
     def train(self, resume: bool = False) -> dict:
         cfg = self.cfg
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         if resume and self.ckpt.latest_step() is not None:
             self.state, self.data_pos, start = self.ckpt.restore(self.state)
             self.log.info(f"resumed from step {start}")
@@ -164,17 +196,18 @@ class Solver:
         host_step = int(self.state.step)  # host-side mirror of state.step
         while host_step < cfg.train.total_steps:
             batch = next(labeled)
-            args = self._put(batch.audio, batch.audio_lens, batch.tokens,
-                             batch.real)
+            args = self._put(*self._step_inputs(batch))
             if self.semi:
                 if ua_stream is not None:
                     ub = next(ua_stream)
-                    ua = self._put(ub.audio, ub.audio_lens, ub.real)
+                    ua_in = self._step_inputs(ub)
+                    ua = self._put(ua_in[0], ua_in[1], ua_in[3])
                 else:  # text-AE only: feed zero-size-safe dummies
+                    b_in = self._step_inputs(batch)
                     ua = self._put(
-                        np.zeros_like(batch.audio),
-                        np.zeros_like(batch.audio_lens),
-                        np.zeros_like(batch.real),
+                        np.zeros_like(b_in[0]),
+                        np.zeros_like(b_in[1]),
+                        np.zeros_like(b_in[3]),
                     )
                 if ut_stream is not None:
                     toks, real = next(ut_stream)
@@ -201,10 +234,27 @@ class Solver:
             # log boundary (steps in between pipeline freely).
             host_step += 1
             step = host_step
-            frames_acc += (
-                int(batch.audio_lens[batch.real].sum())
-                // self.cfg.frontend.hop_length
-            )
+
+            # profiling window (SURVEY.md §6 tracing): trace profile_steps
+            # steps starting at profile_start into <workdir>/profile
+            if cfg.train.profile_steps > 0:
+                if step == cfg.train.profile_start:
+                    jax.profiler.start_trace(str(self.workdir / "profile"))
+                elif step == cfg.train.profile_start + cfg.train.profile_steps:
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(), m["loss"]
+                    )
+                    jax.profiler.stop_trace()
+                    self.log.info(
+                        f"profile trace written to {self.workdir}/profile"
+                    )
+            if self.from_features:
+                frames_acc += int(batch.feat_lens[batch.real].sum())
+            else:
+                frames_acc += (
+                    int(batch.audio_lens[batch.real].sum())
+                    // self.cfg.frontend.hop_length
+                )
             if step % cfg.train.log_every == 0:
                 dt = time.perf_counter() - t_last
                 scalars = {k: float(v) for k, v in m.items()}
@@ -244,9 +294,12 @@ class Solver:
         if "greedy" not in self._decode_fns:
             cfg = self.cfg
 
+            feat_fn = (TS.featurize_precomputed if self.from_features
+                       else TS.featurize)
+
             @jax.jit
             def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
-                feats, flens = TS.featurize(
+                feats, flens = feat_fn(
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
                 )
                 enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
@@ -258,13 +311,35 @@ class Solver:
             self._decode_fns["greedy"] = fn
         return self._decode_fns["greedy"]
 
+    def _lm(self):
+        """(lm_params, lm_step_fn) for shallow fusion, or (None, None)."""
+        if "lm" not in self._decode_fns:
+            lm_params, lm_step = None, None
+            dcfg = self.cfg.decode
+            if dcfg.lm_weight > 0.0 and dcfg.lm_ckpt:
+                from semi_supervised_asr_tpu.models import lm as LMM
+                from semi_supervised_asr_tpu.training.lm_trainer import load_lm
+
+                lm_params = load_lm(dcfg.lm_ckpt, self.cfg, self.vocab.size)
+                lm_step = LMM.lm_step
+                self.log.info(
+                    f"shallow fusion: LM from {dcfg.lm_ckpt} "
+                    f"weight {dcfg.lm_weight}"
+                )
+            self._decode_fns["lm"] = (lm_params, lm_step)
+        return self._decode_fns["lm"]
+
     def _beam_fn(self):
         if "beam" not in self._decode_fns:
             cfg = self.cfg
+            lm_params, lm_step = self._lm()
+
+            feat_fn = (TS.featurize_precomputed if self.from_features
+                       else TS.featurize)
 
             @jax.jit
             def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
-                feats, flens = TS.featurize(
+                feats, flens = feat_fn(
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
                 )
                 enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
@@ -272,6 +347,7 @@ class Solver:
                 return beam_decode_from_enc(
                     params["speller"], cfg.model, cfg.decode,
                     enc, enc_mask, keys, max_u,
+                    lm_params=lm_params, lm_step_fn=lm_step,
                 )
 
             self._decode_fns["beam"] = fn
@@ -282,13 +358,20 @@ class Solver:
         fn = self._greedy_fn() if mode == "greedy" else self._beam_fn()
         er = MET.ErrorRate()
         records = []
-        for batch in pipe.epoch_batches(
-            dataset, self.spec, self.cfg.frontend,
-            self.cfg.train.batch_size, seed=0, epoch=0,
-            drop_remainder=False,
-        ):
-            out = fn(params, jnp.asarray(batch.audio),
-                     jnp.asarray(batch.audio_lens),
+        if self.from_features:
+            batches = pipe.epoch_feature_batches(
+                dataset, self.spec, self.cfg.train.batch_size,
+                seed=0, epoch=0, drop_remainder=False,
+            )
+        else:
+            batches = pipe.epoch_batches(
+                dataset, self.spec, self.cfg.frontend,
+                self.cfg.train.batch_size, seed=0, epoch=0,
+                drop_remainder=False,
+            )
+        for batch in batches:
+            xin = self._step_inputs(batch)
+            out = fn(params, jnp.asarray(xin[0]), jnp.asarray(xin[1]),
                      jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]))
             hyps = np.asarray(out[0])
             refs = batch.tokens

@@ -86,6 +86,31 @@ def featurize(
     return feats, lens
 
 
+def featurize_precomputed(
+    cfg: Config,
+    feats: jax.Array,          # [B, T, M] raw log-mel (no CMVN)
+    feat_lens: jax.Array,
+    cmvn: tuple[jax.Array, jax.Array] | None,
+    rng: jax.Array | None,
+    augment: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Feature-store path: CMVN + pad zeroing + SpecAugment on stored
+    log-mel features (data.use_feature_store)."""
+    fcfg = cfg.frontend
+    mask = (
+        jnp.arange(feats.shape[1])[None, :] < feat_lens[:, None]
+    )[..., None].astype(feats.dtype)
+    if fcfg.cmvn == "global" and cmvn is not None:
+        feats = F.apply_global_cmvn(feats, cmvn[0], cmvn[1]) * mask
+    elif fcfg.cmvn == "utterance":
+        feats = F.utterance_cmvn(feats, feat_lens)
+    else:
+        feats = feats * mask
+    if augment and fcfg.spec_augment and rng is not None:
+        feats = F.spec_augment(rng, feats, feat_lens, fcfg)
+    return feats, feat_lens
+
+
 def _mask_unreal(tokens: jax.Array, real: jax.Array) -> jax.Array:
     """Remainder-duplicate rows contribute nothing: their targets become
     all-PAD, which zeroes their token mask in the CE."""
@@ -106,15 +131,21 @@ def supervised_step_fn(
     unlab_real: jax.Array | None = None,
     unlab_text: jax.Array | None = None,
     unlab_text_real: jax.Array | None = None,
+    from_features: bool = False,
 ) -> tuple[TrainState, dict]:
-    """Shared body for supervised and semi-supervised steps."""
+    """Shared body for supervised and semi-supervised steps.
+
+    ``from_features``: the audio args carry precomputed [B,T,M] log-mel
+    features + frame lengths (feature-store path) instead of raw audio.
+    """
     obj = cfg.objective
     rng, k_feat, k_tf, k_pl_feat, k_pl = jax.random.split(state.rng, 5)
     tf_rate = schedules.tf_rate_at(state.step, obj)
     tokens = _mask_unreal(tokens, real)
+    feat_fn = featurize_precomputed if from_features else featurize
 
     def loss_fn(params):
-        feats, flens = featurize(cfg, audio, audio_lens, cmvn, k_feat, True)
+        feats, flens = feat_fn(cfg, audio, audio_lens, cmvn, k_feat, True)
         loss, aux = LO.supervised_loss(
             params, cfg.model, obj, feats, flens, tokens, tf_rate, k_tf
         )
@@ -128,10 +159,10 @@ def supervised_step_fn(
 
         if obj.lambda_pseudo > 0.0 and unlab_audio is not None:
             teacher = state.ema_params if obj.use_ema_teacher else params
-            clean, clens = featurize(
+            clean, clens = feat_fn(
                 cfg, unlab_audio, unlab_audio_lens, cmvn, None, False
             )
-            augmented, _ = featurize(
+            augmented, _ = feat_fn(
                 cfg, unlab_audio, unlab_audio_lens, cmvn, k_pl_feat, True
             )
             max_len = cfg.decode.max_decode_len
@@ -168,18 +199,27 @@ def supervised_step_fn(
         step=state.step + 1,
         rng=rng,
     )
+    frames = (
+        jnp.sum(jnp.where(real, audio_lens, 0))
+        if from_features
+        else jnp.sum(jnp.where(real, audio_lens, 0)) // cfg.frontend.hop_length
+    )
     metrics = dict(
         metrics,
         loss=loss,
         grad_norm=gnorm,
         tf_rate=tf_rate,
-        frames=jnp.sum(jnp.where(real, audio_lens, 0))
-        // cfg.frontend.hop_length,
+        frames=frames,
     )
     return new_state, metrics
 
 
-def make_train_step(cfg: Config, semi_supervised: bool = False, mesh=None):
+def make_train_step(
+    cfg: Config,
+    semi_supervised: bool = False,
+    mesh=None,
+    from_features: bool = False,
+):
     """Build the fused jit step; compiles once per bucket shape.
 
     Returns ``step(state, *batch_arrays, cmvn_mean, cmvn_std) ->
@@ -199,7 +239,7 @@ def make_train_step(cfg: Config, semi_supervised: bool = False, mesh=None):
                       cmvn_mean, cmvn_std):
             return supervised_step_fn(
                 cfg, opt, state, audio, audio_lens, tokens, real,
-                (cmvn_mean, cmvn_std),
+                (cmvn_mean, cmvn_std), from_features=from_features,
             )
 
         n_batch_args = 4
@@ -214,6 +254,7 @@ def make_train_step(cfg: Config, semi_supervised: bool = False, mesh=None):
                 (cmvn_mean, cmvn_std),
                 unlab_audio=ua, unlab_audio_lens=ua_lens, unlab_real=ua_real,
                 unlab_text=utext, unlab_text_real=utext_real,
+                from_features=from_features,
             )
 
         n_batch_args = 9
