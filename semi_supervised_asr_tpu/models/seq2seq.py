@@ -35,9 +35,20 @@ def encode(
     cfg: ModelConfig,
     train: bool = False,
     dropout_rng: jax.Array | None = None,
+    remat: bool = False,
 ):
-    """-> (enc [B,T',2H], enc_mask [B,T'], keys [B,T',A]) — the decode cache."""
-    enc, enc_lens = L.listener_apply(
+    """-> (enc [B,T',2H], enc_mask [B,T'], keys [B,T',A]) — the decode cache.
+
+    ``remat``: rematerialize the listener on the backward pass
+    (jax.checkpoint) — trades FLOPs for HBM on large configs
+    (train.remat_encoder, SURVEY.md B6/HBM note).
+    """
+    apply = L.listener_apply
+    if remat:
+        apply = jax.checkpoint(
+            L.listener_apply, static_argnums=(3, 4), policy=None
+        )
+    enc, enc_lens = apply(
         params["listener"], feats, feat_lens, cfg, train, dropout_rng
     )
     t = enc.shape[1]
@@ -55,12 +66,15 @@ def forward_teacher(
     tf_rate=1.0,
     rng: jax.Array | None = None,
     train: bool = False,
+    remat: bool = False,
 ):
     """Full teacher-forced pass -> (logits [B,U,V], alphas [B,U,T'])."""
     drop_rng = None
     if rng is not None:
         rng, drop_rng = jax.random.split(rng)
-    enc, enc_mask, _ = encode(params, feats, feat_lens, cfg, train, drop_rng)
+    enc, enc_mask, _ = encode(
+        params, feats, feat_lens, cfg, train, drop_rng, remat
+    )
     return S.forward_teacher(
         params["speller"], cfg, enc, enc_mask, tokens_in, tf_rate, rng
     )

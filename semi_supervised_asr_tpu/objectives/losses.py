@@ -63,13 +63,15 @@ def supervised_loss(
     tf_rate,
     rng: jax.Array,
     train: bool = True,
+    remat: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Supervised CE on labeled (audio, text) pairs."""
     from semi_supervised_asr_tpu.models import seq2seq as M
 
     tokens_in, targets = shift_targets(tokens)
     logits, _ = M.forward_teacher(
-        params, model_cfg, feats, feat_lens, tokens_in, tf_rate, rng, train
+        params, model_cfg, feats, feat_lens, tokens_in, tf_rate, rng, train,
+        remat,
     )
     loss, _ = masked_ce(logits, targets, obj_cfg.label_smoothing)
     acc = token_accuracy(logits, targets)

@@ -110,22 +110,37 @@ class Solver:
     # ------------------------------------------------------------------ #
 
     def _labeled_stream(self, start_epoch: int = 0):
+        """Endless labeled stream that mirrors its position into
+        ``self.data_pos`` so checkpoints record (epoch, batch-in-epoch);
+        resume restarts at the recorded epoch boundary (mid-epoch batches
+        before the crash are revisited — deterministic plans make that a
+        repeat, never a skip)."""
         shard, n_shards = jax.process_index(), jax.process_count()
-        if self.from_features:
-            return pipe.repeating_feature_batches(
-                self.bundle.train, self.spec,
-                self.cfg.train.batch_size, self.cfg.train.seed,
-                shard_index=shard, num_shards=n_shards,
-                drop_remainder=self.cfg.data.drop_remainder,
-                start_epoch=start_epoch,
-            )
-        return pipe.repeating_batches(
-            self.bundle.train, self.spec, self.cfg.frontend,
-            self.cfg.train.batch_size, self.cfg.train.seed,
-            shard_index=shard, num_shards=n_shards,
-            drop_remainder=self.cfg.data.drop_remainder,
-            start_epoch=start_epoch,
-        )
+
+        def gen():
+            epoch = start_epoch
+            while True:
+                self.data_pos["epoch"] = epoch
+                if self.from_features:
+                    it = pipe.epoch_feature_batches(
+                        self.bundle.train, self.spec,
+                        self.cfg.train.batch_size, self.cfg.train.seed,
+                        epoch, shard, n_shards,
+                        self.cfg.data.drop_remainder,
+                    )
+                else:
+                    it = pipe.epoch_batches(
+                        self.bundle.train, self.spec, self.cfg.frontend,
+                        self.cfg.train.batch_size, self.cfg.train.seed,
+                        epoch, shard, n_shards,
+                        self.cfg.data.drop_remainder,
+                    )
+                for k, b in enumerate(it):
+                    self.data_pos["batch"] = k
+                    yield b
+                epoch += 1
+
+        return gen()
 
     @staticmethod
     def _step_inputs(batch):
@@ -316,6 +331,12 @@ class Solver:
         if "lm" not in self._decode_fns:
             lm_params, lm_step = None, None
             dcfg = self.cfg.decode
+            if dcfg.lm_weight > 0.0 and not dcfg.lm_ckpt:
+                self.log.info(
+                    "WARNING: decode.lm_weight > 0 but decode.lm_ckpt is "
+                    "empty — shallow fusion DISABLED (train an LM with "
+                    "training/lm_trainer.py and set decode.lm_ckpt)"
+                )
             if dcfg.lm_weight > 0.0 and dcfg.lm_ckpt:
                 from semi_supervised_asr_tpu.models import lm as LMM
                 from semi_supervised_asr_tpu.training.lm_trainer import load_lm

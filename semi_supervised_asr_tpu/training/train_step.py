@@ -147,7 +147,8 @@ def supervised_step_fn(
     def loss_fn(params):
         feats, flens = feat_fn(cfg, audio, audio_lens, cmvn, k_feat, True)
         loss, aux = LO.supervised_loss(
-            params, cfg.model, obj, feats, flens, tokens, tf_rate, k_tf
+            params, cfg.model, obj, feats, flens, tokens, tf_rate, k_tf,
+            remat=cfg.train.remat_encoder,
         )
         metrics = {"ce": aux["ce"], "acc": aux["acc"]}
 

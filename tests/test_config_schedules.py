@@ -1,0 +1,89 @@
+"""Config system + schedule unit tests."""
+
+import numpy as np
+import pytest
+import yaml
+
+from semi_supervised_asr_tpu.config import (
+    Config, ObjectiveConfig, TrainConfig, config_fingerprint,
+    config_from_dict, load_config, save_config,
+)
+from semi_supervised_asr_tpu.training import schedules
+
+
+class TestConfig:
+    def test_yaml_roundtrip(self, tmp_path):
+        cfg = Config(name="rt")
+        p = tmp_path / "c.yaml"
+        save_config(cfg, p)
+        assert load_config(p) == cfg
+
+    def test_all_shipped_configs_load(self):
+        import glob
+
+        for path in glob.glob("configs/*.yaml"):
+            cfg = load_config(path)
+            assert cfg.name, path
+
+    def test_overrides(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        save_config(Config(), p)
+        cfg = load_config(p, ["train.learning_rate=0.01",
+                              "model.enc_hidden=512",
+                              "data.frame_buckets=[96, 160]"])
+        assert cfg.train.learning_rate == 0.01
+        assert cfg.model.enc_hidden == 512
+        assert cfg.data.frame_buckets == (96, 160)
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(KeyError, match="TrainConfig.bogus"):
+            config_from_dict({"train": {"bogus": 1}})
+        with pytest.raises(KeyError, match="unknown config sections"):
+            config_from_dict({"nope": {}})
+
+    def test_fingerprint_stable_and_sensitive(self):
+        a = config_fingerprint(Config())
+        b = config_fingerprint(Config())
+        c = config_fingerprint(Config(name="other"))
+        assert a == b != c
+
+    def test_derived_properties(self):
+        cfg = Config()
+        assert cfg.frontend.win_length == 400
+        assert cfg.frontend.hop_length == 160
+        assert cfg.model.time_reduction == 2 ** cfg.model.enc_layers
+        assert cfg.model.enc_out_dim == 2 * cfg.model.enc_hidden
+
+
+class TestSchedules:
+    def test_tf_rate_linear_decay(self):
+        obj = ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=0.6,
+                              tf_decay_steps=100)
+        assert float(schedules.tf_rate_at(0, obj)) == pytest.approx(1.0)
+        assert float(schedules.tf_rate_at(50, obj)) == pytest.approx(0.8)
+        assert float(schedules.tf_rate_at(100, obj)) == pytest.approx(0.6)
+        assert float(schedules.tf_rate_at(500, obj)) == pytest.approx(0.6)
+
+    def test_warmup_cosine(self):
+        cfg = TrainConfig(learning_rate=1e-3, lr_schedule="cosine",
+                          warmup_steps=10, decay_steps=100)
+        sched = schedules.learning_rate_schedule(cfg)
+        assert float(sched(0)) == pytest.approx(0.0)
+        assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
+        assert float(sched(60)) < 1e-3
+
+    def test_constant(self):
+        sched = schedules.learning_rate_schedule(
+            TrainConfig(learning_rate=5e-4, lr_schedule="constant")
+        )
+        assert float(sched(0)) == float(sched(99999)) == pytest.approx(5e-4)
+
+    def test_unknown_schedule_raises(self):
+        with pytest.raises(ValueError):
+            schedules.learning_rate_schedule(TrainConfig(lr_schedule="nope"))
+
+    def test_optimizers_construct(self):
+        for name in ("adam", "adamw", "sgd"):
+            schedules.make_optimizer(TrainConfig(optimizer=name))
+        with pytest.raises(ValueError):
+            schedules.make_optimizer(TrainConfig(optimizer="nope"))

@@ -80,6 +80,35 @@ class TestCheckpointResume:
         assert solver.ckpt.best_step() is not None
 
 
+class TestSemiSupervisedSolver:
+    def test_semi_train_end_to_end(self, tmp_path):
+        """C4 shape: labeled + unlabeled audio + unlabeled text streams
+        zipped through the Solver, all three loss terms logged."""
+        cfg = small_cfg(**{
+            "data.num_synthetic_utts": 16,
+            "train.batch_size": 4,
+            "train.total_steps": 6,
+            "train.eval_every": 6,
+            "train.ckpt_every": 6,
+            "train.log_every": 2,
+            "objective.lambda_text_ae": 0.3,
+            "objective.lambda_pseudo": 0.3,
+            "objective.use_ema_teacher": "true",
+        })
+        solver = Solver(cfg, tmp_path, use_mesh=False)
+        assert solver.semi
+        result = solver.train()
+        assert "dev_error" in result
+        import json
+
+        recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")
+                if '"prefix": "train"' in l]
+        assert recs, "no train records logged"
+        for key in ("ce", "text_ae", "pseudo", "loss"):
+            assert key in recs[-1], f"missing {key} in {recs[-1]}"
+            assert np.isfinite(recs[-1][key])
+
+
 class TestCLI:
     def test_test_entrypoint_on_saved_ckpt(self, trained):
         _, wd = trained
