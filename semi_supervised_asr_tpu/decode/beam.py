@@ -55,8 +55,6 @@ def beam_decode_from_enc(
     """-> (best tokens [B, max_len] (EOS then PADs), best score [B])."""
     b, t = enc_mask.shape
     k = dcfg.beam_size
-    v = speller_params["w_out"].shape[-1] if "w_out" in speller_params else None
-    del v
 
     enc_k = _tile_rows(enc, k)
     mask_k = _tile_rows(enc_mask, k)
@@ -71,6 +69,8 @@ def beam_decode_from_enc(
     done0 = jnp.zeros((b, k), bool)
     hyps0 = jnp.full((b, k, max_len), PAD, jnp.int32)
     lens0 = jnp.zeros((b, k), jnp.int32)
+    use_coverage = dcfg.coverage_weight != 0.0
+    cum0 = jnp.zeros((b * k, t)) if use_coverage else None
 
     use_lm = lm_params is not None and lm_step_fn is not None
     lm_state0 = lm_step_fn(lm_params, None, None, init_batch=b * k)[0] if use_lm else None
@@ -84,8 +84,8 @@ def beam_decode_from_enc(
         return took.reshape(shape)
 
     def step(carry, u):
-        state, tok, scores, done, hyps, lens, lm_state = carry
-        state_new, logits, _ = S.speller_step(
+        state, tok, scores, done, hyps, lens, lm_state, cum = carry
+        state_new, logits, alpha_new = S.speller_step(
             speller_params, cfg, state, tok, keys_k, enc_k, mask_k
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -129,6 +129,15 @@ def beam_decode_from_enc(
         lens_g = jnp.take_along_axis(lens, beam_idx, axis=1)
         hyps_g = jnp.take_along_axis(hyps, beam_idx[..., None], axis=1)
 
+        # Coverage accumulation (GNMT cp): add this step's alignment for
+        # rows that were live, THEN gather by the surviving beams.
+        if use_coverage:
+            live = (~done).reshape(b * k, 1).astype(alpha_new.dtype)
+            cum_new = cum + alpha_new * live
+            cum_g = gather_rows(cum_new, beam_idx, 0)
+        else:
+            cum_g = cum
+
         emit = jnp.where(done_g, PAD, new_tok)
         hyps_new = hyps_g.at[:, :, u].set(emit)
         lens_new = jnp.where(done_g, lens_g, lens_g + 1)    # counts incl. EOS
@@ -142,18 +151,28 @@ def beam_decode_from_enc(
             hyps_new,
             lens_new,
             new_lm_state,
+            cum_g,
         )
         return carry, None
 
-    carry = (state0, tok0, scores0, done0, hyps0, lens0, lm_state0)
+    carry = (state0, tok0, scores0, done0, hyps0, lens0, lm_state0, cum0)
     carry, _ = lax.scan(step, carry, jnp.arange(max_len))
-    _, _, scores, done, hyps, lens, _ = carry
+    _, _, scores, done, hyps, lens, _, cum = carry
 
     # Length-normalized final selection; unfinished hyps are penalized so a
     # finished one wins whenever any exists.
     norm_raw = (
         scores / jnp.maximum(lens.astype(jnp.float32), 1.0) ** dcfg.length_penalty
     )
+    if use_coverage:
+        # GNMT coverage penalty: beta * sum_t log(min(cum_t, 1)) over valid
+        # frames, floored to keep never-attended frames finite.
+        capped = jnp.clip(cum.reshape(b, k, t), jnp.exp(-10.0), 1.0)
+        cov = jnp.sum(
+            jnp.log(capped) * enc_mask[:, None, :].astype(capped.dtype),
+            axis=-1,
+        )
+        norm_raw = norm_raw + dcfg.coverage_weight * cov
     any_done = jnp.any(done, axis=1, keepdims=True)
     # If NO beam finished (pathological), fall back to raw normalized score.
     norm = jnp.where(done | ~any_done, norm_raw, NEG_INF)

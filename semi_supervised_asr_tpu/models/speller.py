@@ -40,11 +40,17 @@ def init_speller(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
         ),
         "cells": cells,
         "attention": A.init_attention(k_att, cfg, dtype),
-        "w_out": glorot(
-            k_out, (cfg.dec_hidden + cfg.enc_out_dim, cfg.vocab_size), dtype
-        ),
         "b_out": jnp.zeros((cfg.vocab_size,), dtype),
     }
+    if cfg.tie_embedding:
+        # tied softmax: project to embed_dim, score against embedding^T
+        params["w_tie"] = glorot(
+            k_out, (cfg.dec_hidden + cfg.enc_out_dim, cfg.embed_dim), dtype
+        )
+    else:
+        params["w_out"] = glorot(
+            k_out, (cfg.dec_hidden + cfg.enc_out_dim, cfg.vocab_size), dtype
+        )
     return params
 
 
@@ -87,14 +93,29 @@ def speller_step(
         cfg.attn_sharpening,
     )
     out_in = jnp.concatenate([h_top, context], axis=-1)
-    logits = (
-        jnp.dot(
+    if cfg.tie_embedding:
+        proj = jnp.dot(
             out_in.astype(compute),
-            params["w_out"].astype(compute),
+            params["w_tie"].astype(compute),
             preferred_element_type=jnp.float32,
         )
-        + params["b_out"].astype(jnp.float32)
-    )
+        logits = (
+            jnp.dot(
+                proj.astype(compute),
+                params["embedding"].T.astype(compute),
+                preferred_element_type=jnp.float32,
+            )
+            + params["b_out"].astype(jnp.float32)
+        )
+    else:
+        logits = (
+            jnp.dot(
+                out_in.astype(compute),
+                params["w_out"].astype(compute),
+                preferred_element_type=jnp.float32,
+            )
+            + params["b_out"].astype(jnp.float32)
+        )
     new_state = {
         "h": jnp.stack(hs),
         "c": jnp.stack(cs),

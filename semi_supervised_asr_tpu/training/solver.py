@@ -318,7 +318,8 @@ class Solver:
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
                 )
                 enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
-                max_u = cfg.data.token_buckets[-1]
+                max_u = min(cfg.data.token_buckets[-1],
+                            cfg.decode.max_decode_len)
                 return greedy_decode_from_enc(
                     params["speller"], cfg.model, enc, enc_mask, keys, max_u
                 )
@@ -364,7 +365,8 @@ class Solver:
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
                 )
                 enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
-                max_u = cfg.data.token_buckets[-1]
+                max_u = min(cfg.data.token_buckets[-1],
+                            cfg.decode.max_decode_len)
                 return beam_decode_from_enc(
                     params["speller"], cfg.model, cfg.decode,
                     enc, enc_mask, keys, max_u,
@@ -416,7 +418,49 @@ class Solver:
         rate, _ = self._score_batches(
             self.bundle.dev, self.state.params, "greedy"
         )
+        self._log_alignment()
         return {"dev_error": rate}
+
+    def _log_alignment(self) -> None:
+        """Teacher-forced attention heatmap of one dev utterance ->
+        tensorboard image (reference parity: SURVEY.md §6 'maybe attention
+        plots'). Best-effort; skipped when tensorboard is unavailable."""
+        if self.log._tb is None:
+            return
+        try:
+            batch = next(iter(
+                pipe.epoch_feature_batches(
+                    self.bundle.dev, self.spec, self.cfg.train.batch_size,
+                    seed=0, epoch=0, drop_remainder=False)
+                if self.from_features else
+                pipe.epoch_batches(
+                    self.bundle.dev, self.spec, self.cfg.frontend,
+                    self.cfg.train.batch_size, seed=0, epoch=0,
+                    drop_remainder=False)
+            ))
+            xin = self._step_inputs(batch)
+            feat_fn = (TS.featurize_precomputed if self.from_features
+                       else TS.featurize)
+            feats, flens = feat_fn(
+                self.cfg, jnp.asarray(xin[0]), jnp.asarray(xin[1]),
+                (jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1])),
+                None, False,
+            )
+            from semi_supervised_asr_tpu.objectives.losses import shift_targets
+
+            tokens_in, _ = shift_targets(jnp.asarray(batch.tokens))
+            _, alphas = M.forward_teacher(
+                self.state.params, self.cfg.model, feats, flens, tokens_in,
+                tf_rate=1.0, rng=jax.random.PRNGKey(0),
+            )
+            a = np.asarray(alphas[0])            # [U, T']
+            u = int(batch.token_lens[0])
+            img = a[:u] / max(a[:u].max(), 1e-6)
+            self.log.log_image(
+                int(self.state.step), "attention/dev0", img
+            )
+        except Exception as e:  # never fail training over a plot
+            self.log.info(f"alignment plot skipped: {e}")
 
     def test(
         self, mode: str = "beam", restore_best: bool = True,

@@ -42,6 +42,15 @@ class MetricsLogger:
                 except (TypeError, ValueError):
                     pass
 
+    def log_image(self, step: int, name: str, img) -> None:
+        """[H, W] float array in [0,1] -> tensorboard heatmap image."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        arr = np.asarray(img, dtype=np.float32)[None, :, :]  # CHW, C=1
+        self._tb.add_image(name, arr, step)
+
     def info(self, msg: str) -> None:
         print(msg, file=sys.stderr, flush=True)
 
