@@ -79,6 +79,10 @@ class ModelConfig:
     embed_dim: int = 256
     dec_dropout: float = 0.0
     tie_embedding: bool = False   # tie output projection to input embedding
+    # BiLSTM execution strategy: True = one direction-batched scan
+    # (faster at small batch), False = two scans (faster at large batch) —
+    # see ops/recurrent.bilstm for measurements
+    fuse_bilstm: bool = False
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # MXU-friendly; carries stay fp32

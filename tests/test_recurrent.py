@@ -91,6 +91,15 @@ class TestLSTMParity:
             ref = m(torch.from_numpy(np.asarray(x)))[0].numpy()
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
+    def test_fused_bilstm_matches_two_scan(self):
+        kp, kx = jax.random.split(jax.random.PRNGKey(6))
+        params = R.bilstm_init(kp, 5, 4)
+        x = jax.random.normal(kx, (3, 9, 5), jnp.float32)
+        lens = jnp.array([9, 6, 2])
+        a = np.asarray(R.bilstm(params, x, lens, fused=False))
+        b = np.asarray(R.bilstm(params, x, lens, fused=True))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
     def test_grad_flows(self):
         params, x = make(5)
 
