@@ -76,7 +76,7 @@ def forward_teacher(
         params, feats, feat_lens, cfg, train, drop_rng, remat
     )
     return S.forward_teacher(
-        params["speller"], cfg, enc, enc_mask, tokens_in, tf_rate, rng
+        params["speller"], cfg, enc, enc_mask, tokens_in, tf_rate, rng, train
     )
 
 

@@ -72,8 +72,13 @@ def speller_step(
     keys: jax.Array,         # [B*, T, A] cached key projections
     values: jax.Array,       # [B*, T, enc_out] encoder outputs
     mask: jax.Array,         # [B*, T] valid-frame mask
+    dropout_rng: jax.Array | None = None,
 ) -> tuple[dict, jax.Array, jax.Array]:
-    """-> (new_state, logits [B*, V], alpha [B*, T])."""
+    """-> (new_state, logits [B*, V], alpha [B*, T]).
+
+    ``dropout_rng`` (training only): dropout at rate ``cfg.dec_dropout``
+    on the [h_top, context] concat feeding the output projection.
+    """
     compute = jnp.dtype(cfg.compute_dtype)
     emb = params["embedding"][tokens].astype(jnp.float32)
     x = jnp.concatenate([emb, state["context"]], axis=-1)
@@ -93,6 +98,10 @@ def speller_step(
         cfg.attn_sharpening,
     )
     out_in = jnp.concatenate([h_top, context], axis=-1)
+    if dropout_rng is not None and cfg.dec_dropout > 0.0:
+        keep = 1.0 - cfg.dec_dropout
+        m = jax.random.bernoulli(dropout_rng, keep, out_in.shape)
+        out_in = jnp.where(m, out_in / keep, 0.0)
     if cfg.tie_embedding:
         proj = jnp.dot(
             out_in.astype(compute),
@@ -133,6 +142,7 @@ def forward_teacher(
     tokens_in: jax.Array,     # [B, U] decoder inputs (starts with <sos>)
     tf_rate: jax.Array | float = 1.0,
     rng: jax.Array | None = None,
+    train: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Teacher-forced decode -> (logits [B, U, V], alphas [B, U, T]).
 
@@ -140,6 +150,9 @@ def forward_teacher(
     the ground truth with probability ``tf_rate``, else the argmax of the
     previous step's logits — sampled per (step, batch element) under the
     jax PRNG, entirely inside the scan.
+
+    ``train`` + ``cfg.dec_dropout``: per-step dropout on the top LSTM
+    output before the output projection (in-scan, per-step PRNG).
     """
     b, u = tokens_in.shape
     keys_proj = A.precompute_keys(params["attention"], enc)
@@ -148,6 +161,7 @@ def forward_teacher(
         rng = jax.random.PRNGKey(0)
     step_rngs = jax.random.split(rng, u)
     tf_rate = jnp.asarray(tf_rate, jnp.float32)
+    use_dropout = train and cfg.dec_dropout > 0.0
 
     def step(carry, inp):
         state, prev_logits = carry
@@ -155,15 +169,19 @@ def forward_teacher(
         use_gt = jax.random.bernoulli(k, tf_rate, (b,))
         sampled = jnp.argmax(prev_logits, axis=-1).astype(tok_gt.dtype)
         tok = jnp.where(use_gt, tok_gt, sampled)
+        drop_rng = jax.random.fold_in(k, 1) if use_dropout else None
         state, logits, alpha = speller_step(
-            params, cfg, state, tok, keys_proj, enc, enc_mask
+            params, cfg, state, tok, keys_proj, enc, enc_mask,
+            dropout_rng=drop_rng,
         )
         return (state, logits), (logits, alpha)
 
     # Step 0 runs outside the scan: its input is always the ground-truth
     # <sos>, and it seeds prev_logits for the scheduled-sampling scan.
     state, logits0, alpha0 = speller_step(
-        params, cfg, state0, tokens_in[:, 0], keys_proj, enc, enc_mask
+        params, cfg, state0, tokens_in[:, 0], keys_proj, enc, enc_mask,
+        dropout_rng=(jax.random.fold_in(step_rngs[0], 1)
+                     if use_dropout else None),
     )
     if u == 1:
         return logits0[:, None], alpha0[:, None]

@@ -318,8 +318,12 @@ class Solver:
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
                 )
                 enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
-                max_u = min(cfg.data.token_buckets[-1],
-                            cfg.decode.max_decode_len)
+                max_u = max(1, min(
+                    cfg.data.token_buckets[-1],
+                    cfg.decode.max_decode_len,
+                    int(cfg.decode.max_decode_ratio * enc.shape[1])
+                    if cfg.decode.max_decode_ratio > 0 else 10**9,
+                ))
                 return greedy_decode_from_enc(
                     params["speller"], cfg.model, enc, enc_mask, keys, max_u
                 )
@@ -365,8 +369,12 @@ class Solver:
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
                 )
                 enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
-                max_u = min(cfg.data.token_buckets[-1],
-                            cfg.decode.max_decode_len)
+                max_u = max(1, min(
+                    cfg.data.token_buckets[-1],
+                    cfg.decode.max_decode_len,
+                    int(cfg.decode.max_decode_ratio * enc.shape[1])
+                    if cfg.decode.max_decode_ratio > 0 else 10**9,
+                ))
                 return beam_decode_from_enc(
                     params["speller"], cfg.model, cfg.decode,
                     enc, enc_mask, keys, max_u,
