@@ -83,6 +83,7 @@ class ModelConfig:
     # (faster at small batch), False = two scans (faster at large batch) —
     # see ops/recurrent.bilstm for measurements
     fuse_bilstm: bool = False
+    scan_unroll: int = 1          # lax.scan unroll factor for encoder scans
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # MXU-friendly; carries stay fp32
@@ -185,6 +186,9 @@ class DataConfig:
     # written by preprocess --features) instead of raw audio + on-device
     # frontend.  Reference-parity path; the raw-audio path is preferred (C2).
     use_feature_store: bool = False
+    # >0: assemble batches through grain with this many read-ahead threads
+    # (host work overlaps device steps); 0 = plain in-line pipeline
+    grain_threads: int = 0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,75 @@
+"""grain-backed input pipeline (SURVEY.md §2.2 B1: "grain per-host
+pipeline ... labeled + unlabeled streams").
+
+Produces EXACTLY the same deterministic batch stream as
+``pipeline.epoch_batches`` (equality-tested), but assembles batches through
+``grain.MapDataset`` with threaded read-ahead, so host-side work (audio
+decode, padding) overlaps device steps.  Enable with
+``data.grain_threads > 0``; the plain in-line pipeline remains the default
+(synthetic corpora have trivial host cost).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator
+
+import grain
+
+from semi_supervised_asr_tpu.config import DataConfig, FrontendConfig
+from semi_supervised_asr_tpu.data.bucketing import BucketSpec, plan_epoch
+from semi_supervised_asr_tpu.data.pipeline import Batch, assemble_batch
+
+
+def grain_epoch_batches(
+    dataset,
+    spec: BucketSpec,
+    fcfg: FrontendConfig,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    drop_remainder: bool = True,
+    num_threads: int = 4,
+    prefetch: int = 8,
+) -> Iterator[Batch]:
+    """Per-host batch stream for one epoch via grain, with read-ahead."""
+    lengths = [
+        (dataset.audio_len(i), dataset.token_len(i))
+        for i in range(len(dataset))
+    ]
+    plan, _ = plan_epoch(lengths, spec, batch_size, seed, epoch,
+                         drop_remainder)
+    shard_plan = plan[shard_index::num_shards]
+
+    def assemble(item):
+        bucket, idxs, n_real = item
+        return assemble_batch(dataset, idxs, n_real, bucket, spec, fcfg)
+
+    ds = grain.MapDataset.source(shard_plan).map(assemble)
+    it = ds.to_iter_dataset(
+        grain.ReadOptions(num_threads=num_threads,
+                          prefetch_buffer_size=prefetch)
+    )
+    yield from it
+
+
+def grain_repeating_batches(
+    dataset,
+    spec: BucketSpec,
+    fcfg: FrontendConfig,
+    batch_size: int,
+    seed: int,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    drop_remainder: bool = True,
+    start_epoch: int = 0,
+    num_threads: int = 4,
+    prefetch: int = 8,
+) -> Iterator[Batch]:
+    for epoch in itertools.count(start_epoch):
+        yield from grain_epoch_batches(
+            dataset, spec, fcfg, batch_size, seed, epoch,
+            shard_index, num_shards, drop_remainder, num_threads, prefetch,
+        )

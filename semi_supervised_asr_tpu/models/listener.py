@@ -56,12 +56,14 @@ def listener_apply(
 
     li = 0
     for i in range(cfg.enc_base_layers):
-        x = R.bilstm(params["layers"][li], x, lens, compute, cfg.fuse_bilstm)
+        x = R.bilstm(params["layers"][li], x, lens, compute,
+                     cfg.fuse_bilstm, cfg.scan_unroll)
         x = maybe_dropout(x, li)
         li += 1
     for _ in range(cfg.enc_layers):
         x, lens = R.pyramid_fold(x, lens)
-        x = R.bilstm(params["layers"][li], x, lens, compute, cfg.fuse_bilstm)
+        x = R.bilstm(params["layers"][li], x, lens, compute,
+                     cfg.fuse_bilstm, cfg.scan_unroll)
         x = maybe_dropout(x, li)
         li += 1
     return x, lens

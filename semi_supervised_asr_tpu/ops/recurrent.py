@@ -108,6 +108,7 @@ def lstm(
     compute_dtype=jnp.float32,
     h0: jax.Array | None = None,
     c0: jax.Array | None = None,
+    unroll: int = 1,
 ) -> jax.Array:
     """Unidirectional LSTM over [B, T, I] -> [B, T, H] (float32 outputs).
 
@@ -146,7 +147,9 @@ def lstm(
         out = jnp.where(v, out, 0.0)
         return (h_keep, c_keep), out
 
-    _, ys = lax.scan(step, (h, c), (gates_x, valid), reverse=reverse)
+    _, ys = lax.scan(
+        step, (h, c), (gates_x, valid), reverse=reverse, unroll=unroll
+    )
     return jnp.transpose(ys, (1, 0, 2))  # [B, T, H]
 
 
@@ -164,6 +167,7 @@ def bilstm(
     lengths: jax.Array | None = None,
     compute_dtype=jnp.float32,
     fused: bool = False,
+    unroll: int = 1,
 ) -> jax.Array:
     """Bidirectional LSTM: concat(fwd, bwd) -> [B, T, 2H].
 
@@ -184,8 +188,10 @@ def bilstm(
     Select per config via ``ModelConfig.fuse_bilstm``.
     """
     if not fused:
-        fwd = lstm(params["fwd"], x, lengths, False, compute_dtype)
-        bwd = lstm(params["bwd"], x, lengths, True, compute_dtype)
+        fwd = lstm(params["fwd"], x, lengths, False, compute_dtype,
+                   unroll=unroll)
+        bwd = lstm(params["bwd"], x, lengths, True, compute_dtype,
+                   unroll=unroll)
         return jnp.concatenate([fwd, bwd], axis=-1)
     b, t, _ = x.shape
     hidden = params["fwd"]["w_hh"].shape[0]
@@ -234,7 +240,7 @@ def bilstm(
         c_keep = jnp.where(vm, c_new, c)
         return (h_keep, c_keep), jnp.where(vm, h_new, 0.0)
 
-    _, ys = lax.scan(step, (h0, c0), (gx, valid))   # ys [T, 2, B, H]
+    _, ys = lax.scan(step, (h0, c0), (gx, valid), unroll=unroll)  # [T,2,B,H]
     fwd = ys[:, 0].transpose(1, 0, 2)               # [B, T, H]
     bwd = jnp.flip(ys[:, 1], axis=0).transpose(1, 0, 2)
     return jnp.concatenate([fwd, bwd], axis=-1)

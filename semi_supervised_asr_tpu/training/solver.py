@@ -128,6 +128,18 @@ class Solver:
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
                     )
+                elif self.cfg.data.grain_threads > 0:
+                    from semi_supervised_asr_tpu.data.grain_pipeline import (
+                        grain_epoch_batches,
+                    )
+
+                    it = grain_epoch_batches(
+                        self.bundle.train, self.spec, self.cfg.frontend,
+                        self.cfg.train.batch_size, self.cfg.train.seed,
+                        epoch, shard, n_shards,
+                        self.cfg.data.drop_remainder,
+                        num_threads=self.cfg.data.grain_threads,
+                    )
                 else:
                     it = pipe.epoch_batches(
                         self.bundle.train, self.spec, self.cfg.frontend,
