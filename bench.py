@@ -33,6 +33,11 @@ def main() -> int:
                    help="train: fused train step; decode: jit beam search "
                         "(beam=5, cached encoder states)")
     p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--lstm-backend", default="xla",
+                   choices=["xla", "pallas"],
+                   help="encoder LSTM execution: Pallas scan kernel "
+                        "(~1.9x faster encoder bwd; default xla until the "
+                        "full-step integration is validated) or lax.scan")
     args = p.parse_args()
 
     if args.platform:
@@ -53,6 +58,7 @@ def main() -> int:
             enc_base_layers=1, attn_dim=128, attn_conv_channels=10,
             attn_conv_width=100, dec_hidden=512, dec_layers=1,
             embed_dim=256, compute_dtype="bfloat16",
+            lstm_backend=args.lstm_backend,
         ),
         objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
         train=TrainConfig(learning_rate=1e-3),

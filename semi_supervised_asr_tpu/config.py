@@ -84,6 +84,10 @@ class ModelConfig:
     # see ops/recurrent.bilstm for measurements
     fuse_bilstm: bool = False
     scan_unroll: int = 1          # lax.scan unroll factor for encoder scans
+    # "xla" = lax.scan LSTMs; "pallas" = hand-written Pallas scan kernel
+    # (ops/pallas_lstm.py) for the encoder — needs B%8==0 and H%128==0,
+    # falls back to xla otherwise
+    lstm_backend: str = "xla"
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # MXU-friendly; carries stay fp32

@@ -54,16 +54,24 @@ def listener_apply(
             return jnp.where(m, h / keep, 0.0)
         return h
 
+    if cfg.lstm_backend == "pallas":
+        from semi_supervised_asr_tpu.ops.pallas_lstm import bilstm_pallas
+
+        def run_bilstm(p, h, l):
+            return bilstm_pallas(p, h, l, compute)
+    else:
+        def run_bilstm(p, h, l):
+            return R.bilstm(p, h, l, compute, cfg.fuse_bilstm,
+                            cfg.scan_unroll)
+
     li = 0
     for i in range(cfg.enc_base_layers):
-        x = R.bilstm(params["layers"][li], x, lens, compute,
-                     cfg.fuse_bilstm, cfg.scan_unroll)
+        x = run_bilstm(params["layers"][li], x, lens)
         x = maybe_dropout(x, li)
         li += 1
     for _ in range(cfg.enc_layers):
         x, lens = R.pyramid_fold(x, lens)
-        x = R.bilstm(params["layers"][li], x, lens, compute,
-                     cfg.fuse_bilstm, cfg.scan_unroll)
+        x = run_bilstm(params["layers"][li], x, lens)
         x = maybe_dropout(x, li)
         li += 1
     return x, lens
