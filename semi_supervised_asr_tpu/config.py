@@ -113,7 +113,10 @@ class ObjectiveConfig:
     # semi-supervised weights
     lambda_text_ae: float = 0.0       # text autoencoder weight
     lambda_pseudo: float = 0.0        # pseudo-label consistency weight
-    pseudo_confidence: float = 0.0    # min mean log-prob filter (0 = keep all)
+    pseudo_warmup_steps: int = 0      # enable the pseudo term only after N
+                                      # supervised steps (teacher must be
+                                      # better than noise first)
+    pseudo_confidence: float = 0.0    # min mean prob filter in (0,1); 0=all
     ema_decay: float = 0.999          # EMA teacher for pseudo-labels
     use_ema_teacher: bool = True
 

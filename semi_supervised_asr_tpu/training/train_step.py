@@ -174,8 +174,13 @@ def supervised_step_fn(
                 params, teacher, cfg.model, obj, clean, augmented, clens,
                 k_pl, max_len, row_mask=unlab_real,
             )
-            loss = loss + obj.lambda_pseudo * pl
+            # warmup gate: traced comparison -> no extra compile; the
+            # pseudo graph runs but contributes 0 until the teacher has
+            # had pseudo_warmup_steps of supervised training
+            gate = (state.step >= obj.pseudo_warmup_steps).astype(jnp.float32)
+            loss = loss + obj.lambda_pseudo * gate * pl
             metrics["pseudo"] = pl
+            metrics["pseudo_gate"] = gate
         return loss, metrics
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
