@@ -33,11 +33,11 @@ def main() -> int:
                    help="train: fused train step; decode: jit beam search "
                         "(beam=5, cached encoder states)")
     p.add_argument("--beam", type=int, default=5)
-    p.add_argument("--lstm-backend", default="xla",
+    p.add_argument("--lstm-backend", default="pallas",
                    choices=["xla", "pallas"],
                    help="encoder LSTM execution: Pallas scan kernel "
-                        "(~1.9x faster encoder bwd; default xla until the "
-                        "full-step integration is validated) or lax.scan")
+                        "(default; 1.55x faster full step: 25.5ms vs "
+                        "39.6ms at b128/T400) or XLA lax.scan")
     args = p.parse_args()
 
     if args.platform:
