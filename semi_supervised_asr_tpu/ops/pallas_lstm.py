@@ -226,17 +226,20 @@ def lstm_pallas(
     lengths: jax.Array | None = None,
     reverse: bool = False,
     compute_dtype=jnp.float32,
+    allow_interpret: bool = False,
 ) -> jax.Array:
     """Drop-in for ops.recurrent.lstm backed by the Pallas scan kernel.
 
     Falls back to the XLA scan when shapes miss the tiling constraints
-    (B % 8, H % 128) — tests and tiny models use the fallback.
+    (B % 8, H % 128) or when not on TPU (interpret mode is orders of
+    magnitude slower than the XLA scan — parity tests opt in with
+    ``allow_interpret=True``).
     """
     from semi_supervised_asr_tpu.ops import recurrent as R
 
     b, t, _ = x.shape
     hidden = params["w_hh"].shape[0]
-    if not _supported(b, hidden):
+    if not _supported(b, hidden) or (_interpret() and not allow_interpret):
         return R.lstm(params, x, lengths, reverse, compute_dtype)
 
     gates_x = (
@@ -267,7 +270,10 @@ def bilstm_pallas(
     x: jax.Array,
     lengths: jax.Array | None = None,
     compute_dtype=jnp.float32,
+    allow_interpret: bool = False,
 ) -> jax.Array:
-    fwd = lstm_pallas(params["fwd"], x, lengths, False, compute_dtype)
-    bwd = lstm_pallas(params["bwd"], x, lengths, True, compute_dtype)
+    fwd = lstm_pallas(params["fwd"], x, lengths, False, compute_dtype,
+                      allow_interpret)
+    bwd = lstm_pallas(params["bwd"], x, lengths, True, compute_dtype,
+                      allow_interpret)
     return jnp.concatenate([fwd, bwd], axis=-1)

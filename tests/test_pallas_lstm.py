@@ -23,19 +23,19 @@ class TestForwardParity:
     def test_full_length(self):
         params, x, _ = make()
         a = np.asarray(R.lstm(params, x))
-        b = np.asarray(PL.lstm_pallas(params, x))
+        b = np.asarray(PL.lstm_pallas(params, x, allow_interpret=True))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
     def test_variable_length(self):
         params, x, lens = make(1)
         a = np.asarray(R.lstm(params, x, lens))
-        b = np.asarray(PL.lstm_pallas(params, x, lens))
+        b = np.asarray(PL.lstm_pallas(params, x, lens, allow_interpret=True))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
     def test_reverse(self):
         params, x, lens = make(2)
         a = np.asarray(R.lstm(params, x, lens, reverse=True))
-        b = np.asarray(PL.lstm_pallas(params, x, lens, reverse=True))
+        b = np.asarray(PL.lstm_pallas(params, x, lens, reverse=True, allow_interpret=True))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
     def test_bilstm(self):
@@ -44,7 +44,7 @@ class TestForwardParity:
         x = jax.random.normal(kx, (B, T, I), jnp.float32)
         lens = jnp.asarray([T, 5, 9, 2, T, 7, 4, T], jnp.int32)
         a = np.asarray(R.bilstm(params, x, lens))
-        b = np.asarray(PL.bilstm_pallas(params, x, lens))
+        b = np.asarray(PL.bilstm_pallas(params, x, lens, allow_interpret=True))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
     def test_fallback_small_shapes(self):
@@ -52,7 +52,7 @@ class TestForwardParity:
         params = R.lstm_init(kp, 5, 12)  # H=12 not tileable -> XLA fallback
         x = jax.random.normal(kx, (3, 7, 5), jnp.float32)
         a = np.asarray(R.lstm(params, x))
-        b = np.asarray(PL.lstm_pallas(params, x))
+        b = np.asarray(PL.lstm_pallas(params, x, allow_interpret=True))
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
@@ -70,7 +70,10 @@ class TestGradParity:
     def test_grads_match_xla(self):
         params, x, lens = make(5)
         ga = self._grads(R.lstm, params, x, lens)
-        gb = self._grads(PL.lstm_pallas, params, x, lens)
+        gb = self._grads(
+            lambda p, xx, l: PL.lstm_pallas(p, xx, l, allow_interpret=True),
+            params, x, lens,
+        )
         for a, b in zip(ga, gb):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
@@ -82,8 +85,12 @@ class TestGradParity:
         def fn_r(fn):
             return lambda p, xx, l: fn(p, xx, l, reverse=True)
 
+        def fn_rp(fn):
+            return lambda p, xx, l: fn(p, xx, l, reverse=True,
+                                       allow_interpret=True)
+
         ga = self._grads(fn_r(R.lstm), params, x, lens)
-        gb = self._grads(fn_r(PL.lstm_pallas), params, x, lens)
+        gb = self._grads(fn_rp(PL.lstm_pallas), params, x, lens)
         for a, b in zip(ga, gb):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
@@ -93,7 +100,10 @@ class TestGradParity:
         params, x, _ = make(7)
         lens = None
         ga = self._grads(R.lstm, params, x, lens)
-        gb = self._grads(PL.lstm_pallas, params, x, lens)
+        gb = self._grads(
+            lambda p, xx, l: PL.lstm_pallas(p, xx, l, allow_interpret=True),
+            params, x, lens,
+        )
         for a, b in zip(ga, gb):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
