@@ -180,8 +180,6 @@ class DataConfig:
     # length bucketing: static (frames, tokens) buckets -> jit-stable shapes
     frame_buckets: tuple[int, ...] = (200, 400, 800, 1600)
     token_buckets: tuple[int, ...] = (32, 64, 128, 256)
-    max_frames: int = 1600
-    max_tokens: int = 256
     # semi-supervised streams
     labeled_split: str = "train"
     unlabeled_audio_split: str = ""
