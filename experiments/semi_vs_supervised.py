@@ -84,10 +84,10 @@ def main() -> int:
                 solver.vocab, tcfg, cfg.frontend, n_utts=args.unlabeled
             )
         solver.train()
-        rate, _ = solver._score_batches(
+        rate, _, _ = solver._score_batches(
             solver.bundle.dev, solver.state.params, "greedy"
         )
-        train_rate, _ = solver._score_batches(
+        train_rate, _, _ = solver._score_batches(
             solver.bundle.train, solver.state.params, "greedy"
         )
         results[f"{name}_dev_per"] = round(rate, 4)

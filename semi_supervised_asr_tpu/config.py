@@ -182,6 +182,7 @@ class DataConfig:
     token_buckets: tuple[int, ...] = (32, 64, 128, 256)
     # semi-supervised streams
     labeled_split: str = "train"
+    test_split: str = ""              # scored by --test; empty -> dev
     unlabeled_audio_split: str = ""
     unlabeled_text_split: str = ""
     num_synthetic_utts: int = 128

@@ -10,9 +10,10 @@ Manifest format: one JSON object per line —
     {"uid": ..., "audio": "path.wav|path.npy", "n_samples": int,
      "text": "..."}           (unit-tokenized by the vocab)
 or  {"uid": ..., "audio": ..., "n_samples": int, "tokens": [ids...]}
-Audio loading: 16-bit PCM WAV via scipy.io.wavfile, or float32 .npy.
-(.flac is NOT supported — no soundfile/librosa in the image; convert to
-wav/npy at preprocess time, SURVEY.md §2.2.)
+Audio loading: 16-bit PCM WAV via scipy.io.wavfile, float32 .npy, or FLAC
+via the framework's own native decoder (native/flac_decoder.cpp — the
+image has no soundfile/librosa, so LibriSpeech's .flac is decoded
+in-house; utils/flac.py).
 """
 
 from __future__ import annotations
@@ -39,6 +40,11 @@ def load_audio(path: str | Path) -> np.ndarray:
         if data.dtype == np.int32:
             return data.astype(np.float32) / 2147483648.0
         return data.astype(np.float32)
+    if path.suffix.lower() == ".flac":
+        from semi_supervised_asr_tpu.utils.flac import read_flac
+
+        wav, _ = read_flac(path)
+        return wav
     raise ValueError(f"unsupported audio format: {path.suffix}")
 
 

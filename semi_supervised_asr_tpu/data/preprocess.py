@@ -9,8 +9,10 @@ on-disk corpora:
                     --root /data/LibriSpeech --out data/ls --splits train-clean-100,dev-clean
 
 TIMIT transcripts come from .PHN files (61-phone inventory); LibriSpeech
-from *.trans.txt (char unit).  Audio must be WAV or NPY — .flac is
-unsupported in this image (no soundfile; convert beforehand).
+from *.trans.txt (char unit).  Audio may be WAV, NPY, or FLAC —
+LibriSpeech's native .flac is decoded by the framework's own C++ decoder
+(native/flac_decoder.cpp via utils/flac.py; the image has no soundfile).
+Manifest lengths for .flac come from the STREAMINFO header (no decode).
 
 The heavy feature pass is optional (--features): the framework's training
 path computes features on-device (config C2); precomputed HDF5 exists for
@@ -39,6 +41,10 @@ def _wav_len(path: Path) -> int:
 def _audio_len(path: Path) -> int:
     if path.suffix.lower() == ".npy":
         return int(np.load(path, mmap_mode="r").shape[0])
+    if path.suffix.lower() == ".flac":
+        from semi_supervised_asr_tpu.utils.flac import flac_num_samples
+
+        return flac_num_samples(path)
     return _wav_len(path)
 
 
@@ -87,11 +93,6 @@ def scan_librispeech(root: Path, split: str) -> list[dict]:
                     break
             else:
                 continue
-            if audio.suffix == ".flac":
-                raise SystemExit(
-                    f"{audio}: .flac unsupported (no soundfile in image); "
-                    "convert to wav/npy first"
-                )
             entries.append({
                 "uid": uid,
                 "audio": str(audio),

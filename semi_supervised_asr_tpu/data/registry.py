@@ -22,6 +22,7 @@ class DataBundle:
     dev: object
     unlabeled_audio: object | None = None
     unlabeled_text: object | None = None
+    test: object | None = None        # scored by --test; None -> dev
 
 
 def build_vocab(cfg: Config) -> Vocab:
@@ -66,6 +67,7 @@ def build_datasets(cfg: Config) -> DataBundle:
             vocab=vocab,
             train=load(d.labeled_split),
             dev=load("dev"),
+            test=load(d.test_split) if d.test_split else None,
             unlabeled_audio=(
                 load(d.unlabeled_audio_split) if d.unlabeled_audio_split else None
             ),

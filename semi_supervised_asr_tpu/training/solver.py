@@ -396,10 +396,17 @@ class Solver:
             self._decode_fns["beam"] = fn
         return self._decode_fns["beam"]
 
-    def _score_batches(self, dataset, params, mode: str) -> tuple[float, list]:
-        """Decode a dataset, return (error rate, hypothesis records)."""
+    def _score_batches(
+        self, dataset, params, mode: str
+    ) -> tuple[float, list, float | None]:
+        """Decode a dataset -> (error rate, hypothesis records, WER).
+
+        WER (word-level, from decoded text) is only meaningful for char
+        units — LibriSpeech's headline metric (SURVEY.md §1.1 #7); None
+        for phone units."""
         fn = self._greedy_fn() if mode == "greedy" else self._beam_fn()
         er = MET.ErrorRate()
+        wer = MET.ErrorRate()          # word-level (char units only)
         records = []
         if self.from_features:
             batches = pipe.epoch_feature_batches(
@@ -426,20 +433,29 @@ class Solver:
             for r in range(len(hyps)):
                 if not batch.real[r]:
                     continue
-                records.append({
+                rec = {
                     "uid": batch.uids[r],
                     "ref": self.vocab.decode_text(refs[r]),
                     "hyp": self.vocab.decode_text(hyps[r]),
                     "errors": int(d[r]), "ref_len": int(n[r]),
-                })
-        return er.rate, records
+                }
+                if self.cfg.data.unit == "char":
+                    we, nw = MET.wer_strings(rec["hyp"], rec["ref"])
+                    wer.update(we, nw)
+                    rec["word_errors"], rec["ref_words"] = we, nw
+                records.append(rec)
+        wrate = wer.rate if self.cfg.data.unit == "char" else None
+        return er.rate, records, wrate
 
     def validate(self) -> dict:
-        rate, _ = self._score_batches(
+        rate, _, wrate = self._score_batches(
             self.bundle.dev, self.state.params, "greedy"
         )
         self._log_alignment()
-        return {"dev_error": rate}
+        out = {"dev_error": rate}
+        if wrate is not None:
+            out["dev_wer"] = wrate
+        return out
 
     def _log_alignment(self) -> None:
         """Teacher-forced attention heatmap of one dev utterance ->
@@ -491,7 +507,8 @@ class Solver:
             step = self.ckpt.best_step() or self.ckpt.latest_step()
             state, _, _ = self.ckpt.restore(self.state, step)
             params = state.params
-        rate, records = self._score_batches(self.bundle.dev, params, mode)
+        eval_ds = self.bundle.test if self.bundle.test is not None else self.bundle.dev
+        rate, records, wrate = self._score_batches(eval_ds, params, mode)
         if out_path is not None:
             import json
 
@@ -499,4 +516,7 @@ class Solver:
                 for rec in records:
                     f.write(json.dumps(rec) + "\n")
         metric = "per" if self.cfg.data.unit == "phone" else "cer"
-        return {metric: rate, "n_utts": len(records), "mode": mode}
+        out = {metric: rate, "n_utts": len(records), "mode": mode}
+        if wrate is not None:
+            out["wer"] = wrate
+        return out

@@ -107,7 +107,7 @@ class TestPreprocessTimit:
 
 
 class TestPreprocessLibrispeech:
-    def test_scan_and_flac_rejection(self, tmp_path):
+    def test_scan_wav(self, tmp_path):
         d = tmp_path / "train-clean-100" / "19" / "198"
         d.mkdir(parents=True)
         write_wav(d / "19-198-0000.wav", 1600)
@@ -115,13 +115,29 @@ class TestPreprocessLibrispeech:
         entries = PP.scan_librispeech(tmp_path, "train-clean-100")
         assert len(entries) == 1
         assert entries[0]["text"] == "hello world"
-        # flac-only utterance -> hard error with guidance
-        (d / "19-198.trans.txt").write_text(
-            "19-198-0000 HELLO WORLD\n19-198-0001 FLAC ONE\n"
-        )
-        (d / "19-198-0001.flac").write_bytes(b"fLaC")
-        with pytest.raises(SystemExit, match="flac unsupported"):
-            PP.scan_librispeech(tmp_path, "train-clean-100")
+
+    def test_scan_flac_end_to_end(self, tmp_path):
+        """LibriSpeech's native format: .flac scanned (header-only length)
+        -> manifest -> ManifestDataset decodes through the native decoder."""
+        from tests import flac_writer as fw
+
+        d = tmp_path / "train-clean-100" / "19" / "198"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        sig = np.clip(rng.normal(0, 4000, 1600), -32768, 32767).astype(
+            np.int64)
+        (d / "19-198-0001.flac").write_bytes(fw.encode_flac(sig))
+        (d / "19-198.trans.txt").write_text("19-198-0001 FLAC ONE\n")
+        entries = PP.scan_librispeech(tmp_path, "train-clean-100")
+        assert len(entries) == 1
+        assert entries[0]["n_samples"] == 1600
+        manifest = tmp_path / "m.jsonl"
+        PP.write_manifest(entries, manifest)
+        ds = ManifestDataset(manifest, char_vocab())
+        utt = ds[0]
+        assert utt.text == "flac one"
+        np.testing.assert_allclose(
+            utt.audio, sig.astype(np.float32) / 32768.0, atol=1e-7)
 
     def test_features_store(self, tmp_path):
         d = tmp_path / "dev-clean" / "1" / "2"

@@ -70,7 +70,7 @@ def test_train_and_decode_from_features(h5_dir, tmp_path):
             if '"prefix": "train"' in l]
     assert recs[-1]["loss"] < recs[0]["loss"]
     # decode path runs from features too
-    rate, records = solver._score_batches(
+    rate, records, _ = solver._score_batches(
         solver.bundle.train, solver.state.params, "greedy"
     )
     assert 0.0 <= rate <= 1.0 and len(records) == 16

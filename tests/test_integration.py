@@ -44,14 +44,14 @@ def trained(tmp_path_factory):
 class TestOverfitGate:
     def test_c1_overfit_to_near_zero_per(self, trained):
         solver, _ = trained
-        rate, _ = solver._score_batches(
+        rate, _, _ = solver._score_batches(
             solver.bundle.train, solver.state.params, "greedy"
         )
         assert rate < 0.1, f"train PER {rate} after overfit run"
 
     def test_beam_also_near_zero(self, trained):
         solver, _ = trained
-        rate, _ = solver._score_batches(
+        rate, _, _ = solver._score_batches(
             solver.bundle.train, solver.state.params, "beam"
         )
         assert rate < 0.1
@@ -107,6 +107,25 @@ class TestSemiSupervisedSolver:
         for key in ("ce", "text_ae", "pseudo", "loss"):
             assert key in recs[-1], f"missing {key} in {recs[-1]}"
             assert np.isfinite(recs[-1][key])
+
+
+class TestWERReporting:
+    def test_char_unit_reports_wer(self, tmp_path):
+        """LibriSpeech's headline metric is word-level WER (SURVEY §1.1 #7):
+        char-unit scoring must surface it alongside CER."""
+        cfg = small_cfg(**{
+            "data.unit": "char",
+            "data.num_synthetic_utts": 8,
+            "train.batch_size": 4,
+        })
+        solver = Solver(cfg, tmp_path, use_mesh=False)
+        rate, records, wrate = solver._score_batches(
+            solver.bundle.dev, solver.state.params, "greedy"
+        )
+        assert wrate is not None and wrate >= 0.0
+        assert {"word_errors", "ref_words"} <= set(records[0])
+        result = solver.test(mode="greedy", restore_best=False)
+        assert "cer" in result and "wer" in result
 
 
 class TestCLI:
