@@ -135,6 +135,8 @@ class TrainConfig:
     weight_decay: float = 0.0
     total_steps: int = 100000
     batch_size: int = 32              # global batch size (all chips)
+    grad_accum: int = 1               # microbatches per optimizer update
+                                      # (batch_size must divide evenly)
     eval_every: int = 1000
     log_every: int = 100
     ckpt_every: int = 1000
@@ -157,6 +159,8 @@ class DecodeConfig:
     lm_weight: float = 0.0            # shallow-fusion LM weight
     lm_ckpt: str = ""                 # workdir of a trained LM (lm_trainer)
     coverage_weight: float = 0.0
+    average_ckpts: int = 0            # >1: decode with the mean of the last
+                                      # k retained checkpoints' params
 
 
 @dataclass(frozen=True)

@@ -78,5 +78,30 @@ class Checkpointer:
         state = TrainState(**tree["state"])
         return state, tree["data_pos"], int(step)
 
+    def all_steps(self) -> list[int]:
+        return sorted(self.mgr.all_steps())
+
+    def average_params(
+        self, state_template: TrainState, last_k: int
+    ) -> tuple[dict, list[int]]:
+        """Elementwise mean of the params of the last ``last_k`` retained
+        checkpoints (standard seq2seq-ASR decode trick; reduces variance of
+        the final iterate).  -> (averaged params, steps used)."""
+        steps = self.all_steps()[-max(int(last_k), 1):]
+        assert steps, f"no checkpoints found in {self.dir}"
+        acc = None
+        for s in steps:
+            state, _, _ = self.restore(state_template, s)
+            p = jax.tree.map(
+                lambda x: np.asarray(x, np.float64), state.params
+            )
+            acc = p if acc is None else jax.tree.map(np.add, acc, p)
+        inv = 1.0 / len(steps)
+        tmpl = state_template.params
+        avg = jax.tree.map(
+            lambda a, t: np.asarray(a * inv, np.asarray(t).dtype), acc, tmpl
+        )
+        return avg, steps
+
     def close(self) -> None:
         self.mgr.close()

@@ -503,7 +503,13 @@ class Solver:
         out_path: str | Path | None = None,
     ) -> dict:
         params = self.state.params
-        if restore_best and self.ckpt.latest_step() is not None:
+        if (self.cfg.decode.average_ckpts > 1
+                and self.ckpt.latest_step() is not None):
+            params, steps = self.ckpt.average_params(
+                self.state, self.cfg.decode.average_ckpts
+            )
+            self.log.info(f"decoding with params averaged over steps {steps}")
+        elif restore_best and self.ckpt.latest_step() is not None:
             step = self.ckpt.best_step() or self.ckpt.latest_step()
             state, _, _ = self.ckpt.restore(self.state, step)
             params = state.params

@@ -139,12 +139,20 @@ def supervised_step_fn(
     features + frame lengths (feature-store path) instead of raw audio.
     """
     obj = cfg.objective
-    rng, k_feat, k_tf, k_pl_feat, k_pl = jax.random.split(state.rng, 5)
+    rng, k_step = jax.random.split(state.rng)
     tf_rate = schedules.tf_rate_at(state.step, obj)
     tokens = _mask_unreal(tokens, real)
+    if unlab_text is not None:
+        unlab_text = _mask_unreal(unlab_text, unlab_text_real)
     feat_fn = featurize_precomputed if from_features else featurize
 
-    def loss_fn(params):
+    def loss_fn(params, key, mb):
+        audio, audio_lens, tokens = mb["audio"], mb["audio_lens"], mb["tokens"]
+        unlab_audio = mb.get("unlab_audio")
+        unlab_audio_lens = mb.get("unlab_audio_lens")
+        unlab_real = mb.get("unlab_real")
+        unlab_text = mb.get("unlab_text")
+        k_feat, k_tf, k_pl_feat, k_pl = jax.random.split(key, 4)
         feats, flens = feat_fn(cfg, audio, audio_lens, cmvn, k_feat, True)
         loss, aux = LO.supervised_loss(
             params, cfg.model, obj, feats, flens, tokens, tf_rate, k_tf,
@@ -153,8 +161,7 @@ def supervised_step_fn(
         metrics = {"ce": aux["ce"], "acc": aux["acc"]}
 
         if obj.lambda_text_ae > 0.0 and unlab_text is not None:
-            text = _mask_unreal(unlab_text, unlab_text_real)
-            ae = LO.text_ae_loss(params, cfg.model, obj, text)
+            ae = LO.text_ae_loss(params, cfg.model, obj, unlab_text)
             loss = loss + obj.lambda_text_ae * ae
             metrics["text_ae"] = ae
 
@@ -183,9 +190,57 @@ def supervised_step_fn(
             metrics["pseudo_gate"] = gate
         return loss, metrics
 
-    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
-    )
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    accum = max(int(cfg.train.grad_accum), 1)
+    batch = {"audio": audio, "audio_lens": audio_lens, "tokens": tokens}
+    if unlab_text is not None:
+        batch["unlab_text"] = unlab_text
+    if unlab_audio is not None:
+        batch.update(unlab_audio=unlab_audio,
+                     unlab_audio_lens=unlab_audio_lens,
+                     unlab_real=unlab_real)
+
+    if accum == 1:
+        (loss, metrics), grads = grad_fn(state.params, k_step, batch)
+    else:
+        # Gradient accumulation (train.grad_accum): split the step's batch
+        # into `accum` microbatches, lax.scan grads over them, apply ONE
+        # optimizer update on the mean — same data and the same update as
+        # mean-of-microbatch-grads, peak activation memory / `accum`.
+        def split(x):
+            assert x.shape[0] % accum == 0, (
+                f"batch {x.shape[0]} not divisible by grad_accum {accum}"
+            )
+            return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+        micro = jax.tree.map(split, batch)
+
+        def scan_body(acc, xs):
+            i, mb = xs
+            (l, m), g = grad_fn(state.params, jax.random.fold_in(k_step, i),
+                                mb)
+            g_acc, l_acc, m_acc = acc
+            return (jax.tree.map(jnp.add, g_acc, g), l_acc + l,
+                    jax.tree.map(jnp.add, m_acc, m)), None
+
+        out_sd = jax.eval_shape(
+            grad_fn, state.params, k_step,
+            jax.tree.map(lambda x: x[0], micro),
+        )
+        (l_sd, m_sd), g_sd = out_sd
+        init = (
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), g_sd),
+            jnp.zeros(l_sd.shape, l_sd.dtype),
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_sd),
+        )
+        (grads, loss, metrics), _ = jax.lax.scan(
+            scan_body, init, (jnp.arange(accum), micro)
+        )
+        inv = 1.0 / accum
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        loss = loss * inv
+        metrics = jax.tree.map(lambda m: m * inv, metrics)
+
     gnorm = optax.global_norm(grads)
     updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)

@@ -79,6 +79,30 @@ class TestCheckpointResume:
         assert solver.ckpt.latest_step() == 200
         assert solver.ckpt.best_step() is not None
 
+    def test_checkpoint_averaging(self, trained):
+        """average_params == elementwise mean of the retained checkpoints,
+        and decode runs with the averaged params (decode.average_ckpts)."""
+        solver, wd = trained
+        steps = solver.ckpt.all_steps()
+        assert len(steps) >= 2
+        avg, used = solver.ckpt.average_params(solver.state, 2)
+        assert used == steps[-2:]
+        p1, _, _ = solver.ckpt.restore(solver.state, used[0])
+        p2, _, _ = solver.ckpt.restore(solver.state, used[1])
+        leaf = lambda p: np.asarray(  # noqa: E731
+            jax.tree.leaves(p.params)[0], np.float64)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(avg)[0], np.float64),
+            (leaf(p1) + leaf(p2)) / 2, rtol=1e-6, atol=1e-7)
+        # decode path end-to-end with averaging enabled
+        import dataclasses
+
+        cfg = solver.cfg.replace(decode=dataclasses.replace(
+            solver.cfg.decode, average_ckpts=2))
+        s2 = Solver(cfg, wd, use_mesh=False)
+        result = s2.test(mode="greedy")
+        assert result["n_utts"] > 0
+
 
 class TestSemiSupervisedSolver:
     def test_semi_train_end_to_end(self, tmp_path):

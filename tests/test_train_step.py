@@ -115,3 +115,62 @@ class TestSemiSupervisedStep:
         d0 = np.abs(e0 - p).mean()
         d1 = np.abs(e - p).mean()
         assert d1 < d0                     # but tracks them
+
+
+class TestGradAccumulation:
+    def test_accum_matches_full_batch(self):
+        """With equal token/audio lengths per row (so per-microbatch mean
+        normalization equals full-batch mean), grad_accum=2 must produce
+        the same update as one full-batch step."""
+        audio, alens, tokens, real, cmvn = make_batch(7, b=4)
+        import dataclasses
+        # SGD: the update is linear in the gradient, so fp summation-order
+        # noise stays tiny (Adam's g/sqrt(v) blows it up on ~0 grads).
+        cfg_full = CFG.replace(
+            train=dataclasses.replace(CFG.train, batch_size=4,
+                                      optimizer="sgd"))
+        cfg_acc = cfg_full.replace(
+            train=dataclasses.replace(cfg_full.train, grad_accum=2))
+        s_full = TS.init_train_state(cfg_full, jax.random.PRNGKey(9))
+        s_acc = TS.init_train_state(cfg_acc, jax.random.PRNGKey(9))
+        step_full = TS.make_train_step(cfg_full)
+        step_acc = TS.make_train_step(cfg_acc)
+        s_full, m_full = step_full(s_full, audio, alens, tokens, real, *cmvn)
+        s_acc, m_acc = step_acc(s_acc, audio, alens, tokens, real, *cmvn)
+        np.testing.assert_allclose(
+            float(m_acc["loss"]), float(m_full["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s_acc.params),
+                        jax.tree.leaves(s_full.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+    def test_accum_semi_step_runs(self):
+        import dataclasses
+        cfg = SEMI_CFG.replace(
+            train=dataclasses.replace(SEMI_CFG.train, batch_size=4,
+                                      grad_accum=2))
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(10))
+        step = TS.make_train_step(cfg, semi_supervised=True)
+        audio, alens, tokens, real, cmvn = make_batch(11, b=4)
+        ua, ualens, _, ureal, _ = make_batch(12, b=4)
+        utext = np.asarray([[5, 6, 7, 2, 0, 0]] * 4, np.int32)
+        utreal = np.ones((4,), bool)
+        state, m = step(
+            state, audio, alens, tokens, real,
+            ua, ualens, ureal, utext, utreal, *cmvn,
+        )
+        for k in ("loss", "ce", "text_ae", "pseudo"):
+            assert k in m and np.isfinite(float(m[k])), (k, m.get(k))
+        assert int(state.step) == 1
+
+    def test_accum_rejects_indivisible_batch(self):
+        import dataclasses
+        cfg = CFG.replace(
+            train=dataclasses.replace(CFG.train, grad_accum=2))
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(13))
+        step = TS.make_train_step(cfg)
+        audio, alens, tokens, real, cmvn = make_batch(14, b=3)
+        import pytest
+
+        with pytest.raises(AssertionError, match="grad_accum"):
+            step(state, audio, alens, tokens, real, *cmvn)
