@@ -41,6 +41,7 @@ class FrontendConfig:
     time_mask_param: int = 40     # T
     n_time_masks: int = 2         # mT
     time_mask_max_ratio: float = 0.2  # p: cap T at ratio*utt_len
+    time_warp_param: int = 0          # W: SpecAugment time warp (0 = off)
     fused_pallas: bool = True     # use the fused Pallas post-FFT kernel on TPU
 
     @property

@@ -225,3 +225,52 @@ def spec_augment(
     b, t, m = feats.shape
     params = sample_specaug_params(key, b, m, feat_lens, cfg)
     return apply_specaug_masks(feats, *params, mask_value=mask_value)
+
+
+def time_warp(
+    key: jax.Array,
+    feats: jax.Array,        # [B, T, M]
+    feat_lens: jax.Array,    # [B]
+    cfg: FrontendConfig,
+) -> jax.Array:
+    """SpecAugment time warping (Park et al. 2019, the W parameter).
+
+    A random time point w in [W, L-W) is displaced by d in [-W, W]; the
+    valid region is piecewise-linearly resampled so w lands at w+d, with
+    linear interpolation between frames (endpoints fixed, pads untouched).
+    TPU-shaped: one batched gather + lerp, no image-warp library.  Applied
+    at the featurize level AFTER CMVN/masks so the fused-Pallas and unfused
+    paths stay bit-identical to each other (the masks are random, so
+    warp/mask order does not change the augmentation distribution).
+    Rows shorter than 2W+2 frames pass through unchanged.
+    """
+    W = cfg.time_warp_param
+    if W <= 0:
+        return feats
+    b, t, m = feats.shape
+    kw, kd = jax.random.split(key)
+    L = feat_lens.astype(jnp.float32)                       # [B]
+    ok = feat_lens > 2 * W + 1
+    w = jnp.floor(
+        W + jax.random.uniform(kw, (b,)) * jnp.maximum(L - 2 * W, 1.0)
+    )
+    d = jnp.round(jax.random.uniform(kd, (b,)) * (2 * W) - W)
+    bnd = jnp.clip(w + d, 1.0, jnp.maximum(L - 2.0, 1.0))   # warped center
+    tpos = jnp.arange(t, dtype=jnp.float32)[None, :]        # [1, T]
+    wb, Lb, bb = w[:, None], L[:, None], bnd[:, None]
+    src = jnp.where(
+        tpos < bb,
+        tpos * (wb / bb),
+        wb + (tpos - bb) * ((Lb - 1.0 - wb)
+                            / jnp.maximum(Lb - 1.0 - bb, 1.0)),
+    )
+    src = jnp.clip(src, 0.0, jnp.maximum(Lb - 1.0, 0.0))
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, jnp.maximum(feat_lens - 1, 0)[:, None])
+    frac = (src - lo)[..., None]
+    g = (
+        jnp.take_along_axis(feats, lo[..., None], axis=1) * (1.0 - frac)
+        + jnp.take_along_axis(feats, hi[..., None], axis=1) * frac
+    )
+    valid = (tpos < Lb) & ok[:, None]
+    return jnp.where(valid[..., None], g, feats)

@@ -76,13 +76,19 @@ def featurize(
             fused_log_mel_features,
         )
 
-        return fused_log_mel_features(
+        feats, lens = fused_log_mel_features(
             audio, audio_lens, fcfg, mean, inv_std,
             rng=rng, augment=augment and fcfg.spec_augment,
         )
-    feats, lens = F.log_mel_features(audio, audio_lens, fcfg, mean, inv_std)
-    if augment and fcfg.spec_augment and rng is not None:
-        feats = F.spec_augment(rng, feats, lens, fcfg)
+    else:
+        feats, lens = F.log_mel_features(
+            audio, audio_lens, fcfg, mean, inv_std
+        )
+        if augment and fcfg.spec_augment and rng is not None:
+            feats = F.spec_augment(rng, feats, lens, fcfg)
+    if (augment and fcfg.spec_augment and rng is not None
+            and fcfg.time_warp_param > 0):
+        feats = F.time_warp(jax.random.fold_in(rng, 7), feats, lens, fcfg)
     return feats, lens
 
 
@@ -108,6 +114,10 @@ def featurize_precomputed(
         feats = feats * mask
     if augment and fcfg.spec_augment and rng is not None:
         feats = F.spec_augment(rng, feats, feat_lens, fcfg)
+        if fcfg.time_warp_param > 0:
+            feats = F.time_warp(
+                jax.random.fold_in(rng, 7), feats, feat_lens, fcfg
+            )
     return feats, feat_lens
 
 

@@ -166,3 +166,61 @@ class TestJit:
         out1, _ = f(x, lens)
         out2, _ = f(x, lens)
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+class TestTimeWarp:
+    def make(self, b=3, t=50, m=8, seed=0):
+        rng = np.random.default_rng(seed)
+        feats = rng.standard_normal((b, t, m)).astype(np.float32)
+        lens = np.asarray([50, 37, 9], np.int32)
+        return jnp.asarray(feats), jnp.asarray(lens)
+
+    def test_off_is_identity(self):
+        feats, lens = self.make()
+        cfg = FrontendConfig(time_warp_param=0)
+        out = frontend.time_warp(jax.random.PRNGKey(0), feats, lens, cfg)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(feats))
+
+    def test_properties(self):
+        feats, lens = self.make()
+        cfg = FrontendConfig(time_warp_param=4)
+        out = np.asarray(
+            frontend.time_warp(jax.random.PRNGKey(1), feats, lens, cfg)
+        )
+        f = np.asarray(feats)
+        # pads untouched
+        np.testing.assert_array_equal(out[1, 37:], f[1, 37:])
+        # too-short row (9 <= 2W+1) untouched
+        np.testing.assert_array_equal(out[2], f[2])
+        # endpoints preserved (src(0)=0, src(L-1)=L-1)
+        np.testing.assert_allclose(out[0, 0], f[0, 0], rtol=1e-6)
+        np.testing.assert_allclose(out[0, 49], f[0, 49], atol=1e-5)
+        np.testing.assert_allclose(out[1, 36], f[1, 36], atol=1e-5)
+        # linear interpolation: values bounded by neighbor min/max
+        assert out[0].min() >= f[0].min() - 1e-5
+        assert out[0].max() <= f[0].max() + 1e-5
+        # it actually warped something
+        assert not np.allclose(out[0], f[0])
+
+    def test_deterministic_per_key(self):
+        feats, lens = self.make(seed=2)
+        cfg = FrontendConfig(time_warp_param=4)
+        a = frontend.time_warp(jax.random.PRNGKey(3), feats, lens, cfg)
+        b = frontend.time_warp(jax.random.PRNGKey(3), feats, lens, cfg)
+        c = frontend.time_warp(jax.random.PRNGKey(4), feats, lens, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_monotone_ramp_stays_monotone(self):
+        """A linear-in-time ramp must stay nondecreasing under a monotone
+        piecewise-linear time remap."""
+        t = 64
+        ramp = np.tile(
+            np.arange(t, dtype=np.float32)[None, :, None], (1, 1, 4)
+        )
+        lens = np.asarray([t], np.int32)
+        cfg = FrontendConfig(time_warp_param=6)
+        out = np.asarray(frontend.time_warp(
+            jax.random.PRNGKey(5), jnp.asarray(ramp), jnp.asarray(lens), cfg
+        ))[0, :, 0]
+        assert np.all(np.diff(out) >= -1e-4), out
