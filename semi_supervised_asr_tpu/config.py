@@ -89,6 +89,18 @@ class ModelConfig:
     # (ops/pallas_lstm.py) for the encoder — needs B%8==0 and H%128==0,
     # falls back to xla otherwise
     lstm_backend: str = "xla"
+    # LM fusion into the decoder (deep: Gulcehre et al. 2015; cold:
+    # Sriram et al. 2017 — the Toshniwal 2018 comparison, PAPERS.md).
+    # The fused LM is a frozen lm_trainer checkpoint stepped in lockstep
+    # with the speller; "shallow" fusion lives in decode.lm_weight instead.
+    lm_fusion: str = "none"       # "none" | "deep" | "cold"
+    lm_fusion_dim: int = 64       # cold: DNN width over LM logits
+    lm_fusion_ckpt: str = ""      # lm_trainer workdir to graft (frozen)
+    # architecture of the fused LM (must match the trained checkpoint;
+    # defaults mirror LMConfig)
+    lm_fusion_embed: int = 128
+    lm_fusion_hidden: int = 512
+    lm_fusion_layers: int = 1
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # MXU-friendly; carries stay fp32

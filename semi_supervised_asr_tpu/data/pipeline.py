@@ -210,7 +210,15 @@ def text_batches(
         rng = np.random.default_rng((seed, epoch, 17))
         order = rng.permutation(len(dataset))
         order = order[shard_index::num_shards]
-        for s in range(0, len(order) - batch_size + 1, batch_size):
+        if len(order) == 0:
+            raise ValueError(
+                "text_batches: dataset shard is empty "
+                f"(size {len(dataset)}, shard {shard_index}/{num_shards})"
+            )
+        # remainder batches carry a real-mask like the audio pipelines —
+        # a dataset smaller than batch_size must still yield (else an
+        # endless epoch loop would spin forever producing nothing)
+        for s in range(0, len(order), batch_size):
             idxs = order[s : s + batch_size]
             tokens = np.full((batch_size, token_bucket), PAD, np.int32)
             real = np.zeros((batch_size,), bool)

@@ -113,11 +113,13 @@ def beam_decode_from_enc(
         new_tok = (flat_idx % vsz).astype(jnp.int32)        # [B, K]
 
         # Gather-reorder every decoder-state leaf by the surviving beams.
+        # Layer-stacked leaves (LSTM h/c, incl. the fusion LM's) carry the
+        # lattice row on axis 1, the rest on axis 0.
         new_state = {
-            "h": gather_rows(state_new["h"], beam_idx, 1),
-            "c": gather_rows(state_new["c"], beam_idx, 1),
-            "context": gather_rows(state_new["context"], beam_idx, 0),
-            "alpha": gather_rows(state_new["alpha"], beam_idx, 0),
+            name: gather_rows(
+                leaf, beam_idx, 1 if name in ("h", "c", "lm_h", "lm_c") else 0
+            )
+            for name, leaf in state_new.items()
         }
         # LM state leaves are [L, B*K, H] stacks: the lattice row is axis 1.
         new_lm_state = (

@@ -24,8 +24,19 @@ from semi_supervised_asr_tpu.models import attention as A
 from semi_supervised_asr_tpu.ops import recurrent as R
 
 
+def _fusion_extra_dim(cfg: ModelConfig) -> int:
+    """Width the LM-fusion feature adds to the output-projection input."""
+    if cfg.lm_fusion == "deep":
+        return cfg.lm_fusion_hidden
+    if cfg.lm_fusion == "cold":
+        return cfg.lm_fusion_dim
+    return 0
+
+
 def init_speller(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
-    k_emb, k_att, k_out, *k_lstm = jax.random.split(key, 3 + cfg.dec_layers)
+    k_emb, k_att, k_out, k_fus, *k_lstm = jax.random.split(
+        key, 4 + cfg.dec_layers
+    )
     emb_scale = 1.0 / jnp.sqrt(jnp.float32(cfg.embed_dim))
     cells = []
     in_dim = cfg.embed_dim + cfg.enc_out_dim
@@ -42,26 +53,73 @@ def init_speller(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
         "attention": A.init_attention(k_att, cfg, dtype),
         "b_out": jnp.zeros((cfg.vocab_size,), dtype),
     }
+    out_in_dim = cfg.dec_hidden + cfg.enc_out_dim + _fusion_extra_dim(cfg)
     if cfg.tie_embedding:
         # tied softmax: project to embed_dim, score against embedding^T
-        params["w_tie"] = glorot(
-            k_out, (cfg.dec_hidden + cfg.enc_out_dim, cfg.embed_dim), dtype
-        )
+        params["w_tie"] = glorot(k_out, (out_in_dim, cfg.embed_dim), dtype)
     else:
-        params["w_out"] = glorot(
-            k_out, (cfg.dec_hidden + cfg.enc_out_dim, cfg.vocab_size), dtype
+        params["w_out"] = glorot(k_out, (out_in_dim, cfg.vocab_size), dtype)
+    if cfg.lm_fusion != "none":
+        from semi_supervised_asr_tpu.models import lm as LM
+
+        k_lm, k_g, k_l = jax.random.split(k_fus, 3)
+        base = cfg.dec_hidden + cfg.enc_out_dim
+        if cfg.lm_fusion == "deep":
+            fusion = {
+                "w_g": glorot(k_g, (cfg.lm_fusion_hidden, 1), dtype),
+                "b_g": jnp.zeros((1,), dtype),
+            }
+        elif cfg.lm_fusion == "cold":
+            fusion = {
+                "w_l": glorot(k_l, (cfg.vocab_size, cfg.lm_fusion_dim),
+                              dtype),
+                "b_l": jnp.zeros((cfg.lm_fusion_dim,), dtype),
+                "w_g": glorot(
+                    k_g, (base + cfg.lm_fusion_dim, cfg.lm_fusion_dim), dtype
+                ),
+                "b_g": jnp.zeros((cfg.lm_fusion_dim,), dtype),
+            }
+        else:
+            raise ValueError(f"unknown lm_fusion {cfg.lm_fusion!r}")
+        params["fusion"] = fusion
+        # placeholder frozen LM — replaced by attach_fusion_lm with a
+        # trained lm_trainer checkpoint (Solver does this at startup)
+        params["fusion_lm"] = LM.init_lm(
+            k_lm, cfg.vocab_size, cfg.lm_fusion_embed,
+            cfg.lm_fusion_hidden, cfg.lm_fusion_layers, dtype,
         )
     return params
 
 
+def attach_fusion_lm(speller_params: dict, lm_params: dict) -> dict:
+    """Graft a trained LM into the speller tree (shape-checked)."""
+    assert "fusion_lm" in speller_params, "model.lm_fusion is off"
+    old = speller_params["fusion_lm"]
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(old),
+        jax.tree_util.tree_leaves_with_path(lm_params),
+    ):
+        assert a.shape == b.shape, (
+            f"fusion LM mismatch at {jax.tree_util.keystr(pa)}: "
+            f"{a.shape} vs {b.shape} — model.lm_fusion_* must match the "
+            "trained LM's architecture"
+        )
+    return dict(speller_params, fusion_lm=lm_params)
+
+
 def init_state(batch: int, t_enc: int, cfg: ModelConfig, mask: jax.Array):
     """Fresh decoder state for `batch` lattice rows over `t_enc` frames."""
-    return {
+    state = {
         "h": jnp.zeros((cfg.dec_layers, batch, cfg.dec_hidden), jnp.float32),
         "c": jnp.zeros((cfg.dec_layers, batch, cfg.dec_hidden), jnp.float32),
         "context": jnp.zeros((batch, cfg.enc_out_dim), jnp.float32),
         "alpha": A.initial_alpha(mask),
     }
+    if cfg.lm_fusion != "none":
+        lm_shape = (cfg.lm_fusion_layers, batch, cfg.lm_fusion_hidden)
+        state["lm_h"] = jnp.zeros(lm_shape, jnp.float32)
+        state["lm_c"] = jnp.zeros(lm_shape, jnp.float32)
+    return state
 
 
 def speller_step(
@@ -102,6 +160,43 @@ def speller_step(
         keep = 1.0 - cfg.dec_dropout
         m = jax.random.bernoulli(dropout_rng, keep, out_in.shape)
         out_in = jnp.where(m, out_in / keep, 0.0)
+
+    lm_leaves = {}
+    if cfg.lm_fusion != "none":
+        from semi_supervised_asr_tpu.models import lm as LM
+
+        # the LM is FROZEN: gradients flow through the fusion gate/DNN
+        # into the trainable speller only, never into the LM
+        lmp = jax.tree.map(lax.stop_gradient, params["fusion_lm"])
+        lm_state, lm_logits = LM.lm_step(
+            lmp, {"h": state["lm_h"], "c": state["lm_c"]}, tokens
+        )
+        fus = params["fusion"]
+        if cfg.lm_fusion == "deep":
+            # Gulcehre et al. 2015: scalar gate on the LM's top hidden
+            s_lm = lm_state["h"][-1]
+            g = jax.nn.sigmoid(
+                jnp.dot(s_lm, fus["w_g"].astype(jnp.float32)) + fus["b_g"]
+            )
+            extra = g * s_lm
+        else:
+            # Sriram et al. 2017 cold fusion: DNN over LM logits, then a
+            # fine-grained gate conditioned on the decoder state
+            h_lm = jax.nn.relu(
+                jnp.dot(lm_logits, fus["w_l"].astype(jnp.float32))
+                + fus["b_l"]
+            )
+            g = jax.nn.sigmoid(
+                jnp.dot(
+                    jnp.concatenate([out_in, h_lm], axis=-1),
+                    fus["w_g"].astype(jnp.float32),
+                )
+                + fus["b_g"]
+            )
+            extra = g * h_lm
+        out_in = jnp.concatenate([out_in, extra], axis=-1)
+        lm_leaves = {"lm_h": lm_state["h"], "lm_c": lm_state["c"]}
+
     if cfg.tie_embedding:
         proj = jnp.dot(
             out_in.astype(compute),
@@ -130,6 +225,7 @@ def speller_step(
         "c": jnp.stack(cs),
         "context": context,
         "alpha": alpha,
+        **lm_leaves,
     }
     return new_state, logits, alpha
 

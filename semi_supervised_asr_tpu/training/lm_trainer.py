@@ -36,10 +36,17 @@ def save_lm(workdir: str | Path, params: dict) -> None:
         ckpt.save(lm_ckpt_dir(workdir), params)
 
 
-def load_lm(workdir: str | Path, cfg: Config, vocab_size: int) -> dict:
+def load_lm(
+    workdir: str | Path, cfg: Config, vocab_size: int,
+    dims: tuple[int, int, int] | None = None,
+) -> dict:
+    """Restore a trained LM.  ``dims`` = (embed, hidden, layers) overrides
+    the template architecture (deep/cold fusion reads model.lm_fusion_*
+    instead of cfg.lm)."""
+    embed, hidden, layers = dims or (cfg.lm.embed_dim, cfg.lm.hidden,
+                                     cfg.lm.layers)
     template = LM.init_lm(
-        jax.random.PRNGKey(0), vocab_size,
-        cfg.lm.embed_dim, cfg.lm.hidden, cfg.lm.layers,
+        jax.random.PRNGKey(0), vocab_size, embed, hidden, layers,
     )
     with ocp.StandardCheckpointer() as ckpt:
         return ckpt.restore(lm_ckpt_dir(workdir), target=template)

@@ -43,8 +43,19 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "adam":
         opt = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
     elif cfg.optimizer == "adamw":
+        # never weight-decay the frozen fusion LM (its grads are exactly 0
+        # via stop_gradient, but adamw decay is grad-independent)
+        def decay_mask(params):
+            import jax
+
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "fusion_lm" not in jax.tree_util.keystr(path),
+                params,
+            )
+
         opt = optax.adamw(
-            lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay
+            lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay,
+            mask=decay_mask,
         )
     elif cfg.optimizer == "sgd":
         opt = optax.sgd(lr, momentum=0.9)

@@ -94,6 +94,30 @@ class Solver:
         self.state = TS.init_train_state(
             cfg, jax.random.PRNGKey(cfg.train.seed)
         )
+        if cfg.model.lm_fusion != "none" and cfg.model.lm_fusion_ckpt:
+            # deep/cold fusion: graft the trained (frozen) LM into the
+            # speller tree before any training/decoding
+            from semi_supervised_asr_tpu.models.speller import attach_fusion_lm
+            from semi_supervised_asr_tpu.training.lm_trainer import load_lm
+
+            lm_params = load_lm(
+                cfg.model.lm_fusion_ckpt, cfg, self.vocab.size,
+                dims=(cfg.model.lm_fusion_embed, cfg.model.lm_fusion_hidden,
+                      cfg.model.lm_fusion_layers),
+            )
+            params = dict(
+                self.state.params,
+                speller=attach_fusion_lm(
+                    self.state.params["speller"], lm_params
+                ),
+            )
+            self.state = self.state._replace(
+                params=params, ema_params=jax.tree.map(jnp.copy, params)
+            )
+            self.log.info(
+                f"{cfg.model.lm_fusion} fusion: frozen LM grafted from "
+                f"{cfg.model.lm_fusion_ckpt}"
+            )
         self.step_fn = TS.make_train_step(
             cfg, self.semi, self.mesh, from_features=self.from_features
         )

@@ -134,3 +134,39 @@ class TestSynthetic:
     def test_tokens_end_with_eos(self):
         ds = make_ds(4)
         assert ds[0].tokens[-1] == V.EOS
+
+
+class TestTextBatches:
+    def test_small_dataset_still_yields(self):
+        """Regression: a dataset smaller than batch_size must yield a
+        remainder batch with a real-mask, not spin the epoch loop forever."""
+        from semi_supervised_asr_tpu.data.pipeline import text_batches
+
+        ds = make_ds(3)
+        stream = text_batches(ds, token_bucket=16, batch_size=8, seed=0)
+        tokens, real = next(stream)
+        assert tokens.shape == (8, 16)
+        assert real.sum() == 3 and not real[3:].any()
+        # rows keep flowing across epochs
+        for _ in range(5):
+            tokens, real = next(stream)
+            assert real.sum() == 3
+
+    def test_full_batches_all_real(self):
+        from semi_supervised_asr_tpu.data.pipeline import text_batches
+
+        ds = make_ds(16)
+        stream = text_batches(ds, token_bucket=16, batch_size=8, seed=0)
+        tokens, real = next(stream)
+        assert real.all()
+        assert (tokens >= 0).all()
+
+    def test_empty_shard_raises(self):
+        import pytest
+
+        from semi_supervised_asr_tpu.data.pipeline import text_batches
+
+        ds = make_ds(1)
+        stream = text_batches(ds, 16, 4, 0, shard_index=1, num_shards=2)
+        with pytest.raises(ValueError, match="empty"):
+            next(stream)
