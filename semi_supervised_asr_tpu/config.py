@@ -193,13 +193,16 @@ class LMConfig:
 class DataConfig:
     dataset: str = "synthetic"        # "synthetic" | "timit" | "librispeech"
     data_dir: str = ""
-    unit: str = "phone"               # "phone" (TIMIT) | "char" (LibriSpeech)
+    unit: str = "phone"               # "phone" (TIMIT) | "char" | "bpe"
     # length bucketing: static (frames, tokens) buckets -> jit-stable shapes
     frame_buckets: tuple[int, ...] = (200, 400, 800, 1600)
     token_buckets: tuple[int, ...] = (32, 64, 128, 256)
     # semi-supervised streams
     labeled_split: str = "train"
     test_split: str = ""              # scored by --test; empty -> dev
+    bpe_path: str = ""                # unit=bpe: trained bpe.json
+                                      # (preprocess --bpe N); empty -> a
+                                      # merge-free char-piece fallback
     unlabeled_audio_split: str = ""
     unlabeled_text_split: str = ""
     num_synthetic_utts: int = 128

@@ -133,6 +133,10 @@ def main(argv=None) -> int:
                         "librispeech=train-clean-100,dev-clean")
     p.add_argument("--features", action="store_true",
                    help="also write HDF5 log-mel feature stores")
+    p.add_argument("--bpe", type=int, default=0, metavar="N",
+                   help="(librispeech) train an N-piece BPE tokenizer on "
+                        "the FIRST split's transcripts -> bpe.json "
+                        "(use with data.unit=bpe + data.bpe_path)")
     args = p.parse_args(argv)
 
     root, out = Path(args.root), Path(args.out)
@@ -148,12 +152,20 @@ def main(argv=None) -> int:
 
     vocab.save(out / "vocab.json")
     fcfg = FrontendConfig()
-    for split in splits:
+    for i, split in enumerate(splits):
         entries = scan(split.strip())
         name = {"test": "dev", "dev-clean": "dev"}.get(split.strip(),
                                                        split.strip())
         write_manifest(entries, out / f"{name}.jsonl")
         print(f"{split}: {len(entries)} utterances -> {out}/{name}.jsonl")
+        if i == 0 and args.bpe > 0:
+            assert args.corpus == "librispeech", "--bpe is for librispeech"
+            from semi_supervised_asr_tpu.data.bpe import train_bpe
+
+            bpe = train_bpe((e["text"] for e in entries), args.bpe)
+            bpe.save(out / "bpe.json")
+            print(f"BPE: {bpe.size} pieces "
+                  f"({len(bpe.merges)} merges) -> {out}/bpe.json")
         if args.features:
             build_features(entries, vocab, fcfg, out / f"{name}.h5")
     return 0

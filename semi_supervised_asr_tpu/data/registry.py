@@ -26,7 +26,14 @@ class DataBundle:
 
 
 def build_vocab(cfg: Config) -> Vocab:
-    return timit_vocab() if cfg.data.unit == "phone" else char_vocab()
+    if cfg.data.unit == "phone":
+        return timit_vocab()
+    if cfg.data.unit == "bpe":
+        from semi_supervised_asr_tpu.data.bpe import BPEVocab, default_bpe
+
+        return (BPEVocab.load(cfg.data.bpe_path) if cfg.data.bpe_path
+                else default_bpe())
+    return char_vocab()
 
 
 def build_datasets(cfg: Config) -> DataBundle:

@@ -463,12 +463,13 @@ class Solver:
                     "hyp": self.vocab.decode_text(hyps[r]),
                     "errors": int(d[r]), "ref_len": int(n[r]),
                 }
-                if self.cfg.data.unit == "char":
+                if self.cfg.data.unit in ("char", "bpe"):
                     we, nw = MET.wer_strings(rec["hyp"], rec["ref"])
                     wer.update(we, nw)
                     rec["word_errors"], rec["ref_words"] = we, nw
                 records.append(rec)
-        wrate = wer.rate if self.cfg.data.unit == "char" else None
+        wrate = (wer.rate if self.cfg.data.unit in ("char", "bpe")
+                 else None)
         return er.rate, records, wrate
 
     def validate(self) -> dict:
@@ -545,7 +546,8 @@ class Solver:
             with open(out_path, "w") as f:
                 for rec in records:
                     f.write(json.dumps(rec) + "\n")
-        metric = "per" if self.cfg.data.unit == "phone" else "cer"
+        metric = {"phone": "per", "char": "cer"}.get(
+            self.cfg.data.unit, "ter")
         out = {metric: rate, "n_utts": len(records), "mode": mode}
         if wrate is not None:
             out["wer"] = wrate
