@@ -27,7 +27,7 @@ class DataBundle:
 
 def build_vocab(cfg: Config) -> Vocab:
     if cfg.data.unit == "phone":
-        return timit_vocab()
+        return timit_vocab(fold48=cfg.data.timit_fold48)
     if cfg.data.unit == "bpe":
         from semi_supervised_asr_tpu.data.bpe import BPEVocab, default_bpe
 

@@ -51,15 +51,42 @@ TIMIT_61_TO_39 = {
 
 TIMIT_39 = sorted({p for p in TIMIT_61_TO_39.values() if p is not None})
 
+# Standard 61 -> 48 TRAINING fold (Lee & Hon 1989; the common recipe keeps
+# ix/ax/el/en etc. as classes, unifies unvoiced/voiced closures into
+# cl/vcl, folds h#/pau into sil, and deletes 'q').  Identity for phones
+# not listed.
+TIMIT_61_TO_48 = {
+    "ao": "ao", "ax-h": "ax", "axr": "er", "ux": "uw",
+    "em": "m", "nx": "n", "eng": "ng", "hv": "hh",
+    "pcl": "cl", "tcl": "cl", "kcl": "cl",
+    "bcl": "vcl", "dcl": "vcl", "gcl": "vcl",
+    "h#": "sil", "pau": "sil",
+    "q": None,  # deleted
+}
+
+TIMIT_48 = sorted({
+    TIMIT_61_TO_48.get(p, p) for p in TIMIT_61
+    if TIMIT_61_TO_48.get(p, p) is not None
+})
+
+# 48-class names that the 61->39 scoring map doesn't know (the unified
+# closures score as silence).
+_48_TO_39_EXTRA = {"cl": "sil", "vcl": "sil"}
+
 LIBRISPEECH_CHARS = list("abcdefghijklmnopqrstuvwxyz' ")
 
 
 @dataclass(frozen=True)
 class Vocab:
-    """Immutable token<->id map with fixed special ids."""
+    """Immutable token<->id map with fixed special ids.
+
+    ``fold``: (src, dst|None) pairs applied at encode_text time (phone
+    units) — the TIMIT 61->48 training fold; None deletes the phone.
+    """
 
     tokens: tuple[str, ...]            # includes SPECIALS at the front
     unit: str                          # "phone" | "char"
+    fold: tuple[tuple[str, str | None], ...] = ()
 
     def __post_init__(self):
         assert tuple(self.tokens[:4]) == tuple(SPECIALS), "specials must lead"
@@ -79,7 +106,14 @@ class Vocab:
     def encode_text(self, text: str, add_sos_eos: bool = False) -> list[int]:
         if self.unit == "char":
             return self.encode(list(text.lower()), add_sos_eos)
-        return self.encode(text.split(), add_sos_eos)
+        units = text.split()
+        if self.fold:
+            fold = dict(self.fold)
+            units = [
+                m for u in units
+                if (m := fold.get(u, u)) is not None
+            ]
+        return self.encode(units, add_sos_eos)
 
     def decode(self, ids, strip_specials: bool = True) -> list[str]:
         out = []
@@ -97,18 +131,29 @@ class Vocab:
         return "".join(toks) if self.unit == "char" else " ".join(toks)
 
     def save(self, path: str | Path) -> None:
-        Path(path).write_text(
-            json.dumps({"tokens": list(self.tokens), "unit": self.unit})
-        )
+        Path(path).write_text(json.dumps({
+            "tokens": list(self.tokens), "unit": self.unit,
+            "fold": [list(f) for f in self.fold],
+        }))
 
     @staticmethod
     def load(path: str | Path) -> "Vocab":
         d = json.loads(Path(path).read_text())
-        return Vocab(tokens=tuple(d["tokens"]), unit=d["unit"])
+        return Vocab(
+            tokens=tuple(d["tokens"]), unit=d["unit"],
+            fold=tuple(tuple(f) for f in d.get("fold", [])),
+        )
 
 
-def timit_vocab() -> Vocab:
-    """Training vocab over the full 61-phone inventory."""
+def timit_vocab(fold48: bool = False) -> Vocab:
+    """Training vocab: the full 61-phone inventory, or the standard
+    48-class training fold (data.timit_fold48) — scoring is 39-class
+    either way (timit_39_id_map)."""
+    if fold48:
+        return Vocab(
+            tokens=tuple(SPECIALS + TIMIT_48), unit="phone",
+            fold=tuple(sorted(TIMIT_61_TO_48.items())),
+        )
     return Vocab(tokens=tuple(SPECIALS + TIMIT_61), unit="phone")
 
 
@@ -138,6 +183,6 @@ def timit_39_id_map(vocab: Vocab) -> list[int]:
         if i < len(SPECIALS):
             table.append(-1)
             continue
-        m = TIMIT_61_TO_39.get(tok, tok)
+        m = TIMIT_61_TO_39.get(tok, _48_TO_39_EXTRA.get(tok, tok))
         table.append(-1 if m is None else cls[m])
     return table

@@ -55,3 +55,60 @@ def test_save_load(tmp_path):
     p = tmp_path / "vocab.json"
     v.save(p)
     assert V.Vocab.load(p) == v
+
+
+class TestTimit48Fold:
+    def test_48_class_count(self):
+        from semi_supervised_asr_tpu.data.vocab import TIMIT_48
+
+        assert len(TIMIT_48) == 48
+
+    def test_folded_vocab_encodes_61_phone_text(self):
+        from semi_supervised_asr_tpu.data.vocab import UNK, timit_vocab
+
+        v = timit_vocab(fold48=True)
+        assert v.size == 4 + 48
+        # closures fold to cl/vcl, h# to sil, q deleted
+        ids = v.encode_text("h# pcl bcl q aa h#")
+        toks = [v.tokens[i] for i in ids]
+        assert toks == ["sil", "cl", "vcl", "aa", "sil"]
+        assert UNK not in ids
+
+    def test_39_scoring_map_covers_48_classes(self):
+        from semi_supervised_asr_tpu.data.vocab import (
+            TIMIT_39, timit_39_id_map, timit_vocab,
+        )
+
+        v = timit_vocab(fold48=True)
+        table = timit_39_id_map(v)
+        assert len(table) == v.size
+        # every non-special class maps into the 39 set (none unknown)
+        for i, tok in enumerate(v.tokens):
+            if i < 4:
+                assert table[i] == -1
+            else:
+                assert 0 <= table[i] < len(TIMIT_39), tok
+
+    def test_61_and_48_training_score_identically_at_39(self):
+        """Folding to 48 then to 39 == folding 61 straight to 39."""
+        from semi_supervised_asr_tpu.data.vocab import (
+            TIMIT_61, timit_39_id_map, timit_vocab,
+        )
+
+        v61 = timit_vocab()
+        v48 = timit_vocab(fold48=True)
+        t61 = timit_39_id_map(v61)
+        t48 = timit_39_id_map(v48)
+        text = " ".join(TIMIT_61)
+        to39_via61 = [t61[i] for i in v61.encode_text(text) if t61[i] >= 0]
+        to39_via48 = [t48[i] for i in v48.encode_text(text) if t48[i] >= 0]
+        assert to39_via61 == to39_via48
+
+    def test_save_load_keeps_fold(self, tmp_path):
+        from semi_supervised_asr_tpu.data.vocab import Vocab, timit_vocab
+
+        v = timit_vocab(fold48=True)
+        v.save(tmp_path / "v.json")
+        w = Vocab.load(tmp_path / "v.json")
+        assert w.fold == v.fold
+        assert w.encode_text("pcl q aa") == v.encode_text("pcl q aa")
