@@ -103,6 +103,15 @@ class BPEVocab:
 
     def __post_init__(self):
         assert tuple(self.tokens[:4]) == tuple(SPECIALS), "specials must lead"
+        # tokenization is the corpus hot path (every __getitem__ and every
+        # bucketing length probe re-encodes) — cache the lookup tables once
+        # (object.__setattr__: the dataclass is frozen/immutable)
+        object.__setattr__(
+            self, "_stoi", {t: i for i, t in enumerate(self.tokens)}
+        )
+        object.__setattr__(
+            self, "_rank", {p: r for r, p in enumerate(self.merges)}
+        )
 
     unit = "bpe"
 
@@ -111,10 +120,10 @@ class BPEVocab:
         return len(self.tokens)
 
     def stoi(self) -> dict[str, int]:
-        return {t: i for i, t in enumerate(self.tokens)}
+        return self._stoi
 
     def _ranks(self) -> dict[tuple[str, str], int]:
-        return {p: r for r, p in enumerate(self.merges)}
+        return self._rank
 
     def encode_word(self, word: str) -> list[str]:
         sym = list(_word_symbols(word))

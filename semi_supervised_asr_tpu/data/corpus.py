@@ -48,6 +48,14 @@ def load_audio(path: str | Path) -> np.ndarray:
     raise ValueError(f"unsupported audio format: {path.suffix}")
 
 
+def vocab_fingerprint(vocab) -> str:
+    """Stable id of a vocab's token->id map (size + token-list hash)."""
+    import hashlib
+
+    h = hashlib.sha1("\x00".join(vocab.tokens).encode()).hexdigest()[:12]
+    return f"{vocab.unit}:{vocab.size}:{h}"
+
+
 class ManifestDataset:
     """Lazy corpus over a jsonl manifest; lengths come from the manifest so
     bucketing never touches audio files."""
@@ -101,6 +109,16 @@ class FeatureDataset:
     def __init__(self, h5_path: str | Path, vocab: Vocab):
         self.store = H5FeatureStore(h5_path)
         self.vocab = vocab
+        # stores bake token IDS — a store written under a different vocab
+        # (char vs fold48 vs BPE) would silently corrupt training
+        stored = self.store.vocab_fingerprint()
+        if stored is not None and stored != vocab_fingerprint(vocab):
+            raise ValueError(
+                f"{h5_path}: feature store was written with a different "
+                f"vocab ({stored}) than the configured one "
+                f"({vocab_fingerprint(vocab)}) — re-run preprocess with "
+                "matching --fold48/--bpe/unit settings"
+            )
 
     def __len__(self) -> int:
         return len(self.store)
@@ -134,6 +152,14 @@ class H5FeatureStore:
 
         self.h5 = h5py.File(path, mode)
         self._uids = sorted(self.h5.keys()) if mode == "r" else []
+
+    def set_vocab(self, vocab) -> None:
+        """Record which vocab produced the stored token ids."""
+        self.h5.attrs["vocab_fingerprint"] = vocab_fingerprint(vocab)
+
+    def vocab_fingerprint(self) -> str | None:
+        v = self.h5.attrs.get("vocab_fingerprint")
+        return str(v) if v is not None else None
 
     def add(self, uid: str, feats: np.ndarray, tokens: np.ndarray,
             text: str = "") -> None:

@@ -115,6 +115,7 @@ def build_features(entries: list[dict], vocab, fcfg: FrontendConfig,
     from semi_supervised_asr_tpu.ops import frontend_oracle as oracle
 
     store = H5FeatureStore(out, "w")
+    store.set_vocab(vocab)   # stores bake ids; guard against vocab mismatch
     for e in entries:
         audio = load_audio(e["audio"]).astype(np.float64)
         feats = oracle.log_mel(audio, fcfg).astype(np.float32)
@@ -135,14 +136,18 @@ def main(argv=None) -> int:
                    help="also write HDF5 log-mel feature stores")
     p.add_argument("--bpe", type=int, default=0, metavar="N",
                    help="(librispeech) train an N-piece BPE tokenizer on "
-                        "the FIRST split's transcripts -> bpe.json "
+                        "the FIRST split's transcripts -> bpe.json; with "
+                        "--features, stores bake BPE ids "
                         "(use with data.unit=bpe + data.bpe_path)")
+    p.add_argument("--fold48", action="store_true",
+                   help="(timit) tokenize with the 48-class training fold "
+                        "(data.timit_fold48 must match at train time)")
     args = p.parse_args(argv)
 
     root, out = Path(args.root), Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     if args.corpus == "timit":
-        vocab = timit_vocab()
+        vocab = timit_vocab(fold48=args.fold48)
         splits = (args.splits or "train,test").split(",")
         scan = lambda s: scan_timit(root, s)  # noqa: E731
     else:
@@ -166,6 +171,7 @@ def main(argv=None) -> int:
             bpe.save(out / "bpe.json")
             print(f"BPE: {bpe.size} pieces "
                   f"({len(bpe.merges)} merges) -> {out}/bpe.json")
+            vocab = bpe   # --features stores then bake BPE ids
         if args.features:
             build_features(entries, vocab, fcfg, out / f"{name}.h5")
     return 0

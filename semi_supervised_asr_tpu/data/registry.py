@@ -70,11 +70,27 @@ def build_datasets(cfg: Config) -> DataBundle:
             def load(split):
                 return ManifestDataset(f"{d.data_dir}/{split}.jsonl", vocab)
 
+        def load_test():
+            """data.test_split is only consumed by --test; a missing
+            manifest must not block training (warn instead of crash)."""
+            if not d.test_split:
+                return None
+            from pathlib import Path
+
+            ext = "h5" if d.use_feature_store else "jsonl"
+            path = Path(d.data_dir) / f"{d.test_split}.{ext}"
+            if not path.exists():
+                print(f"WARNING: data.test_split={d.test_split!r} but "
+                      f"{path} does not exist — --test will score dev; "
+                      "add the split to preprocess --splits to fix")
+                return None
+            return load(d.test_split)
+
         return DataBundle(
             vocab=vocab,
             train=load(d.labeled_split),
             dev=load("dev"),
-            test=load(d.test_split) if d.test_split else None,
+            test=load_test(),
             unlabeled_audio=(
                 load(d.unlabeled_audio_split) if d.unlabeled_audio_split else None
             ),

@@ -94,6 +94,13 @@ class Solver:
         self.state = TS.init_train_state(
             cfg, jax.random.PRNGKey(cfg.train.seed)
         )
+        if cfg.model.lm_fusion != "none" and not cfg.model.lm_fusion_ckpt:
+            self.log.info(
+                f"WARNING: model.lm_fusion={cfg.model.lm_fusion!r} but "
+                "model.lm_fusion_ckpt is empty — fusing a RANDOM untrained "
+                "LM (train one with training/lm_trainer.py and point "
+                "lm_fusion_ckpt at its workdir)"
+            )
         if cfg.model.lm_fusion != "none" and cfg.model.lm_fusion_ckpt:
             # deep/cold fusion: graft the trained (frozen) LM into the
             # speller tree before any training/decoding

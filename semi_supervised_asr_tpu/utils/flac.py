@@ -67,15 +67,17 @@ def stream_info(path: str | Path) -> dict:
     }
 
 
-def read_flac_int(path: str | Path) -> tuple[np.ndarray, int]:
-    """Decode a FLAC file -> (int32 samples [n, channels], sample_rate)."""
+def read_flac_int(path: str | Path) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC file -> (int32 samples [n, channels], sample_rate,
+    bits_per_sample)."""
     data = Path(path).read_bytes()
     lib = _load()
     info = (ctypes.c_int64 * 4)()
     rc = lib.flac_stream_info(data, len(data), info)
     if rc != 0:
         raise ValueError(f"{path}: not a valid FLAC stream (rc={rc})")
-    total, rate, channels = int(info[0]), int(info[1]), int(info[2])
+    total, rate, channels, bits = (int(info[0]), int(info[1]),
+                                   int(info[2]), int(info[3]))
     # STREAMINFO may legally report 0 total samples; fall back to a bound
     # from the compressed size (FLAC never expands 16-bit audio 4x).
     cap_per_ch = total if total > 0 else (len(data) * 4) // channels + 65536
@@ -86,7 +88,7 @@ def read_flac_int(path: str | Path) -> tuple[np.ndarray, int]:
     )
     if got < 0:
         raise ValueError(f"{path}: FLAC decode failed (rc={got})")
-    return out[: got * channels].reshape(int(got), channels), rate
+    return out[: got * channels].reshape(int(got), channels), rate, bits
 
 
 def read_flac(path: str | Path) -> tuple[np.ndarray, int]:
@@ -94,8 +96,7 @@ def read_flac(path: str | Path) -> tuple[np.ndarray, int]:
 
     Multichannel audio is averaged to mono (LibriSpeech itself is mono).
     """
-    samples, rate = read_flac_int(path)
-    bits = stream_info(path)["bits"]
+    samples, rate, bits = read_flac_int(path)
     wav = samples.astype(np.float32) / np.float32(2 ** (bits - 1))
     if wav.shape[1] > 1:
         wav = wav.mean(axis=1)
@@ -111,5 +112,5 @@ def flac_num_samples(path: str | Path) -> int:
     in that case so manifest lengths are always real."""
     n = stream_info(path)["n_samples"]
     if n == 0:
-        n = read_flac_int(path)[0].shape[0]
+        n = int(read_flac_int(path)[0].shape[0])
     return n

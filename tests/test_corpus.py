@@ -154,3 +154,31 @@ class TestPreprocessLibrispeech:
         v = char_vocab()
         assert v.decode_text(tokens) == "ab"
         store.close()
+
+
+class TestMissingTestSplit:
+    def test_missing_test_manifest_warns_not_crashes(self, tmp_path, capsys):
+        """data.test_split pointing at a nonexistent manifest must not
+        block training (it is only consumed by --test)."""
+        import dataclasses
+
+        from semi_supervised_asr_tpu.config import Config, DataConfig
+        from semi_supervised_asr_tpu.data.registry import build_datasets
+
+        d = tmp_path / "train-clean-100" / "1" / "2"
+        d.mkdir(parents=True)
+        write_wav(d / "1-2-0000.wav", 1600)
+        (d / "1-2.trans.txt").write_text("1-2-0000 AB\n")
+        out = tmp_path / "out"
+        PP.main(["librispeech", "--root", str(tmp_path), "--out", str(out),
+                 "--splits", "train-clean-100,dev-clean"])
+        # dev-clean had no data -> write an empty-but-present dev manifest
+        (out / "dev.jsonl").write_text(
+            (out / "train-clean-100.jsonl").read_text())
+        cfg = Config(data=DataConfig(
+            dataset="librispeech", data_dir=str(out), unit="char",
+            labeled_split="train-clean-100", test_split="test-clean",
+        ))
+        bundle = build_datasets(cfg)
+        assert bundle.test is None
+        assert "test-clean" in capsys.readouterr().out

@@ -74,3 +74,27 @@ def test_train_and_decode_from_features(h5_dir, tmp_path):
         solver.bundle.train, solver.state.params, "greedy"
     )
     assert 0.0 <= rate <= 1.0 and len(records) == 16
+
+
+def test_vocab_fingerprint_guard(tmp_path):
+    """A store baked under one vocab must refuse to load under another
+    (token ids are vocab-relative; silent mismatch corrupts training)."""
+    import pytest
+
+    from semi_supervised_asr_tpu.data.corpus import (
+        FeatureDataset, H5FeatureStore,
+    )
+    from semi_supervised_asr_tpu.data.vocab import char_vocab, timit_vocab
+
+    p = tmp_path / "f.h5"
+    store = H5FeatureStore(p, "w")
+    store.set_vocab(timit_vocab())
+    store.add("u0", np.zeros((10, 80), np.float32),
+              np.asarray([5, 6, 2], np.int32), "x")
+    store.close()
+    # matching vocab loads fine
+    FeatureDataset(p, timit_vocab())
+    with pytest.raises(ValueError, match="different"):
+        FeatureDataset(p, char_vocab())
+    with pytest.raises(ValueError, match="different"):
+        FeatureDataset(p, timit_vocab(fold48=True))

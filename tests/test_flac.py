@@ -32,7 +32,7 @@ def roundtrip(signal, **kw):
     with tempfile.TemporaryDirectory() as d:
         p = pathlib.Path(d) / "x.flac"
         p.write_bytes(data)
-        samples, rate = flac.read_flac_int(p)
+        samples, rate, _ = flac.read_flac_int(p)
         info = flac.stream_info(p)
     return samples, rate, info
 
