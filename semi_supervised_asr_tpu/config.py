@@ -32,6 +32,9 @@ class FrontendConfig:
     center: bool = True           # librosa-style reflect-centered frames
     log_floor: float = 1e-10
     preemphasis: float = 0.0      # 0 disables (librosa convention)
+    # "xla" = jnp.fft.rfft (VPU-bound on TPU); "matmul" = real-DFT as two
+    # fp32 MXU matmuls — ~10x faster frontend on TPU, parity ~1e-5
+    fft_backend: str = "xla"
     # CMVN
     cmvn: str = "global"          # "global" | "utterance" | "none"
     # SpecAugment (Park et al. 2019, arXiv:1904.08779)

@@ -224,3 +224,30 @@ class TestTimeWarp:
             jax.random.PRNGKey(5), jnp.asarray(ramp), jnp.asarray(lens), cfg
         ))[0, :, 0]
         assert np.all(np.diff(out) >= -1e-4), out
+
+
+class TestMatmulDFT:
+    def test_power_spectrum_matches_rfft(self):
+        cfg_fft = FrontendConfig(spec_augment=False, cmvn="none")
+        cfg_mm = FrontendConfig(spec_augment=False, cmvn="none",
+                                fft_backend="matmul")
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(rng.standard_normal((3, 4000)).astype(np.float32))
+        a = np.asarray(frontend.power_spectrogram(audio, cfg_fft))
+        b = np.asarray(frontend.power_spectrogram(audio, cfg_mm))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+
+    def test_log_mel_close(self):
+        """End metric: log-mel features agree to ~1e-4 absolute."""
+        cfg_fft = FrontendConfig(spec_augment=False, cmvn="none")
+        cfg_mm = FrontendConfig(spec_augment=False, cmvn="none",
+                                fft_backend="matmul")
+        rng = np.random.default_rng(1)
+        audio = jnp.asarray(
+            (rng.standard_normal((2, 6400)) * 0.3).astype(np.float32))
+        lens = jnp.asarray([6400, 4000], np.int32)
+        a, la = frontend.log_mel_features(audio, lens, cfg_fft, None, None)
+        b, lb = frontend.log_mel_features(audio, lens, cfg_mm, None, None)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)
