@@ -157,6 +157,8 @@ class TrainConfig:
     log_every: int = 100
     ckpt_every: int = 1000
     keep_ckpts: int = 3
+    async_ckpt: bool = False          # orbax background saves (steps keep
+                                      # pipelining during the write)
     seed: int = 0
     ckpt_dir: str = "checkpoints"
     remat_encoder: bool = False       # jax.checkpoint the listener
@@ -164,6 +166,10 @@ class TrainConfig:
     profile_steps: int = 0            # 0 disables
     profile_start: int = 10
     debug_nans: bool = False          # jax_debug_nans for repro sessions
+    # checkify debug harness: "" off, else comma list of
+    # nan|index|div|all — functionalized runtime checks in the train step
+    # (single-device debug runs only)
+    checkify_errors: str = ""
 
 
 @dataclass(frozen=True)

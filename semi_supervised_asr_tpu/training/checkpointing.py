@@ -28,14 +28,20 @@ class Checkpointer:
         max_to_keep: int = 3,
         best_metric: str | None = None,
         best_mode: str = "min",
+        async_save: bool = False,
     ):
+        """``async_save`` (train.async_ckpt): orbax persists in a
+        background thread so training steps keep pipelining during the
+        write; save() then returns immediately and restore/close drain
+        in-flight saves first."""
         self.dir = Path(directory).absolute()
         self.dir.mkdir(parents=True, exist_ok=True)
+        self.async_save = async_save
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=(lambda m: m[best_metric]) if best_metric else None,
             best_mode=best_mode,
-            enable_async_checkpointing=False,  # deterministic for tests
+            enable_async_checkpointing=async_save,
         )
         self.mgr = ocp.CheckpointManager(self.dir, options=options)
 
@@ -55,7 +61,8 @@ class Checkpointer:
             args=ocp.args.StandardSave(tree),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
-        self.mgr.wait_until_finished()
+        if not self.async_save:
+            self.mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
         return self.mgr.latest_step()
@@ -67,6 +74,7 @@ class Checkpointer:
         self, state_template: TrainState, step: int | None = None
     ) -> tuple[TrainState, dict, int]:
         """-> (state, data_pos, step). Template supplies shapes/dtypes."""
+        self.mgr.wait_until_finished()    # drain in-flight async saves
         if step is None:
             step = self.latest_step()
         assert step is not None, f"no checkpoint found in {self.dir}"
@@ -104,4 +112,5 @@ class Checkpointer:
         return avg, steps
 
     def close(self) -> None:
+        self.mgr.wait_until_finished()
         self.mgr.close()

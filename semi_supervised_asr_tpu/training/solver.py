@@ -132,6 +132,7 @@ class Solver:
             self.workdir / cfg.train.ckpt_dir,
             max_to_keep=cfg.train.keep_ckpts,
             best_metric="dev_error",
+            async_save=cfg.train.async_ckpt,
         )
         self._decode_fns: dict = {}
         self.data_pos = {"epoch": 0, "batch": 0}
@@ -342,6 +343,7 @@ class Solver:
             last_eval = self.validate()
             self.ckpt.save(int(self.state.step), self.state, self.data_pos,
                            {"dev_error": last_eval["dev_error"]})
+        self.ckpt.mgr.wait_until_finished()   # drain async saves at exit
         return last_eval
 
     # ------------------------------------------------------------------ #

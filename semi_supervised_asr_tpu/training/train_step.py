@@ -332,6 +332,33 @@ def make_train_step(
         fn = semi_body
 
     donate = (0,) if cfg.parallel.donate_state else ()
+    if cfg.train.checkify_errors:
+        # Debug harness (SURVEY.md §6 "race detection / sanitizers"
+        # substitute): functionalized runtime checks — NaN/inf, OOB
+        # gather/scatter indices, div-by-zero — raised host-side with the
+        # failing check's location.  Single-device only (the err pytree
+        # would need its own sharding under a mesh) and not for prod runs.
+        assert mesh is None, "train.checkify_errors requires use_mesh=False"
+        from jax.experimental import checkify
+
+        sets = {
+            "nan": checkify.float_checks,
+            "index": checkify.index_checks,
+            "div": checkify.div_checks,
+            "all": checkify.all_checks,
+        }
+        errs: frozenset = frozenset()
+        for name in cfg.train.checkify_errors.split(","):
+            errs = errs | sets[name.strip()]
+        checked = jax.jit(checkify.checkify(fn, errors=errs),
+                          donate_argnums=donate)
+
+        def step_throwing(*args):
+            err, out = checked(*args)
+            checkify.check_error(err)   # raises JaxRuntimeError host-side
+            return out
+
+        return step_throwing
     if mesh is None:
         return jax.jit(fn, donate_argnums=donate)
 

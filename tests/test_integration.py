@@ -182,3 +182,26 @@ class TestCLI:
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert (tmp_path / "metrics.jsonl").exists()
+
+
+class TestAsyncCheckpoint:
+    def test_async_save_restores_identically(self, tmp_path):
+        """train.async_ckpt: background saves drain before restore and
+        produce bit-identical state."""
+        cfg = small_cfg(**{
+            "data.num_synthetic_utts": 8,
+            "train.batch_size": 4,
+            "train.total_steps": 4,
+            "train.eval_every": 0,
+            "train.ckpt_every": 2,
+            "train.log_every": 2,
+            "train.async_ckpt": "true",
+        })
+        solver = Solver(cfg, tmp_path, use_mesh=False)
+        solver.train()
+        assert solver.ckpt.latest_step() == 4
+        restored, _, step = solver.ckpt.restore(solver.state)
+        assert step == 4
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(solver.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -174,3 +174,41 @@ class TestGradAccumulation:
 
         with pytest.raises(AssertionError, match="grad_accum"):
             step(state, audio, alens, tokens, real, *cmvn)
+
+
+class TestCheckify:
+    def _cfg(self):
+        import dataclasses
+        return CFG.replace(
+            train=dataclasses.replace(CFG.train, checkify_errors="nan,div"))
+
+    def test_clean_step_passes(self):
+        cfg = self._cfg()
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(0))
+        step = TS.make_train_step(cfg)
+        audio, alens, tokens, real, cmvn = make_batch()
+        state, m = step(state, audio, alens, tokens, real, *cmvn)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_nan_input_raises(self):
+        import pytest
+
+        cfg = self._cfg()
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(0))
+        step = TS.make_train_step(cfg)
+        audio, alens, tokens, real, cmvn = make_batch()
+        audio[:, 100:200] = np.nan
+        with pytest.raises(Exception, match="nan"):
+            step(state, audio, alens, tokens, real, *cmvn)
+
+    def test_rejects_mesh(self):
+        import pytest
+
+        from semi_supervised_asr_tpu.parallel import mesh as MESH
+
+        cfg = self._cfg()
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device")
+        m = MESH.make_mesh(cfg.parallel)
+        with pytest.raises(AssertionError, match="use_mesh"):
+            TS.make_train_step(cfg, mesh=m)
