@@ -73,6 +73,7 @@ class ModelConfig:
     enc_dropout: float = 0.0
     # each pyramid layer folds 2 frames -> total reduction 2**enc_layers
     # Attention
+    attn_type: str = "location"   # "location" | "additive" | "dot"
     attn_dim: int = 128
     attn_conv_channels: int = 10  # location-feature conv channels
     attn_conv_width: int = 100    # conv kernel width over previous alignment

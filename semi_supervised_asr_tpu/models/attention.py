@@ -1,7 +1,14 @@
-"""Location-aware attention (Chorowski et al. 2015, arXiv:1506.07503).
+"""Attention mechanisms for the speller (SURVEY.md §3 #9).
 
+Default: location-aware attention (Chorowski et al. 2015, arXiv:1506.07503)
 score_t = v . tanh(W_q s + W_k h_t + W_f f_t + b), where f = conv1d over the
-previous alignment alpha.  TPU-native realization (SURVEY.md §3 #9):
+previous alignment alpha.  ``model.attn_type`` also offers:
+
+* "additive" — Bahdanau content-only scoring (same MLP, no location conv);
+* "dot"      — scaled dot-product (W_q s) . (W_k h_t) / sqrt(A); the
+  cheapest step, no tanh MLP.
+
+TPU-native realization:
 
 * the key projection ``W_k h`` is computed ONCE per utterance and cached —
   it is also the beam-search encoder cache (BASELINE.json:9);
@@ -29,16 +36,27 @@ def init_attention(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
     kq, kk, kf, kc, kv = jax.random.split(key, 5)
     a = cfg.attn_dim
     glorot = jax.nn.initializers.glorot_uniform()
-    return {
+    params = {
         "w_query": glorot(kq, (cfg.dec_hidden, a), dtype),
         "w_key": glorot(kk, (cfg.enc_out_dim, a), dtype),
-        "w_loc": glorot(kf, (cfg.attn_conv_channels, a), dtype),
-        # conv filters over the previous alignment: [width, 1, channels]
-        "conv": jax.random.normal(kc, (cfg.attn_conv_width, 1, cfg.attn_conv_channels), dtype)
-        * (1.0 / math.sqrt(cfg.attn_conv_width)),
+    }
+    if cfg.attn_type == "dot":
+        return params
+    params.update({
         "bias": jnp.zeros((a,), dtype),
         "v": glorot(kv, (a, 1), dtype).reshape(-1),
-    }
+    })
+    if cfg.attn_type == "location":
+        params.update({
+            "w_loc": glorot(kf, (cfg.attn_conv_channels, a), dtype),
+            # conv filters over the previous alignment: [width, 1, channels]
+            "conv": jax.random.normal(
+                kc, (cfg.attn_conv_width, 1, cfg.attn_conv_channels), dtype
+            ) * (1.0 / math.sqrt(cfg.attn_conv_width)),
+        })
+    elif cfg.attn_type != "additive":
+        raise ValueError(f"unknown attn_type {cfg.attn_type!r}")
+    return params
 
 
 def precompute_keys(params: dict, enc: jax.Array) -> jax.Array:
@@ -74,13 +92,19 @@ def attend(
         "bd,da->ba", query, params["w_query"],
         preferred_element_type=jnp.float32,
     )
-    f = location_features(params, prev_alpha)          # [B*, T, C]
-    floc = jnp.einsum(
-        "btc,ca->bta", f, params["w_loc"],
-        preferred_element_type=jnp.float32,
-    )
-    e = jnp.tanh(q[:, None, :] + keys + floc + params["bias"])
-    scores = jnp.einsum("bta,a->bt", e, params["v"])
+    if "v" not in params:                              # dot product
+        scores = jnp.einsum(
+            "ba,bta->bt", q, keys, preferred_element_type=jnp.float32
+        ) / math.sqrt(q.shape[-1])
+    else:
+        e = q[:, None, :] + keys + params["bias"]
+        if "conv" in params:                           # location-aware
+            f = location_features(params, prev_alpha)  # [B*, T, C]
+            e = e + jnp.einsum(
+                "btc,ca->bta", f, params["w_loc"],
+                preferred_element_type=jnp.float32,
+            )
+        scores = jnp.einsum("bta,a->bt", jnp.tanh(e), params["v"])
     scores = jnp.where(mask, scores * sharpening, NEG_INF)
     alpha = jax.nn.softmax(scores, axis=-1)
     alpha = jnp.where(mask, alpha, 0.0)  # exact zeros on pads

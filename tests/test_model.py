@@ -4,6 +4,7 @@ teacher-forced forward, weight sharing (SURVEY.md §5.2)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from semi_supervised_asr_tpu.config import ModelConfig
 from semi_supervised_asr_tpu.models import attention as A
@@ -137,3 +138,74 @@ class TestWeightSharing:
             np.all(np.asarray(x) == 0)
             for x in jax.tree.leaves(g["listener"])
         )
+
+
+class TestAttentionVariants:
+    def _setup(self, attn_type, seed=0, b=2, t=6):
+        import dataclasses
+
+        from semi_supervised_asr_tpu.models import attention as A
+
+        cfg = dataclasses.replace(CFG, attn_type=attn_type)
+        params = A.init_attention(jax.random.PRNGKey(seed), cfg)
+        rng = jax.random.PRNGKey(seed + 1)
+        enc = jax.random.normal(rng, (b, t, cfg.enc_out_dim))
+        mask = jnp.asarray([[True] * t, [True] * (t - 2) + [False] * 2])
+        keys = A.precompute_keys(params, enc)
+        query = jax.random.normal(jax.random.PRNGKey(seed + 2),
+                                  (b, cfg.dec_hidden))
+        alpha0 = A.initial_alpha(mask)
+        return cfg, A, params, query, alpha0, keys, enc, mask
+
+    @pytest.mark.parametrize("attn_type", ["location", "additive", "dot"])
+    def test_pads_get_exact_zero(self, attn_type):
+        cfg, A, params, query, alpha0, keys, enc, mask = self._setup(
+            attn_type)
+        ctx, alpha = A.attend(params, query, alpha0, keys, enc, mask)
+        assert ctx.shape == (2, cfg.enc_out_dim)
+        a = np.asarray(alpha)
+        np.testing.assert_array_equal(a[1, 4:], 0.0)
+        np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-6)
+
+    @pytest.mark.parametrize("attn_type", ["additive", "dot"])
+    def test_content_only_ignores_alignment(self, attn_type):
+        """Non-location variants must not depend on the previous alpha."""
+        cfg, A, params, query, alpha0, keys, enc, mask = self._setup(
+            attn_type)
+        other = jnp.roll(alpha0, 1, axis=-1)
+        _, a1 = A.attend(params, query, alpha0, keys, enc, mask)
+        _, a2 = A.attend(params, query, other, keys, enc, mask)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_location_uses_alignment(self):
+        cfg, A, params, query, alpha0, keys, enc, mask = self._setup(
+            "location")
+        other = jnp.concatenate(
+            [alpha0[:, 1:], alpha0[:, :1]], axis=-1) * mask
+        _, a1 = A.attend(params, query, alpha0, keys, enc, mask)
+        _, a2 = A.attend(params, query, other, keys, enc, mask)
+        assert not np.array_equal(np.asarray(a1), np.asarray(a2))
+
+    @pytest.mark.parametrize("attn_type", ["additive", "dot"])
+    def test_end_to_end_forward_and_beam(self, attn_type):
+        """Full model + beam search work with every attention variant."""
+        import dataclasses
+
+        from semi_supervised_asr_tpu.config import DecodeConfig
+        from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+
+        cfg = dataclasses.replace(CFG, attn_type=attn_type)
+        params = M.init_model(jax.random.PRNGKey(7), cfg)
+        feats = jax.random.normal(jax.random.PRNGKey(8), (2, 8, cfg.n_mels))
+        lens = jnp.asarray([8, 6])
+        enc, enc_mask, keys = M.encode(params, feats, lens, cfg)
+        tokens_in = jnp.asarray([[1, 4, 5], [1, 5, 6]], jnp.int32)
+        logits, alphas = M.forward_teacher(
+            params, cfg, feats, lens, tokens_in, tf_rate=1.0,
+            rng=jax.random.PRNGKey(0))
+        assert logits.shape == (2, 3, cfg.vocab_size)
+        assert np.isfinite(np.asarray(logits)).all()
+        hyps, scores = beam_decode_from_enc(
+            params["speller"], cfg, DecodeConfig(beam_size=2),
+            enc, enc_mask, keys, 6)
+        assert hyps.shape == (2, 6)
