@@ -71,6 +71,19 @@ def assemble_batch(
     return Batch(audio, audio_lens, tokens, token_lens, real, bucket, uids)
 
 
+
+def _warn_skipped(skipped: list[int], n: int, epoch: int) -> None:
+    """No silent caps (SURVEY.md quality rule): utterances longer than the
+    largest (frame, token) bucket are SKIPPED, not truncated — say so once
+    (epoch 0) so coverage loss is visible."""
+    if skipped and epoch == 0:
+        print(
+            f"WARNING: {len(skipped)}/{n} utterances exceed the largest "
+            "bucket and are skipped every epoch — raise "
+            "data.frame_buckets/token_buckets to cover them"
+        )
+
+
 def epoch_batches(
     dataset,
     spec: BucketSpec,
@@ -87,9 +100,10 @@ def epoch_batches(
         (dataset.audio_len(i), dataset.token_len(i))
         for i in range(len(dataset))
     ]
-    plan, _skipped = plan_epoch(
+    plan, skipped = plan_epoch(
         lengths, spec, batch_size, seed, epoch, drop_remainder
     )
+    _warn_skipped(skipped, len(dataset), epoch)
     for k, (bucket, idxs, n_real) in enumerate(plan):
         if k % num_shards != shard_index:
             continue
@@ -173,9 +187,10 @@ def epoch_feature_batches(
         # plan_epoch buckets via frames_for_samples(n_samples); invert it so
         # the frame count round-trips exactly: samples = (frames-1)*hop
         lengths.append((spec.samples_for_frames(frames), toks))
-    plan, _skipped = plan_epoch(
+    plan, skipped = plan_epoch(
         lengths, spec, batch_size, seed, epoch, drop_remainder
     )
+    _warn_skipped(skipped, len(dataset), epoch)
     for k, (bucket, idxs, n_real) in enumerate(plan):
         if k % num_shards != shard_index:
             continue

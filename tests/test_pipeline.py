@@ -170,3 +170,22 @@ class TestTextBatches:
         stream = text_batches(ds, 16, 4, 0, shard_index=1, num_shards=2)
         with pytest.raises(ValueError, match="empty"):
             next(stream)
+
+
+class TestSkippedWarning:
+    def test_overlong_utts_warned_once(self, capsys):
+        from semi_supervised_asr_tpu.data.pipeline import epoch_batches
+
+        ds = make_ds(8)
+        tiny = make_bucket_spec(
+            DataConfig(frame_buckets=(96,), token_buckets=(4,)), FCFG,
+            time_reduction=8,
+        )
+        list(epoch_batches(ds, tiny, FCFG, 2, seed=0, epoch=0,
+                           drop_remainder=False))
+        out = capsys.readouterr().out
+        assert "exceed the largest bucket" in out
+        # only the first epoch warns
+        list(epoch_batches(ds, tiny, FCFG, 2, seed=0, epoch=1,
+                           drop_remainder=False))
+        assert "exceed" not in capsys.readouterr().out
