@@ -1,0 +1,160 @@
+"""Model export for serving: decode as a serialized StableHLO artifact.
+
+Production-deployment story beyond the research loop: a trained checkpoint
+is baked (params as constants) into a self-contained, framework-free
+artifact via ``jax.export`` — loadable later with only jax installed, on
+any backend that can lower it (TPU serving, CPU smoke), with no model
+code, config, or checkpoint tree at inference time.
+
+    python -m semi_supervised_asr_tpu.export --config configs/timit.yaml \
+        --load-dir runs/timit --out runs/timit/export \
+        --batch 8 --frames 400 [--beam 5 | --greedy]
+
+Artifacts are one-per-shape (static shapes are the TPU contract —
+bucketing at serving time mirrors training); the manifest lists them.
+Use :func:`load_artifact` / :func:`run_artifact` to serve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_decode_fn(cfg, params, mode: str = "beam"):
+    """-> fn(audio [B,S], audio_lens [B]) -> (tokens, scores), params baked.
+
+    The full serving pipeline — on-device frontend (STFT->mel->CMVN, no
+    augmentation) -> listener -> batched beam/greedy — as ONE function of
+    raw audio, so the artifact needs no feature preprocessing either.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+    from semi_supervised_asr_tpu.decode.greedy import greedy_decode_from_enc
+    from semi_supervised_asr_tpu.models import seq2seq as M
+    from semi_supervised_asr_tpu.training.train_step import featurize
+
+    cmvn_mean = jnp.asarray(params.pop("__cmvn_mean"))
+    cmvn_std = jnp.asarray(params.pop("__cmvn_std"))
+    params = jax.tree.map(jnp.asarray, params)
+
+    def fn(audio, audio_lens):
+        feats, flens = featurize(
+            cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
+        )
+        enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
+        max_u = max(1, min(
+            cfg.data.token_buckets[-1],
+            cfg.decode.max_decode_len,
+            int(cfg.decode.max_decode_ratio * enc.shape[1])
+            if cfg.decode.max_decode_ratio > 0 else 10**9,
+        ))
+        if mode == "greedy":
+            toks, logp = greedy_decode_from_enc(
+                params["speller"], cfg.model, enc, enc_mask, keys, max_u
+            )
+            return toks, jnp.sum(logp, axis=-1)
+        return beam_decode_from_enc(
+            params["speller"], cfg.model, cfg.decode, enc, enc_mask, keys,
+            max_u,
+        )
+
+    return fn
+
+
+def export_decode(cfg, params, batch: int, frames: int,
+                  mode: str = "beam") -> bytes:
+    """Serialize the decode fn for a fixed [batch, frames] shape."""
+    import jax
+    from jax import export as jexport
+
+    fn = build_decode_fn(cfg, params, mode)
+    s = (frames - 1) * cfg.frontend.hop_length
+    specs = (
+        jax.ShapeDtypeStruct((batch, s), np.float32),
+        jax.ShapeDtypeStruct((batch,), np.int32),
+    )
+    return jexport.export(jax.jit(fn))(*specs).serialize()
+
+
+def load_artifact(path: str | Path):
+    """-> callable(audio, audio_lens) -> (tokens, scores)."""
+    from jax import export as jexport
+
+    exp = jexport.deserialize(Path(path).read_bytes())
+    return lambda audio, audio_lens: exp.call(audio, audio_lens)
+
+
+def run_artifact(path: str | Path, audio: np.ndarray,
+                 audio_lens: np.ndarray):
+    return load_artifact(path)(audio, audio_lens)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="semi_supervised_asr_tpu.export")
+    p.add_argument("--config", required=True)
+    p.add_argument("--load-dir", required=True,
+                   help="training workdir (checkpoints + cmvn.npz)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--frames", type=int, default=None,
+                   help="comma list of frame buckets; default: the "
+                        "config's data.frame_buckets")
+    p.add_argument("--greedy", action="store_true",
+                   help="export greedy instead of beam decode")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("overrides", nargs="*", default=[])
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from semi_supervised_asr_tpu.config import load_config
+    from semi_supervised_asr_tpu.training.solver import Solver
+
+    cfg = load_config(args.config, args.overrides)
+    solver = Solver(cfg, args.load_dir, use_mesh=False)
+    params = dict(solver.state.params)
+    if solver.ckpt.latest_step() is not None:
+        step = solver.ckpt.best_step() or solver.ckpt.latest_step()
+        state, _, _ = solver.ckpt.restore(solver.state, step)
+        params = dict(state.params)
+    params["__cmvn_mean"], params["__cmvn_std"] = solver.cmvn
+
+    mode = "greedy" if args.greedy else "beam"
+    frames = ([int(f) for f in str(args.frames).split(",")]
+              if args.frames else list(solver.spec.frame_buckets))
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = []
+    for fcount in frames:
+        blob = export_decode(solver.cfg, dict(params), args.batch, fcount,
+                             mode)
+        name = f"decode_{mode}_b{args.batch}_f{fcount}.shlo"
+        (out / name).write_bytes(blob)
+        manifest.append({
+            "file": name, "mode": mode, "batch": args.batch,
+            "frames": fcount, "bytes": len(blob),
+            "samples": (fcount - 1) * cfg.frontend.hop_length,
+        })
+        print(f"exported {name} ({len(blob)/1e6:.1f} MB)")
+    (out / "manifest.json").write_text(json.dumps({
+        "artifacts": manifest,
+        "vocab_unit": cfg.data.unit,
+        "hop_length": cfg.frontend.hop_length,
+    }, indent=1))
+    solver.vocab.save(out / "vocab.json")
+    print(f"manifest + vocab -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
