@@ -206,6 +206,8 @@ class DataConfig:
     unit: str = "phone"               # "phone" (TIMIT) | "char" | "bpe"
     timit_fold48: bool = False        # train on the 48-class fold
                                       # (61->48, Lee & Hon); score 39 always
+    sortagrad_epochs: int = 0         # first N epochs ascending by length
+                                      # (SortaGrad warmup), shuffled after
     # length bucketing: static (frames, tokens) buckets -> jit-stable shapes
     frame_buckets: tuple[int, ...] = (200, 400, 800, 1600)
     token_buckets: tuple[int, ...] = (32, 64, 128, 256)

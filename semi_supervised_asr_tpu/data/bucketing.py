@@ -79,6 +79,7 @@ def plan_epoch(
     seed: int,
     epoch: int,
     drop_remainder: bool = True,
+    sort_by_length: bool = False,
 ) -> tuple[list[tuple[tuple[int, int], list[int], int]], list[int]]:
     """Deterministic epoch plan.
 
@@ -88,11 +89,18 @@ def plan_epoch(
     row (tested: no sample dropped or duplicated, SURVEY.md §5.2).  With
     ``drop_remainder=False`` short final chunks are padded by repeating
     their first rows; ``n_real`` marks how many leading rows are genuine.
+
+    ``sort_by_length`` (SortaGrad, Amodei et al. 2015 — the era's warmup
+    trick, ``data.sortagrad_epochs``): utterances visit ascending by audio
+    length and batches run short-bucket-first instead of shuffled.
     """
     rng = np.random.default_rng((seed, epoch))
     by_bucket: dict[tuple[int, int], list[int]] = {}
     skipped: list[int] = []
-    order = rng.permutation(len(lengths))
+    if sort_by_length:
+        order = np.argsort([s for s, _ in lengths], kind="stable")
+    else:
+        order = rng.permutation(len(lengths))
     for i in order:
         key = spec.assign(*lengths[int(i)])
         if key is None:
@@ -110,6 +118,9 @@ def plan_epoch(
                     continue
                 chunk = (chunk * ((batch_size // n_real) + 1))[:batch_size]
             batches.append((key, chunk, n_real))
+    if sort_by_length:
+        batches.sort(key=lambda b: b[0])   # short buckets first
+        return batches, skipped
     # interleave buckets in random order (stable shuffling)
     perm = rng.permutation(len(batches))
     return [batches[int(p)] for p in perm], skipped

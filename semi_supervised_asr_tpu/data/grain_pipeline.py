@@ -33,6 +33,7 @@ def grain_epoch_batches(
     drop_remainder: bool = True,
     num_threads: int = 4,
     prefetch: int = 8,
+    sort_by_length: bool = False,
 ) -> Iterator[Batch]:
     """Per-host batch stream for one epoch via grain, with read-ahead."""
     lengths = [
@@ -40,7 +41,7 @@ def grain_epoch_batches(
         for i in range(len(dataset))
     ]
     plan, _ = plan_epoch(lengths, spec, batch_size, seed, epoch,
-                         drop_remainder)
+                         drop_remainder, sort_by_length)
     shard_plan = plan[shard_index::num_shards]
 
     def assemble(item):

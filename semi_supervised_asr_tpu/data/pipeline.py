@@ -94,6 +94,7 @@ def epoch_batches(
     shard_index: int = 0,
     num_shards: int = 1,
     drop_remainder: bool = True,
+    sort_by_length: bool = False,
 ) -> Iterator[Batch]:
     """Deterministic per-host batch stream for one epoch."""
     lengths = [
@@ -101,7 +102,8 @@ def epoch_batches(
         for i in range(len(dataset))
     ]
     plan, skipped = plan_epoch(
-        lengths, spec, batch_size, seed, epoch, drop_remainder
+        lengths, spec, batch_size, seed, epoch, drop_remainder,
+        sort_by_length,
     )
     _warn_skipped(skipped, len(dataset), epoch)
     for k, (bucket, idxs, n_real) in enumerate(plan):
@@ -179,6 +181,7 @@ def epoch_feature_batches(
     shard_index: int = 0,
     num_shards: int = 1,
     drop_remainder: bool = True,
+    sort_by_length: bool = False,
 ) -> Iterator[FeatureBatch]:
     """Feature-store variant of epoch_batches: buckets on FRAMES directly."""
     lengths = []
@@ -188,7 +191,8 @@ def epoch_feature_batches(
         # the frame count round-trips exactly: samples = (frames-1)*hop
         lengths.append((spec.samples_for_frames(frames), toks))
     plan, skipped = plan_epoch(
-        lengths, spec, batch_size, seed, epoch, drop_remainder
+        lengths, spec, batch_size, seed, epoch, drop_remainder,
+        sort_by_length,
     )
     _warn_skipped(skipped, len(dataset), epoch)
     for k, (bucket, idxs, n_real) in enumerate(plan):

@@ -153,12 +153,16 @@ class Solver:
             epoch = start_epoch
             while True:
                 self.data_pos["epoch"] = epoch
+                # SortaGrad warmup: ascending-length order for the first
+                # data.sortagrad_epochs epochs, shuffled after
+                sortagrad = epoch < self.cfg.data.sortagrad_epochs
                 if self.from_features:
                     it = pipe.epoch_feature_batches(
                         self.bundle.train, self.spec,
                         self.cfg.train.batch_size, self.cfg.train.seed,
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
+                        sort_by_length=sortagrad,
                     )
                 elif self.cfg.data.grain_threads > 0:
                     from semi_supervised_asr_tpu.data.grain_pipeline import (
@@ -171,6 +175,7 @@ class Solver:
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
                         num_threads=self.cfg.data.grain_threads,
+                        sort_by_length=sortagrad,
                     )
                 else:
                     it = pipe.epoch_batches(
@@ -178,6 +183,7 @@ class Solver:
                         self.cfg.train.batch_size, self.cfg.train.seed,
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
+                        sort_by_length=sortagrad,
                     )
                 for k, b in enumerate(it):
                     self.data_pos["batch"] = k

@@ -189,3 +189,40 @@ class TestSkippedWarning:
         list(epoch_batches(ds, tiny, FCFG, 2, seed=0, epoch=1,
                            drop_remainder=False))
         assert "exceed" not in capsys.readouterr().out
+
+
+class TestSortaGrad:
+    def test_sorted_epoch_is_ascending_and_complete(self):
+        from semi_supervised_asr_tpu.data.pipeline import epoch_batches
+
+        ds = make_ds(32)
+        spec = make_bucket_spec(DCFG, FCFG, time_reduction=8)
+        batches = list(epoch_batches(ds, spec, FCFG, 4, seed=0, epoch=0,
+                                     drop_remainder=False,
+                                     sort_by_length=True))
+        # short buckets first
+        fbs = [b.bucket[0] for b in batches]
+        assert fbs == sorted(fbs)
+        # within a bucket, audio lengths ascend batch over batch
+        # coverage identical to the shuffled plan (no sample dropped)
+        seen = [u for b in batches for u, r in zip(b.uids, b.real) if r]
+        shuffled = list(epoch_batches(ds, spec, FCFG, 4, seed=0, epoch=0,
+                                      drop_remainder=False))
+        seen_shuf = [u for b in shuffled
+                     for u, r in zip(b.uids, b.real) if r]
+        assert sorted(seen) == sorted(seen_shuf)
+        # ascending within the first bucket's batches
+        first_fb = fbs[0]
+        lens = [l for b in batches if b.bucket[0] == first_fb
+                for l, r in zip(b.audio_lens, b.real) if r]
+        assert lens == sorted(lens)
+
+    def test_deterministic(self):
+        from semi_supervised_asr_tpu.data.bucketing import plan_epoch
+
+        ds = make_ds(16)
+        spec = make_bucket_spec(DCFG, FCFG, time_reduction=8)
+        lengths = [(ds.audio_len(i), ds.token_len(i)) for i in range(16)]
+        a, _ = plan_epoch(lengths, spec, 4, 0, 0, sort_by_length=True)
+        b, _ = plan_epoch(lengths, spec, 4, 0, 0, sort_by_length=True)
+        assert a == b
