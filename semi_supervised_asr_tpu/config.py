@@ -93,6 +93,9 @@ class ModelConfig:
     # (ops/pallas_lstm.py) for the encoder — needs B%8==0 and H%128==0,
     # falls back to xla otherwise
     lstm_backend: str = "xla"
+    # joint CTC-attention: linear CTC head on the encoder (enabled
+    # automatically when objective.lambda_ctc > 0)
+    ctc_head: bool = False
     # LM fusion into the decoder (deep: Gulcehre et al. 2015; cold:
     # Sriram et al. 2017 — the Toshniwal 2018 comparison, PAPERS.md).
     # The fused LM is a frozen lm_trainer checkpoint stepped in lockstep
@@ -129,6 +132,9 @@ class ObjectiveConfig:
     tf_decay_steps: int = 50000
     # semi-supervised weights
     lambda_text_ae: float = 0.0       # text autoencoder weight
+    lambda_ctc: float = 0.0           # joint CTC-attention aux weight
+                                      # (Kim et al. 2017; enables the
+                                      # encoder CTC head)
     lambda_pseudo: float = 0.0        # pseudo-label consistency weight
     pseudo_warmup_steps: int = 0      # enable the pseudo term only after N
                                       # supervised steps (teacher must be

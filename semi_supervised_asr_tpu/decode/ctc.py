@@ -1,0 +1,57 @@
+"""CTC greedy decoding from the encoder CTC head (joint CTC-attention).
+
+Best-path decode: per-frame argmax -> collapse repeats -> drop blanks
+(PAD doubles as the blank, matching objectives/losses.ctc_loss).  Output
+rows are formatted like the attention decoders — tokens then EOS then
+PADs — so scoring and hypothesis records work unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semi_supervised_asr_tpu.data.vocab import EOS, PAD
+
+
+def ctc_greedy_from_enc(
+    ctc_params: dict,
+    enc: jax.Array,        # [B, T', 2H]
+    enc_mask: jax.Array,   # [B, T'] bool
+) -> tuple[jax.Array, jax.Array]:
+    """-> (tokens [B, T'] EOS-terminated PAD-padded, frame logp [B])."""
+    logits = (
+        jnp.einsum("bte,ev->btv", enc, ctc_params["w"].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+        + ctc_params["b"].astype(jnp.float32)
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    path = jnp.argmax(logits, axis=-1)                   # [B, T']
+    path = jnp.where(enc_mask, path, PAD)
+    best_lp = jnp.sum(
+        jnp.max(logp, axis=-1) * enc_mask.astype(jnp.float32), axis=-1
+    )
+
+    # collapse repeats: keep a frame only if it differs from its
+    # predecessor; then drop blanks — all static-shape via a stable
+    # "compaction by sort" (valid tokens keyed by position, invalid
+    # pushed to the end)
+    b, t = path.shape
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, path.dtype), path[:, :-1]], axis=1
+    )
+    keep = (path != PAD) & (path != prev)
+    pos = jnp.arange(t)[None, :]
+    key = jnp.where(keep, pos, t + pos)                  # stable partition
+    order = jnp.argsort(key, axis=1)
+    compacted = jnp.take_along_axis(jnp.where(keep, path, PAD), order,
+                                    axis=1)
+    n_out = jnp.sum(keep, axis=1)                        # [B]
+    # terminate with EOS at position n_out (t column exists: n_out <= t)
+    widened = jnp.concatenate(
+        [compacted, jnp.full((b, 1), PAD, path.dtype)], axis=1
+    )
+    out = jnp.where(
+        jnp.arange(t + 1)[None, :] == n_out[:, None], EOS, widened
+    )
+    return out[:, : t], best_lp

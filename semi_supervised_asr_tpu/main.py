@@ -29,7 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load-dir", default=None,
                    help="(test) workdir holding the checkpoint to score")
     p.add_argument("--beam", type=int, default=None,
-                   help="(test) beam size override; 1 = greedy")
+                   help="(test) beam size override; 1 = greedy, "
+                        "0 = CTC greedy (needs a CTC-head checkpoint)")
     p.add_argument("--hyp-out", default=None,
                    help="(test) write hypotheses jsonl here")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -71,7 +72,7 @@ def main(argv=None) -> int:
 
     workdir = args.load_dir or args.workdir
     solver = Solver(cfg, workdir)
-    mode = "greedy" if (args.beam == 1) else "beam"
+    mode = {0: "ctc", 1: "greedy"}.get(args.beam, "beam")
     result = solver.test(mode=mode, out_path=args.hyp_out)
     print(json.dumps(result))
     return 0

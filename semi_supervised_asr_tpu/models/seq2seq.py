@@ -20,12 +20,21 @@ from semi_supervised_asr_tpu.models import attention as A
 
 
 def init_model(key: jax.Array, cfg: ModelConfig):
-    k_enc, k_dec = jax.random.split(key)
+    k_enc, k_dec, k_ctc = jax.random.split(key, 3)
     dtype = jnp.dtype(cfg.param_dtype)
-    return {
+    params = {
         "listener": L.init_listener(k_enc, cfg, dtype),
         "speller": S.init_speller(k_dec, cfg, dtype),
     }
+    if cfg.ctc_head:
+        # joint CTC-attention (Kim et al. 2017): a linear CTC head on the
+        # encoder regularizes alignments (objective.lambda_ctc)
+        glorot = jax.nn.initializers.glorot_uniform()
+        params["ctc"] = {
+            "w": glorot(k_ctc, (cfg.enc_out_dim, cfg.vocab_size), dtype),
+            "b": jnp.zeros((cfg.vocab_size,), dtype),
+        }
+    return params
 
 
 def encode(

@@ -53,6 +53,35 @@ def masked_ce(
     return jnp.sum(nll * mask) / denom, gold_lp
 
 
+def ctc_loss(
+    ctc_params: dict,
+    enc: jax.Array,          # [B, T', 2H] encoder outputs
+    enc_mask: jax.Array,     # [B, T'] bool
+    tokens: jax.Array,       # [B, U] EOS-terminated, PAD-padded targets
+) -> jax.Array:
+    """CTC over the encoder (joint CTC-attention aux, Kim et al. 2017).
+
+    PAD (id 0) doubles as the CTC blank — labels never contain it (EOS is
+    stripped too: it is not an acoustic unit).  Token-normalized like the
+    attention CE; all-PAD rows (remainder duplicates) contribute nothing.
+    """
+    import optax
+
+    logits = (
+        jnp.einsum("bte,ev->btv", enc, ctc_params["w"].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+        + ctc_params["b"].astype(jnp.float32)
+    )
+    labels = jnp.where(tokens == EOS, PAD, tokens)
+    label_pad = (labels == PAD).astype(jnp.float32)
+    logit_pad = 1.0 - enc_mask.astype(jnp.float32)
+    per_utt = optax.ctc_loss(logits, logit_pad, labels, label_pad,
+                             blank_id=PAD)
+    n_labels = jnp.sum(1.0 - label_pad, axis=1)
+    live = (n_labels > 0).astype(jnp.float32)
+    return jnp.sum(per_utt * live) / jnp.maximum(jnp.sum(n_labels), 1.0)
+
+
 def supervised_loss(
     params: dict,
     model_cfg: ModelConfig,
@@ -65,17 +94,32 @@ def supervised_loss(
     train: bool = True,
     remat: bool = False,
 ) -> tuple[jax.Array, dict]:
-    """Supervised CE on labeled (audio, text) pairs."""
+    """Supervised CE on labeled (audio, text) pairs (+ optional CTC aux)."""
     from semi_supervised_asr_tpu.models import seq2seq as M
 
     tokens_in, targets = shift_targets(tokens)
-    logits, _ = M.forward_teacher(
-        params, model_cfg, feats, feat_lens, tokens_in, tf_rate, rng, train,
-        remat,
+    drop_rng = None
+    if rng is not None:
+        rng, drop_rng = jax.random.split(rng)
+    enc, enc_mask, _ = M.encode(
+        params, feats, feat_lens, model_cfg, train, drop_rng, remat
+    )
+    logits, _ = S.forward_teacher(
+        params["speller"], model_cfg, enc, enc_mask, tokens_in, tf_rate,
+        rng, train,
     )
     loss, _ = masked_ce(logits, targets, obj_cfg.label_smoothing)
     acc = token_accuracy(logits, targets)
-    return loss, {"ce": loss, "acc": acc}
+    metrics = {"ce": loss, "acc": acc}
+    if obj_cfg.lambda_ctc > 0.0:
+        assert "ctc" in params, (
+            "objective.lambda_ctc > 0 needs the CTC head (model.ctc_head; "
+            "the Solver enables it automatically)"
+        )
+        aux = ctc_loss(params["ctc"], enc, enc_mask, targets)
+        loss = loss + obj_cfg.lambda_ctc * aux
+        metrics["ctc"] = aux
+    return loss, metrics
 
 
 def text_ae_loss(

@@ -49,6 +49,9 @@ class Solver:
                 cfg.model,
                 vocab_size=self.vocab.size,
                 n_mels=cfg.frontend.n_mels,
+                # joint CTC-attention: the head exists iff the loss uses it
+                ctc_head=(cfg.model.ctc_head
+                          or cfg.objective.lambda_ctc > 0.0),
             )
         )
         self.cfg = cfg
@@ -382,6 +385,29 @@ class Solver:
             self._decode_fns["greedy"] = fn
         return self._decode_fns["greedy"]
 
+    def _ctc_fn(self):
+        if "ctc" not in self._decode_fns:
+            cfg = self.cfg
+            assert "ctc" in self.state.params, (
+                "CTC decode needs a CTC head — train with "
+                "objective.lambda_ctc > 0 (or model.ctc_head: true)"
+            )
+            from semi_supervised_asr_tpu.decode.ctc import ctc_greedy_from_enc
+
+            feat_fn = (TS.featurize_precomputed if self.from_features
+                       else TS.featurize)
+
+            @jax.jit
+            def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
+                feats, flens = feat_fn(
+                    cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
+                )
+                enc, enc_mask, _ = M.encode(params, feats, flens, cfg.model)
+                return ctc_greedy_from_enc(params["ctc"], enc, enc_mask)
+
+            self._decode_fns["ctc"] = fn
+        return self._decode_fns["ctc"]
+
     def _lm(self):
         """(lm_params, lm_step_fn) for shallow fusion, or (None, None)."""
         if "lm" not in self._decode_fns:
@@ -443,7 +469,8 @@ class Solver:
         WER (word-level, from decoded text) is only meaningful for char
         units — LibriSpeech's headline metric (SURVEY.md §1.1 #7); None
         for phone units."""
-        fn = self._greedy_fn() if mode == "greedy" else self._beam_fn()
+        fn = {"greedy": self._greedy_fn, "ctc": self._ctc_fn}.get(
+            mode, self._beam_fn)()
         er = MET.ErrorRate()
         wer = MET.ErrorRate()          # word-level (char units only)
         records = []

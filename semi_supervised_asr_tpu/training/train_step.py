@@ -168,7 +168,7 @@ def supervised_step_fn(
             params, cfg.model, obj, feats, flens, tokens, tf_rate, k_tf,
             remat=cfg.train.remat_encoder,
         )
-        metrics = {"ce": aux["ce"], "acc": aux["acc"]}
+        metrics = dict(aux)   # ce, acc (+ ctc when the aux head is on)
 
         if obj.lambda_text_ae > 0.0 and unlab_text is not None:
             ae = LO.text_ae_loss(params, cfg.model, obj, unlab_text)
