@@ -38,6 +38,10 @@ def main() -> int:
                    help="encoder LSTM execution: Pallas scan kernel "
                         "(default; 1.55x faster full step: 25.5ms vs "
                         "39.6ms at b128/T400) or XLA lax.scan")
+    p.add_argument("--fft-backend", default="xla",
+                   choices=["xla", "matmul"],
+                   help="frontend DFT: XLA rfft (VPU) or fp32 MXU matmul "
+                        "(ops/frontend._dft_matrices)")
     args = p.parse_args()
 
     if args.platform:
@@ -52,7 +56,8 @@ def main() -> int:
     from semi_supervised_asr_tpu.training import train_step as TS
 
     cfg = Config(
-        frontend=FrontendConfig(spec_augment=True, cmvn="global"),
+        frontend=FrontendConfig(spec_augment=True, cmvn="global",
+                                fft_backend=args.fft_backend),
         model=ModelConfig(
             n_mels=80, vocab_size=65, enc_hidden=256, enc_layers=3,
             enc_base_layers=1, attn_dim=128, attn_conv_channels=10,

@@ -359,6 +359,21 @@ class Solver:
     # evaluation
     # ------------------------------------------------------------------ #
 
+    def _jit_decode(self, fn):
+        """jit a decode fn; with a mesh, shard eval batches over the data
+        axis (params replicated) so validation/test decode scales across
+        chips like training does (C5)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P(self.cfg.parallel.data_axis))
+        return jax.jit(
+            fn, in_shardings=(repl, data, data, repl, repl),
+            out_shardings=data,
+        )
+
     def _greedy_fn(self):
         if "greedy" not in self._decode_fns:
             cfg = self.cfg
@@ -366,7 +381,6 @@ class Solver:
             feat_fn = (TS.featurize_precomputed if self.from_features
                        else TS.featurize)
 
-            @jax.jit
             def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
                 feats, flens = feat_fn(
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
@@ -382,7 +396,7 @@ class Solver:
                     params["speller"], cfg.model, enc, enc_mask, keys, max_u
                 )
 
-            self._decode_fns["greedy"] = fn
+            self._decode_fns["greedy"] = self._jit_decode(fn)
         return self._decode_fns["greedy"]
 
     def _ctc_fn(self):
@@ -397,7 +411,6 @@ class Solver:
             feat_fn = (TS.featurize_precomputed if self.from_features
                        else TS.featurize)
 
-            @jax.jit
             def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
                 feats, flens = feat_fn(
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
@@ -405,7 +418,7 @@ class Solver:
                 enc, enc_mask, _ = M.encode(params, feats, flens, cfg.model)
                 return ctc_greedy_from_enc(params["ctc"], enc, enc_mask)
 
-            self._decode_fns["ctc"] = fn
+            self._decode_fns["ctc"] = self._jit_decode(fn)
         return self._decode_fns["ctc"]
 
     def _lm(self):
@@ -440,7 +453,6 @@ class Solver:
             feat_fn = (TS.featurize_precomputed if self.from_features
                        else TS.featurize)
 
-            @jax.jit
             def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
                 feats, flens = feat_fn(
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
@@ -458,7 +470,7 @@ class Solver:
                     lm_params=lm_params, lm_step_fn=lm_step,
                 )
 
-            self._decode_fns["beam"] = fn
+            self._decode_fns["beam"] = self._jit_decode(fn)
         return self._decode_fns["beam"]
 
     def _score_batches(

@@ -137,3 +137,24 @@ class TestShardedTrainStep:
             losses.append(float(m["loss"]))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+class TestMeshDecode:
+    def test_eval_decode_sharded_matches_single_device(self, tmp_path):
+        """Validation/test decode jitted with data-axis shardings (C5)
+        produces the same hypotheses as the single-device path."""
+        from semi_supervised_asr_tpu.config import load_config
+        from semi_supervised_asr_tpu.training.solver import Solver
+
+        cfg = load_config("configs/synthetic_smoke.yaml", [
+            "data.num_synthetic_utts=16", "train.batch_size=8",
+        ])
+        s_mesh = Solver(cfg, tmp_path / "m", use_mesh=True)
+        s_one = Solver(cfg, tmp_path / "s", use_mesh=False)
+        assert s_mesh.mesh is not None
+        r_mesh, rec_mesh, _ = s_mesh._score_batches(
+            s_mesh.bundle.dev, s_mesh.state.params, "greedy")
+        r_one, rec_one, _ = s_one._score_batches(
+            s_one.bundle.dev, s_one.state.params, "greedy")
+        assert [r["hyp"] for r in rec_mesh] == [r["hyp"] for r in rec_one]
+        assert r_mesh == r_one
