@@ -93,6 +93,10 @@ class ModelConfig:
     # (ops/pallas_lstm.py) for the encoder — needs B%8==0 and H%128==0,
     # falls back to xla otherwise
     lstm_backend: str = "xla"
+    lstm_block_t: int = 1         # Pallas kernel: timesteps per grid step
+                                  # (measured: no win at b128 — the scan is
+                                  # latency-bound on the serial h->h dep,
+                                  # not grid overhead; >4 risks VMEM OOM)
     # joint CTC-attention: linear CTC head on the encoder (enabled
     # automatically when objective.lambda_ctc > 0)
     ctc_head: bool = False

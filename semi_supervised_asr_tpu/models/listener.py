@@ -58,7 +58,8 @@ def listener_apply(
         from semi_supervised_asr_tpu.ops.pallas_lstm import bilstm_pallas
 
         def run_bilstm(p, h, l):
-            return bilstm_pallas(p, h, l, compute)
+            return bilstm_pallas(p, h, l, compute,
+                                 block_t=cfg.lstm_block_t)
     else:
         def run_bilstm(p, h, l):
             return R.bilstm(p, h, l, compute, cfg.fuse_bilstm,

@@ -37,7 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(gx_ref, w_ref, v_ref, hout_ref, hprev_ref, cprev_ref,
-                acts_ref, h_s, c_s, *, compute_dtype):
+                acts_ref, h_s, c_s, *, compute_dtype, block_t):
+    """One grid step = ``block_t`` timesteps, statically unrolled.
+
+    Measured (v5-lite, b128/H256): block_t 1/2/4 are all ~equal — the
+    scan is latency-bound on the serial h->h dependency, not on grid
+    iteration overhead — and block_t=8 exceeds the 16MB VMEM scoped
+    limit.  The knob stays (other shapes may differ); default 1."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -48,32 +54,34 @@ def _fwd_kernel(gx_ref, w_ref, v_ref, hout_ref, hprev_ref, cprev_ref,
     h = h_s[:]
     c = c_s[:]
     hidden = h.shape[-1]
-    gates = gx_ref[0] + jnp.dot(
-        h.astype(compute_dtype), w_ref[:].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    i = jax.nn.sigmoid(gates[:, :hidden])
-    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
+    w = w_ref[:].astype(compute_dtype)
+    for k in range(block_t):
+        gates = gx_ref[k] + jnp.dot(
+            h.astype(compute_dtype), w,
+            preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
 
-    v = v_ref[0, 0][:, None]                    # [B, 1] float 0/1
-    # residuals for the backward kernel: PRE-update carries + activations
-    hprev_ref[0] = h
-    cprev_ref[0] = c
-    acts_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
+        v = v_ref[k, 0][:, None]                # [B, 1] float 0/1
+        # residuals for the backward kernel: PRE-update carries + acts
+        hprev_ref[k] = h
+        cprev_ref[k] = c
+        acts_ref[k] = jnp.concatenate([i, f, g, o], axis=-1)
 
-    h2 = v * h_new + (1.0 - v) * h
-    c2 = v * c_new + (1.0 - v) * c
-    h_s[:] = h2
-    c_s[:] = c2
-    hout_ref[0] = v * h_new
+        h = v * h_new + (1.0 - v) * h
+        c = v * c_new + (1.0 - v) * c
+        hout_ref[k] = v * h_new
+    h_s[:] = h
+    c_s[:] = c
 
 
 def _bwd_kernel(w_ref, v_ref, acts_ref, cprev_ref, dhout_ref,
-                dgx_ref, dh_s, dc_s, *, compute_dtype):
+                dgx_ref, dh_s, dc_s, *, compute_dtype, block_t):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -83,69 +91,88 @@ def _bwd_kernel(w_ref, v_ref, acts_ref, cprev_ref, dhout_ref,
 
     dh = dh_s[:]
     dc = dc_s[:]
-    acts = acts_ref[0]
     hidden = dh.shape[-1]
-    i = acts[:, :hidden]
-    f = acts[:, hidden : 2 * hidden]
-    g = acts[:, 2 * hidden : 3 * hidden]
-    o = acts[:, 3 * hidden :]
-    cprev = cprev_ref[0]
-    v = v_ref[0, 0][:, None]
+    wt = w_ref[:].T.astype(compute_dtype)
+    for k in reversed(range(block_t)):
+        acts = acts_ref[k]
+        i = acts[:, :hidden]
+        f = acts[:, hidden : 2 * hidden]
+        g = acts[:, 2 * hidden : 3 * hidden]
+        o = acts[:, 3 * hidden :]
+        cprev = cprev_ref[k]
+        v = v_ref[k, 0][:, None]
 
-    c_new = f * cprev + i * g
-    tanh_c = jnp.tanh(c_new)
-    dh_new = v * (dh + dhout_ref[0])
-    do = dh_new * tanh_c
-    dc_new = dh_new * o * (1.0 - tanh_c * tanh_c) + v * dc
+        c_new = f * cprev + i * g
+        tanh_c = jnp.tanh(c_new)
+        dh_new = v * (dh + dhout_ref[k])
+        do = dh_new * tanh_c
+        dc_new = dh_new * o * (1.0 - tanh_c * tanh_c) + v * dc
 
-    dgi = dc_new * g * i * (1.0 - i)
-    dgf = dc_new * cprev * f * (1.0 - f)
-    dgg = dc_new * i * (1.0 - g * g)
-    dgo = do * o * (1.0 - o)
-    dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
-    dgx_ref[0] = dgates
+        dgi = dc_new * g * i * (1.0 - i)
+        dgf = dc_new * cprev * f * (1.0 - f)
+        dgg = dc_new * i * (1.0 - g * g)
+        dgo = do * o * (1.0 - o)
+        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
+        dgx_ref[k] = dgates
 
-    dh_s[:] = (1.0 - v) * dh + jnp.dot(
-        dgates.astype(compute_dtype), w_ref[:].T.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    dc_s[:] = (1.0 - v) * dc + dc_new * f
+        dh = (1.0 - v) * dh + jnp.dot(
+            dgates.astype(compute_dtype), wt,
+            preferred_element_type=jnp.float32,
+        )
+        dc = (1.0 - v) * dc + dc_new * f
+    dh_s[:] = dh
+    dc_s[:] = dc
 
 
 def _supported(b: int, hidden: int) -> bool:
     return b % 8 == 0 and hidden % 128 == 0
 
 
-def _fwd_call(gates_x, w_hh, valid, compute_dtype):
-    t, b, h4 = gates_x.shape
+def _pad_t(x, block_t):
+    """Pad the leading (time) axis to a multiple of block_t with zeros —
+    zero `valid` makes padded steps exact pass-throughs."""
+    t = x.shape[0]
+    pad = (-t) % block_t
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _fwd_call(gates_x, w_hh, valid, compute_dtype, block_t):
+    t = gates_x.shape[0]
+    gates_x = _pad_t(gates_x, block_t)
+    valid = _pad_t(valid, block_t)
+    tp, b, h4 = gates_x.shape
     hidden = h4 // 4
-    kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
-    grid = (t,)
+    kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype,
+                               block_t=block_t)
+    k = block_t
+    grid = (tp // k,)
     in_specs = [
-            pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0),
+            pl.BlockSpec((k, b, h4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, h4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
+            pl.BlockSpec((k, 1, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+        pl.BlockSpec((k, b, hidden), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+        pl.BlockSpec((k, b, hidden), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+        pl.BlockSpec((k, b, hidden), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0),
+        pl.BlockSpec((k, b, h4), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     shapes = [
-        jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),  # h_out
-        jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),  # hprev
-        jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),  # cprev
-        jax.ShapeDtypeStruct((t, b, h4), jnp.float32),      # acts
+        jax.ShapeDtypeStruct((tp, b, hidden), jnp.float32),  # h_out
+        jax.ShapeDtypeStruct((tp, b, hidden), jnp.float32),  # hprev
+        jax.ShapeDtypeStruct((tp, b, hidden), jnp.float32),  # cprev
+        jax.ShapeDtypeStruct((tp, b, h4), jnp.float32),      # acts
     ]
-    return pl.pallas_call(
+    h_out, hprev, cprev, acts = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -157,58 +184,76 @@ def _fwd_call(gates_x, w_hh, valid, compute_dtype):
         ],
         interpret=_interpret(),
     )(gates_x, w_hh, valid[:, None, :])
+    return h_out[:t], hprev[:t], cprev[:t], acts[:t]
 
 
-def _bwd_call(w_hh, valid, acts, cprev, dhout, compute_dtype):
-    t, b, h4 = acts.shape
+def _bwd_call(w_hh, valid, acts, cprev, dhout, compute_dtype, block_t):
+    t = acts.shape[0]
+    valid = _pad_t(valid, block_t)
+    acts = _pad_t(acts, block_t)
+    cprev = _pad_t(cprev, block_t)
+    dhout = _pad_t(dhout, block_t)
+    tp, b, h4 = acts.shape
     hidden = h4 // 4
-    kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype)
-    rev = lambda i: (t - 1 - i, 0, 0)  # noqa: E731
+    kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype,
+                               block_t=block_t)
+    k = block_t
+    nb = tp // k
+    rev = lambda i: (nb - 1 - i, 0, 0)  # noqa: E731  (block units)
     in_specs = [
         pl.BlockSpec((hidden, h4), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, b), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, 1, b), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, b, h4), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, b, hidden), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, b, hidden), rev, memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, b, h4), rev, memory_space=pltpu.VMEM),
     ]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((t, b, h4), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((tp, b, h4), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),
             pltpu.VMEM((b, hidden), jnp.float32),
         ],
         interpret=_interpret(),
     )(w_hh, valid[:, None, :], acts, cprev, dhout)[0]
+    return out[:t]
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def lstm_scan_pallas(gates_x, w_hh, valid, compute_dtype=jnp.float32):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def lstm_scan_pallas(gates_x, w_hh, valid, compute_dtype=jnp.float32,
+                     block_t=1):
     """[T, B, 4H] pre-projected gates + [H, 4H] w_hh + [T, B] float valid
-    -> masked hidden sequence [T, B, H] (time-major)."""
-    h_out, _, _, _ = _fwd_call(gates_x, w_hh, valid, compute_dtype)
+    -> masked hidden sequence [T, B, H] (time-major).
+
+    ``block_t``: timesteps per grid step (statically unrolled in-kernel);
+    T is zero-padded to a multiple (padded steps are exact pass-throughs).
+    """
+    h_out, _, _, _ = _fwd_call(gates_x, w_hh, valid, compute_dtype, block_t)
     return h_out
 
 
-def _vjp_fwd(gates_x, w_hh, valid, compute_dtype):
-    h_out, hprev, cprev, acts = _fwd_call(gates_x, w_hh, valid, compute_dtype)
+def _vjp_fwd(gates_x, w_hh, valid, compute_dtype, block_t):
+    h_out, hprev, cprev, acts = _fwd_call(
+        gates_x, w_hh, valid, compute_dtype, block_t
+    )
     return h_out, (w_hh, valid, acts, cprev, hprev)
 
 
-def _vjp_bwd(compute_dtype, res, dhout):
+def _vjp_bwd(compute_dtype, block_t, res, dhout):
     w_hh, valid, acts, cprev, hprev = res
-    dgates = _bwd_call(w_hh, valid, acts, cprev, dhout, compute_dtype)
+    dgates = _bwd_call(w_hh, valid, acts, cprev, dhout, compute_dtype,
+                       block_t)
     # weight gradient: one large MXU contraction outside the kernel
     dw = jnp.einsum(
         "tbh,tbg->hg", hprev, dgates, preferred_element_type=jnp.float32
@@ -227,6 +272,7 @@ def lstm_pallas(
     reverse: bool = False,
     compute_dtype=jnp.float32,
     allow_interpret: bool = False,
+    block_t: int = 1,
 ) -> jax.Array:
     """Drop-in for ops.recurrent.lstm backed by the Pallas scan kernel.
 
@@ -259,7 +305,8 @@ def lstm_pallas(
     if reverse:
         gates_x = jnp.flip(gates_x, axis=0)
         valid = jnp.flip(valid, axis=0)
-    ys = lstm_scan_pallas(gates_x, params["w_hh"], valid, compute_dtype)
+    ys = lstm_scan_pallas(gates_x, params["w_hh"], valid, compute_dtype,
+                          max(int(block_t), 1))
     if reverse:
         ys = jnp.flip(ys, axis=0)
     return ys.transpose(1, 0, 2)
@@ -271,9 +318,10 @@ def bilstm_pallas(
     lengths: jax.Array | None = None,
     compute_dtype=jnp.float32,
     allow_interpret: bool = False,
+    block_t: int = 1,
 ) -> jax.Array:
     fwd = lstm_pallas(params["fwd"], x, lengths, False, compute_dtype,
-                      allow_interpret)
+                      allow_interpret, block_t)
     bwd = lstm_pallas(params["bwd"], x, lengths, True, compute_dtype,
-                      allow_interpret)
+                      allow_interpret, block_t)
     return jnp.concatenate([fwd, bwd], axis=-1)

@@ -108,3 +108,33 @@ class TestGradParity:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
             )
+
+
+class TestTimeBlocking:
+    """block_t > 1 unrolls several timesteps per grid step; T is padded to
+    a multiple with zero-valid pass-through steps — results must be
+    IDENTICAL for every block size."""
+
+    def test_forward_all_block_sizes(self):
+        params, x, lens = make(3)
+        ref = np.asarray(R.lstm(params, x, lens))
+        for bt in (1, 2, 3, 5, 7, 12, 16):
+            got = np.asarray(PL.lstm_pallas(
+                params, x, lens, allow_interpret=True, block_t=bt))
+            np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    def test_grads_with_padding_block(self):
+        params, x, lens = make(4)
+
+        def loss(fn):
+            def f(p, xx):
+                y = fn(p, xx)
+                return jnp.sum(y * y)
+            return jax.grad(f, argnums=(0, 1))(params, x)
+
+        g_ref = loss(lambda p, xx: R.lstm(p, xx, lens))
+        g_blk = loss(lambda p, xx: PL.lstm_pallas(
+            p, xx, lens, allow_interpret=True, block_t=5))  # 12 -> pad 15
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_blk)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
