@@ -192,6 +192,8 @@ class DecodeConfig:
     lm_weight: float = 0.0            # shallow-fusion LM weight
     lm_ckpt: str = ""                 # workdir of a trained LM (lm_trainer)
     coverage_weight: float = 0.0
+    ctc_weight: float = 0.0           # joint CTC-attention rescoring of the
+                                      # final beams (needs a CTC head)
     average_ckpts: int = 0            # >1: decode with the mean of the last
                                       # k retained checkpoints' params
 

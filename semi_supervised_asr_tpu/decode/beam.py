@@ -51,8 +51,16 @@ def beam_decode_from_enc(
     max_len: int,
     lm_params: dict | None = None,
     lm_step_fn=None,
+    ctc_params: dict | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (best tokens [B, max_len] (EOS then PADs), best score [B])."""
+    """-> (best tokens [B, max_len] (EOS then PADs), best score [B]).
+
+    ``ctc_params`` + ``dcfg.ctc_weight`` > 0: hypothesis-level joint
+    CTC-attention rescoring (the one-pass approximation of Kim et al.
+    2017 used by contemporaneous toolkits): all K finished lattices are
+    scored by the encoder CTC head (optax CTC forward algorithm, batched
+    over B*K) and the final selection maximizes the length-normalized
+    ``(1-w)*att + w*ctc`` total log-probability."""
     b, t = enc_mask.shape
     k = dcfg.beam_size
 
@@ -160,6 +168,29 @@ def beam_decode_from_enc(
     carry = (state0, tok0, scores0, done0, hyps0, lens0, lm_state0, cum0)
     carry, _ = lax.scan(step, carry, jnp.arange(max_len))
     _, _, scores, done, hyps, lens, _, cum = carry
+
+    use_ctc = ctc_params is not None and dcfg.ctc_weight > 0.0
+    if use_ctc:
+        import optax
+
+        from semi_supervised_asr_tpu.data.vocab import EOS as _EOS
+
+        ctc_logits = (
+            jnp.einsum("bte,ev->btv", enc,
+                       ctc_params["w"].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+            + ctc_params["b"].astype(jnp.float32)
+        )                                               # [B, T, V]
+        labels = hyps.reshape(b * k, max_len)
+        labels = jnp.where(labels == _EOS, PAD, labels)  # strip EOS
+        label_pad = (labels == PAD).astype(jnp.float32)
+        ctc_lp = -optax.ctc_loss(
+            _tile_rows(ctc_logits, k),
+            _tile_rows(1.0 - enc_mask.astype(jnp.float32), k),
+            labels, label_pad, blank_id=PAD,
+        ).reshape(b, k)                                 # total logp per hyp
+        w = dcfg.ctc_weight
+        scores = (1.0 - w) * scores + w * ctc_lp
 
     # Length-normalized final selection; unfinished hyps are penalized so a
     # finished one wins whenever any exists.

@@ -453,6 +453,15 @@ class Solver:
             feat_fn = (TS.featurize_precomputed if self.from_features
                        else TS.featurize)
 
+            use_ctc = cfg.decode.ctc_weight > 0.0
+            if use_ctc and "ctc" not in self.state.params:
+                self.log.info(
+                    "WARNING: decode.ctc_weight > 0 but the model has no "
+                    "CTC head (train with objective.lambda_ctc > 0) — "
+                    "CTC rescoring DISABLED"
+                )
+                use_ctc = False
+
             def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
                 feats, flens = feat_fn(
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
@@ -468,6 +477,7 @@ class Solver:
                     params["speller"], cfg.model, cfg.decode,
                     enc, enc_mask, keys, max_u,
                     lm_params=lm_params, lm_step_fn=lm_step,
+                    ctc_params=params["ctc"] if use_ctc else None,
                 )
 
             self._decode_fns["beam"] = self._jit_decode(fn)

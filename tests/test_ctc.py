@@ -124,3 +124,81 @@ class TestJointTraining:
             ctcs.append(float(m["ctc"]))
         assert all(np.isfinite(ctcs))
         assert ctcs[-1] < ctcs[0], ctcs  # the aux term itself learns
+
+
+class TestCTCRescoring:
+    def _setup(self, seed=0, b=2, t=10):
+        from tests.test_beam import CFG as BCFG
+
+        cfg = dataclasses.replace(BCFG, ctc_head=True)
+        from semi_supervised_asr_tpu.models import seq2seq as M
+
+        params = M.init_model(jax.random.PRNGKey(seed), cfg)
+        feats = jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                  (b, t, cfg.n_mels))
+        lens = jnp.asarray([t, t - 2][:b])
+        enc, enc_mask, keys = M.encode(params, feats, lens, cfg)
+        return cfg, params, enc, enc_mask, keys
+
+    def test_weight_zero_matches_plain_beam(self):
+        from semi_supervised_asr_tpu.config import DecodeConfig
+        from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+
+        cfg, params, enc, enc_mask, keys = self._setup()
+        d0 = DecodeConfig(beam_size=3)
+        plain = beam_decode_from_enc(
+            params["speller"], cfg, d0, enc, enc_mask, keys, 8)
+        rescored_w0 = beam_decode_from_enc(
+            params["speller"], cfg, d0, enc, enc_mask, keys, 8,
+            ctc_params=params["ctc"])  # ctc_weight=0 -> ignored
+        np.testing.assert_array_equal(np.asarray(plain[0]),
+                                      np.asarray(rescored_w0[0]))
+        np.testing.assert_allclose(np.asarray(plain[1]),
+                                   np.asarray(rescored_w0[1]), rtol=1e-6)
+
+    def test_rescoring_runs_and_can_change_selection(self):
+        """With ctc_weight>0 the pipeline runs, scores are finite, and
+        across seeds the CTC term changes at least one selection."""
+        from semi_supervised_asr_tpu.config import DecodeConfig
+        from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+
+        changed = 0
+        for seed in range(6):
+            cfg, params, enc, enc_mask, keys = self._setup(seed)
+            att = beam_decode_from_enc(
+                params["speller"], cfg, DecodeConfig(beam_size=4),
+                enc, enc_mask, keys, 8)
+            joint = beam_decode_from_enc(
+                params["speller"], cfg, DecodeConfig(beam_size=4,
+                                                     ctc_weight=0.7),
+                enc, enc_mask, keys, 8, ctc_params=params["ctc"])
+            assert np.isfinite(np.asarray(joint[1])).all()
+            if not np.array_equal(np.asarray(att[0]), np.asarray(joint[0])):
+                changed += 1
+        assert changed > 0, "CTC rescoring never changed any selection"
+
+    def test_ctc_scores_match_external_computation(self):
+        """The in-beam CTC total logp equals optax.ctc_loss computed
+        outside on the winning hypothesis."""
+        import optax
+
+        from semi_supervised_asr_tpu.config import DecodeConfig
+        from semi_supervised_asr_tpu.data.vocab import EOS, PAD
+        from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+
+        cfg, params, enc, enc_mask, keys = self._setup(3)
+        d = DecodeConfig(beam_size=1, ctc_weight=1.0, length_penalty=0.0)
+        hyp, score = beam_decode_from_enc(
+            params["speller"], cfg, d, enc, enc_mask, keys, 8,
+            ctc_params=params["ctc"])
+        logits = (
+            jnp.einsum("bte,ev->btv", enc, params["ctc"]["w"])
+            + params["ctc"]["b"]
+        )
+        labels = jnp.where(hyp == EOS, PAD, hyp)
+        lp = -optax.ctc_loss(
+            logits, 1.0 - enc_mask.astype(jnp.float32),
+            labels, (labels == PAD).astype(jnp.float32), blank_id=PAD)
+        # length_penalty 0 -> normalization divides by len**0 == 1
+        np.testing.assert_allclose(np.asarray(score), np.asarray(lp),
+                                   rtol=1e-4)
