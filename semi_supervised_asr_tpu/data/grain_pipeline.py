@@ -40,8 +40,11 @@ def grain_epoch_batches(
         (dataset.audio_len(i), dataset.token_len(i))
         for i in range(len(dataset))
     ]
-    plan, _ = plan_epoch(lengths, spec, batch_size, seed, epoch,
-                         drop_remainder, sort_by_length)
+    plan, skipped = plan_epoch(lengths, spec, batch_size, seed, epoch,
+                               drop_remainder, sort_by_length)
+    from semi_supervised_asr_tpu.data.pipeline import _warn_skipped
+
+    _warn_skipped(skipped, dataset)
     shard_plan = plan[shard_index::num_shards]
 
     def assemble(item):

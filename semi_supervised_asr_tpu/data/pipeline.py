@@ -72,14 +72,19 @@ def assemble_batch(
 
 
 
-def _warn_skipped(skipped: list[int], n: int, epoch: int) -> None:
+_WARNED_DATASETS: set[int] = set()
+
+
+def _warn_skipped(skipped: list[int], dataset) -> None:
     """No silent caps (SURVEY.md quality rule): utterances longer than the
-    largest (frame, token) bucket are SKIPPED, not truncated — say so once
-    (epoch 0) so coverage loss is visible."""
-    if skipped and epoch == 0:
+    largest (frame, token) bucket are SKIPPED, not truncated — say so ONCE
+    per dataset per process (eval passes reuse epoch 0, resumes start at
+    epoch > 0, so an epoch-based guard would both spam and miss)."""
+    if skipped and id(dataset) not in _WARNED_DATASETS:
+        _WARNED_DATASETS.add(id(dataset))
         print(
-            f"WARNING: {len(skipped)}/{n} utterances exceed the largest "
-            "bucket and are skipped every epoch — raise "
+            f"WARNING: {len(skipped)}/{len(dataset)} utterances exceed the "
+            "largest bucket and are skipped every epoch — raise "
             "data.frame_buckets/token_buckets to cover them"
         )
 
@@ -105,7 +110,7 @@ def epoch_batches(
         lengths, spec, batch_size, seed, epoch, drop_remainder,
         sort_by_length,
     )
-    _warn_skipped(skipped, len(dataset), epoch)
+    _warn_skipped(skipped, dataset)
     for k, (bucket, idxs, n_real) in enumerate(plan):
         if k % num_shards != shard_index:
             continue
@@ -194,7 +199,7 @@ def epoch_feature_batches(
         lengths, spec, batch_size, seed, epoch, drop_remainder,
         sort_by_length,
     )
-    _warn_skipped(skipped, len(dataset), epoch)
+    _warn_skipped(skipped, dataset)
     for k, (bucket, idxs, n_real) in enumerate(plan):
         if k % num_shards != shard_index:
             continue

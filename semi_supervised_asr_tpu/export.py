@@ -25,12 +25,16 @@ from pathlib import Path
 import numpy as np
 
 
-def build_decode_fn(cfg, params, mode: str = "beam"):
+def build_decode_fn(cfg, params, mode: str = "beam",
+                    lm_params=None, lm_step_fn=None):
     """-> fn(audio [B,S], audio_lens [B]) -> (tokens, scores), params baked.
 
     The full serving pipeline — on-device frontend (STFT->mel->CMVN, no
     augmentation) -> listener -> batched beam/greedy — as ONE function of
     raw audio, so the artifact needs no feature preprocessing either.
+    Everything the live decode uses is baked too: CTC rescoring
+    (decode.ctc_weight + a CTC head in the params) and shallow LM fusion
+    (pass ``lm_params``/``lm_step_fn``).
     """
     import jax
     import jax.numpy as jnp
@@ -43,6 +47,9 @@ def build_decode_fn(cfg, params, mode: str = "beam"):
     cmvn_mean = jnp.asarray(params.pop("__cmvn_mean"))
     cmvn_std = jnp.asarray(params.pop("__cmvn_std"))
     params = jax.tree.map(jnp.asarray, params)
+    ctc_params = (params["ctc"]
+                  if cfg.decode.ctc_weight > 0.0 and "ctc" in params
+                  else None)
 
     def fn(audio, audio_lens):
         feats, flens = featurize(
@@ -62,19 +69,21 @@ def build_decode_fn(cfg, params, mode: str = "beam"):
             return toks, jnp.sum(logp, axis=-1)
         return beam_decode_from_enc(
             params["speller"], cfg.model, cfg.decode, enc, enc_mask, keys,
-            max_u,
+            max_u, lm_params=lm_params, lm_step_fn=lm_step_fn,
+            ctc_params=ctc_params,
         )
 
     return fn
 
 
 def export_decode(cfg, params, batch: int, frames: int,
-                  mode: str = "beam") -> bytes:
+                  mode: str = "beam", lm_params=None,
+                  lm_step_fn=None) -> bytes:
     """Serialize the decode fn for a fixed [batch, frames] shape."""
     import jax
     from jax import export as jexport
 
-    fn = build_decode_fn(cfg, params, mode)
+    fn = build_decode_fn(cfg, params, mode, lm_params, lm_step_fn)
     s = (frames - 1) * cfg.frontend.hop_length
     specs = (
         jax.ShapeDtypeStruct((batch, s), np.float32),
@@ -103,9 +112,9 @@ def main(argv=None) -> int:
                    help="training workdir (checkpoints + cmvn.npz)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--frames", type=int, default=None,
-                   help="comma list of frame buckets; default: the "
-                        "config's data.frame_buckets")
+    p.add_argument("--frames", type=str, default=None,
+                   help="comma list of frame buckets (e.g. 200,400); "
+                        "default: the config's data.frame_buckets")
     p.add_argument("--greedy", action="store_true",
                    help="export greedy instead of beam decode")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
@@ -122,14 +131,19 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config, args.overrides)
     solver = Solver(cfg, args.load_dir, use_mesh=False)
-    params = dict(solver.state.params)
-    if solver.ckpt.latest_step() is not None:
-        step = solver.ckpt.best_step() or solver.ckpt.latest_step()
-        state, _, _ = solver.ckpt.restore(solver.state, step)
-        params = dict(state.params)
+    if solver.ckpt.latest_step() is None:
+        raise SystemExit(
+            f"{args.load_dir}: no checkpoint found — exporting untrained "
+            "params would produce a garbage serving artifact (check the "
+            "--load-dir path / train first)"
+        )
+    step = solver.ckpt.best_step() or solver.ckpt.latest_step()
+    state, _, _ = solver.ckpt.restore(solver.state, step)
+    params = dict(state.params)
     params["__cmvn_mean"], params["__cmvn_std"] = solver.cmvn
 
     mode = "greedy" if args.greedy else "beam"
+    lm_params, lm_step = solver._lm()   # shallow fusion, like live decode
     frames = ([int(f) for f in str(args.frames).split(",")]
               if args.frames else list(solver.spec.frame_buckets))
     out = Path(args.out)
@@ -137,7 +151,7 @@ def main(argv=None) -> int:
     manifest = []
     for fcount in frames:
         blob = export_decode(solver.cfg, dict(params), args.batch, fcount,
-                             mode)
+                             mode, lm_params, lm_step)
         name = f"decode_{mode}_b{args.batch}_f{fcount}.shlo"
         (out / name).write_bytes(blob)
         manifest.append({

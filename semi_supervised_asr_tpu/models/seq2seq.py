@@ -76,17 +76,24 @@ def forward_teacher(
     rng: jax.Array | None = None,
     train: bool = False,
     remat: bool = False,
+    return_enc: bool = False,
 ):
-    """Full teacher-forced pass -> (logits [B,U,V], alphas [B,U,T'])."""
+    """Full teacher-forced pass -> (logits [B,U,V], alphas [B,U,T']).
+
+    ``return_enc``: also return (enc, enc_mask) — the CTC aux loss needs
+    the encoder outputs without a second encode pass."""
     drop_rng = None
     if rng is not None:
         rng, drop_rng = jax.random.split(rng)
     enc, enc_mask, _ = encode(
         params, feats, feat_lens, cfg, train, drop_rng, remat
     )
-    return S.forward_teacher(
+    logits, alphas = S.forward_teacher(
         params["speller"], cfg, enc, enc_mask, tokens_in, tf_rate, rng, train
     )
+    if return_enc:
+        return logits, alphas, enc, enc_mask
+    return logits, alphas
 
 
 def param_count(params) -> int:

@@ -98,15 +98,9 @@ def supervised_loss(
     from semi_supervised_asr_tpu.models import seq2seq as M
 
     tokens_in, targets = shift_targets(tokens)
-    drop_rng = None
-    if rng is not None:
-        rng, drop_rng = jax.random.split(rng)
-    enc, enc_mask, _ = M.encode(
-        params, feats, feat_lens, model_cfg, train, drop_rng, remat
-    )
-    logits, _ = S.forward_teacher(
-        params["speller"], model_cfg, enc, enc_mask, tokens_in, tf_rate,
-        rng, train,
+    logits, _, enc, enc_mask = M.forward_teacher(
+        params, model_cfg, feats, feat_lens, tokens_in, tf_rate, rng,
+        train, remat, return_enc=True,
     )
     loss, _ = masked_ce(logits, targets, obj_cfg.label_smoothing)
     acc = token_accuracy(logits, targets)

@@ -105,6 +105,9 @@ def power_spectrogram(audio: jax.Array, cfg: FrontendConfig) -> jax.Array:
                           preferred_element_type=jnp.float32)
         k = cfg.n_fft // 2 + 1
         return reim[..., :k] ** 2 + reim[..., k:] ** 2
+    if cfg.fft_backend != "xla":
+        raise ValueError(f"unknown fft_backend {cfg.fft_backend!r} "
+                         "(expected 'xla' or 'matmul')")
     spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
     return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
