@@ -1,0 +1,156 @@
+"""Transcription CLI: raw audio files in, text out (no labels needed).
+
+    python -m semi_supervised_asr_tpu.transcribe --config configs/x.yaml \
+        --load-dir runs/x [--beam 5] [--out hyps.jsonl] a.wav b.flac dir/
+
+The serving-side counterpart of ``--test``: loads the best checkpoint,
+batches the files by frame bucket (static shapes, same bucketing as
+training), decodes with beam (default) / greedy (``--beam 1``) / CTC
+(``--beam 0``), and prints one JSON object per file:
+``{"audio": path, "text": ..., "score": ...}``.
+
+WAV / NPY / FLAC are supported (FLAC via the native decoder).  Files
+longer than the largest frame bucket are truncated with a warning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+AUDIO_EXTS = (".wav", ".npy", ".flac")
+
+
+def collect_files(paths: list[str]) -> list[Path]:
+    out: list[Path] = []
+    for p in paths:
+        p = Path(p)
+        if p.is_dir():
+            out.extend(sorted(
+                f for f in p.rglob("*") if f.suffix.lower() in AUDIO_EXTS
+            ))
+        else:
+            out.append(p)
+    return out
+
+
+def transcribe(solver, files: list[Path], mode: str) -> list[dict]:
+    """Bucket + batch the files, decode, -> [{audio, text, score}]."""
+    import jax.numpy as jnp
+
+    from semi_supervised_asr_tpu.data.corpus import load_audio
+
+    assert not solver.from_features, (
+        "transcribe decodes raw audio; data.use_feature_store must be off"
+    )
+    spec = solver.spec
+    fn = {"greedy": solver._greedy_fn, "ctc": solver._ctc_fn}.get(
+        mode, solver._beam_fn)()
+    params = solver.state.params
+    if solver.ckpt.latest_step() is not None:
+        step = solver.ckpt.best_step() or solver.ckpt.latest_step()
+        state, _, _ = solver.ckpt.restore(solver.state, step)
+        params = state.params
+
+    max_bucket = spec.frame_buckets[-1]
+    by_bucket: dict[int, list[tuple[Path, np.ndarray]]] = {}
+    for f in files:
+        audio = load_audio(f)
+        frames = spec.frames_for_samples(len(audio))
+        fb = spec.frame_bucket(frames)
+        if fb is None:
+            print(f"WARNING: {f} ({frames} frames) exceeds the largest "
+                  f"bucket ({max_bucket}) — truncating", file=sys.stderr)
+            fb = max_bucket
+            audio = audio[: spec.samples_for_frames(fb)]
+        by_bucket.setdefault(fb, []).append((f, audio))
+
+    batch_size = solver.cfg.train.batch_size
+    results: list[dict] = []
+    from semi_supervised_asr_tpu.ops.frontend_oracle import pad_for_batch
+
+    for fb, items in sorted(by_bucket.items()):
+        s_len = spec.samples_for_frames(fb)
+        for start in range(0, len(items), batch_size):
+            chunk = items[start: start + batch_size]
+            n = len(chunk)
+            audio = np.zeros((batch_size, s_len), np.float32)
+            lens = np.zeros((batch_size,), np.int32)
+            for r, (_, a) in enumerate(chunk):
+                m = min(len(a), s_len)
+                audio[r] = pad_for_batch(
+                    a[:m].astype(np.float32), s_len, solver.cfg.frontend
+                )
+                lens[r] = m
+            out = fn(params, jnp.asarray(audio), jnp.asarray(lens),
+                     jnp.asarray(solver.cmvn[0]),
+                     jnp.asarray(solver.cmvn[1]))
+            hyps = np.asarray(out[0])
+            scores = np.asarray(out[1])
+            for r in range(n):
+                results.append({
+                    "audio": str(chunk[r][0]),
+                    "text": solver.vocab.decode_text(hyps[r]),
+                    "score": float(scores[r].sum()
+                                   if scores[r].ndim else scores[r]),
+                })
+    order = {str(f): i for i, f in enumerate(files)}
+    results.sort(key=lambda r: order[r["audio"]])
+    return results
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="semi_supervised_asr_tpu.transcribe")
+    p.add_argument("--config", required=True)
+    p.add_argument("--load-dir", required=True,
+                   help="training workdir (checkpoint + cmvn.npz)")
+    p.add_argument("--beam", type=int, default=None,
+                   help="beam size; 1 = greedy, 0 = CTC greedy")
+    p.add_argument("--out", default=None, help="write jsonl here too")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("inputs", nargs="+",
+                   help="audio files (wav/npy/flac) and/or directories")
+    args, overrides = p.parse_known_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from semi_supervised_asr_tpu.config import load_config
+    from semi_supervised_asr_tpu.training.solver import Solver
+
+    # split trailing key=value overrides from input paths
+    paths = [x for x in args.inputs if "=" not in x]
+    overrides += [x for x in args.inputs if "=" in x]
+
+    cfg = load_config(args.config, overrides)
+    if args.beam is not None and args.beam > 1:
+        import dataclasses
+
+        cfg = cfg.replace(decode=dataclasses.replace(
+            cfg.decode, beam_size=args.beam))
+    mode = {0: "ctc", 1: "greedy"}.get(args.beam, "beam")
+
+    files = collect_files(paths)
+    if not files:
+        raise SystemExit("no audio files found")
+    solver = Solver(cfg, args.load_dir, use_mesh=False)
+    results = transcribe(solver, files, mode)
+    out_f = open(args.out, "w") if args.out else None
+    for rec in results:
+        line = json.dumps(rec)
+        print(line)
+        if out_f:
+            out_f.write(line + "\n")
+    if out_f:
+        out_f.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Transcribe CLI: label-free audio-in -> text-out inference.
+
+Strong correctness check: write the synthetic TRAINING utterances (which
+an overfit checkpoint decodes to ~0 PER) out as WAV files and transcribe
+them back — the texts must match the ground truth.
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from semi_supervised_asr_tpu.config import load_config
+from semi_supervised_asr_tpu.training.solver import Solver
+
+CONFIG = "configs/synthetic_smoke.yaml"
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("tr_train")
+    cfg = load_config(CONFIG, [
+        "data.num_synthetic_utts=16", "train.batch_size=8",
+        "train.learning_rate=0.003", "train.total_steps=200",
+        "train.eval_every=0", "train.ckpt_every=200", "train.log_every=100",
+    ])
+    solver = Solver(cfg, wd, use_mesh=False)
+    solver.train()
+    return solver, wd
+
+
+def write_utt_wavs(solver, out_dir, n=8):
+    from scipy.io import wavfile
+
+    paths, texts = [], []
+    for i in range(n):
+        utt = solver.bundle.train[i]
+        data = np.clip(utt.audio * 32767, -32768, 32767).astype(np.int16)
+        p = out_dir / f"utt{i}.wav"
+        wavfile.write(p, solver.cfg.frontend.sample_rate, data)
+        paths.append(p)
+        texts.append(utt.text)
+    return paths, texts
+
+
+class TestTranscribe:
+    def test_overfit_utts_transcribed_back(self, trained, tmp_path):
+        from semi_supervised_asr_tpu.transcribe import transcribe
+
+        solver, _ = trained
+        paths, texts = write_utt_wavs(solver, tmp_path)
+        results = transcribe(solver, paths, "greedy")
+        assert [r["audio"] for r in results] == [str(p) for p in paths]
+        matches = sum(r["text"] == t for r, t in zip(results, texts))
+        assert matches >= 6, list(zip([r["text"] for r in results], texts))
+
+    def test_flac_input_and_directory(self, trained, tmp_path):
+        from tests import flac_writer as fw
+
+        from semi_supervised_asr_tpu.transcribe import collect_files, transcribe
+
+        solver, _ = trained
+        utt = solver.bundle.train[0]
+        sig = np.clip(utt.audio * 32767, -32768, 32767).astype(np.int64)
+        d = tmp_path / "audio"
+        d.mkdir()
+        (d / "a.flac").write_bytes(fw.encode_flac(sig))
+        files = collect_files([str(d)])
+        assert len(files) == 1
+        results = transcribe(solver, files, "greedy")
+        assert results[0]["text"] == utt.text
+
+    def test_cli_end_to_end(self, trained, tmp_path):
+        solver, wd = trained
+        paths, texts = write_utt_wavs(solver, tmp_path, n=3)
+        out = subprocess.run(
+            [sys.executable, "-m", "semi_supervised_asr_tpu.transcribe",
+             "--config", CONFIG, "--load-dir", str(wd), "--beam", "1",
+             "--platform", "cpu", "--out", str(tmp_path / "h.jsonl"),
+             *[str(p) for p in paths], "data.num_synthetic_utts=16"],
+            capture_output=True, text=True, timeout=560,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+        assert len(lines) == 3
+        assert {"audio", "text", "score"} <= set(lines[0])
+        saved = [json.loads(l) for l in open(tmp_path / "h.jsonl")]
+        assert saved == lines
+
+    def test_overlong_truncated_with_warning(self, trained, tmp_path,
+                                             capsys):
+        from scipy.io import wavfile
+
+        from semi_supervised_asr_tpu.transcribe import transcribe
+
+        solver, _ = trained
+        max_frames = solver.spec.frame_buckets[-1]
+        s = solver.spec.samples_for_frames(max_frames) * 3
+        rng = np.random.default_rng(0)
+        p = tmp_path / "long.wav"
+        wavfile.write(p, 16000,
+                      (rng.normal(0, 0.05, s) * 32767).astype(np.int16))
+        results = transcribe(solver, [p], "greedy")
+        assert len(results) == 1  # decoded, not dropped
+        assert "truncating" in capsys.readouterr().err
