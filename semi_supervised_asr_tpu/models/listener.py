@@ -59,7 +59,8 @@ def listener_apply(
 
         def run_bilstm(p, h, l):
             return bilstm_pallas(p, h, l, compute,
-                                 block_t=cfg.lstm_block_t)
+                                 block_t=cfg.lstm_block_t,
+                                 fuse_directions=cfg.fuse_bilstm)
     else:
         def run_bilstm(p, h, l):
             return R.bilstm(p, h, l, compute, cfg.fuse_bilstm,

@@ -138,3 +138,50 @@ class TestTimeBlocking:
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_blk)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+class TestFusedDirections:
+    """Direction-batched kernel (fuse_directions): both directions in one
+    grid — results must EQUAL the two-kernel path and the XLA oracle."""
+
+    def _bilstm_params(self, seed=0):
+        kf, kb = jax.random.split(jax.random.PRNGKey(seed))
+        return {"fwd": R.lstm_init(kf, I, H), "bwd": R.lstm_init(kb, I, H)}
+
+    def test_forward_matches_oracle(self):
+        params = self._bilstm_params()
+        _, x, lens = make(5)
+        ref = np.asarray(R.bilstm(params, x, lens))
+        for bt in (1, 4, 5):
+            got = np.asarray(PL.bilstm_pallas(
+                params, x, lens, allow_interpret=True,
+                fuse_directions=True, block_t=bt))
+            np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    def test_matches_two_kernel_path(self):
+        params = self._bilstm_params(1)
+        _, x, lens = make(6)
+        a = np.asarray(PL.bilstm_pallas(params, x, lens,
+                                        allow_interpret=True))
+        b = np.asarray(PL.bilstm_pallas(params, x, lens,
+                                        allow_interpret=True,
+                                        fuse_directions=True))
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
+
+    def test_grads_match_oracle(self):
+        params = self._bilstm_params(2)
+        _, x, lens = make(7)
+
+        def loss(fn):
+            def f(p, xx):
+                y = fn(p, xx)
+                return jnp.sum(y * jnp.cos(y))
+            return jax.grad(f, argnums=(0, 1))(params, x)
+
+        g_ref = loss(lambda p, xx: R.bilstm(p, xx, lens))
+        g_fus = loss(lambda p, xx: PL.bilstm_pallas(
+            p, xx, lens, allow_interpret=True, fuse_directions=True,
+            block_t=3))
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
