@@ -52,8 +52,11 @@ def beam_decode_from_enc(
     lm_params: dict | None = None,
     lm_step_fn=None,
     ctc_params: dict | None = None,
+    return_nbest: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (best tokens [B, max_len] (EOS then PADs), best score [B]).
+    """-> (best tokens [B, max_len] (EOS then PADs), best score [B]);
+    with ``return_nbest``: (all K lattices [B, K, max_len] sorted by
+    normalized score descending, scores [B, K]).
 
     ``ctc_params`` + ``dcfg.ctc_weight`` > 0: hypothesis-level joint
     CTC-attention rescoring (the one-pass approximation of Kim et al.
@@ -209,6 +212,11 @@ def beam_decode_from_enc(
     any_done = jnp.any(done, axis=1, keepdims=True)
     # If NO beam finished (pathological), fall back to raw normalized score.
     norm = jnp.where(done | ~any_done, norm_raw, NEG_INF)
+    if return_nbest:
+        order = jnp.argsort(-norm, axis=1)                  # [B, K]
+        nbest = jnp.take_along_axis(hyps, order[..., None], axis=1)
+        nscores = jnp.take_along_axis(norm, order, axis=1)
+        return nbest, nscores
     best = jnp.argmax(norm, axis=1)                         # [B]
     best_hyp = jnp.take_along_axis(hyps, best[:, None, None], axis=1)[:, 0]
     best_norm = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]

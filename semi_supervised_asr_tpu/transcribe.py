@@ -38,8 +38,45 @@ def collect_files(paths: list[str]) -> list[Path]:
     return out
 
 
-def transcribe(solver, files: list[Path], mode: str) -> list[dict]:
-    """Bucket + batch the files, decode, -> [{audio, text, score}]."""
+def _nbest_fn(solver):
+    """Beam decode returning ALL K lattices sorted by score (for --nbest)."""
+    import jax
+
+    from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+    from semi_supervised_asr_tpu.models import seq2seq as M
+    from semi_supervised_asr_tpu.training import train_step as TS
+
+    cfg = solver.cfg
+    lm_params, lm_step = solver._lm()
+    use_ctc = cfg.decode.ctc_weight > 0.0 and "ctc" in solver.state.params
+
+    @jax.jit
+    def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
+        feats, flens = TS.featurize(
+            cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
+        )
+        enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
+        max_u = max(1, min(
+            cfg.data.token_buckets[-1], cfg.decode.max_decode_len,
+            int(cfg.decode.max_decode_ratio * enc.shape[1])
+            if cfg.decode.max_decode_ratio > 0 else 10**9,
+        ))
+        return beam_decode_from_enc(
+            params["speller"], cfg.model, cfg.decode, enc, enc_mask, keys,
+            max_u, lm_params=lm_params, lm_step_fn=lm_step,
+            ctc_params=params["ctc"] if use_ctc else None,
+            return_nbest=True,
+        )
+
+    return fn
+
+
+def transcribe(solver, files: list[Path], mode: str,
+               nbest: int = 1) -> list[dict]:
+    """Bucket + batch the files, decode, -> [{audio, text, score}].
+
+    ``nbest`` > 1 (beam mode only): each record also carries an "nbest"
+    list of {text, score}, best first."""
     import jax.numpy as jnp
 
     from semi_supervised_asr_tpu.data.corpus import load_audio
@@ -47,9 +84,13 @@ def transcribe(solver, files: list[Path], mode: str) -> list[dict]:
     assert not solver.from_features, (
         "transcribe decodes raw audio; data.use_feature_store must be off"
     )
+    use_nbest = nbest > 1 and mode == "beam"
     spec = solver.spec
-    fn = {"greedy": solver._greedy_fn, "ctc": solver._ctc_fn}.get(
-        mode, solver._beam_fn)()
+    if use_nbest:
+        fn = _nbest_fn(solver)
+    else:
+        fn = {"greedy": solver._greedy_fn, "ctc": solver._ctc_fn}.get(
+            mode, solver._beam_fn)()
     params = solver.state.params
     if solver.ckpt.latest_step() is not None:
         step = solver.ckpt.best_step() or solver.ckpt.latest_step()
@@ -92,6 +133,19 @@ def transcribe(solver, files: list[Path], mode: str) -> list[dict]:
             hyps = np.asarray(out[0])
             scores = np.asarray(out[1])
             for r in range(n):
+                if use_nbest:
+                    cands = [
+                        {"text": solver.vocab.decode_text(hyps[r, j]),
+                         "score": float(scores[r, j])}
+                        for j in range(min(nbest, hyps.shape[1]))
+                    ]
+                    results.append({
+                        "audio": str(chunk[r][0]),
+                        "text": cands[0]["text"],
+                        "score": cands[0]["score"],
+                        "nbest": cands,
+                    })
+                    continue
                 results.append({
                     "audio": str(chunk[r][0]),
                     "text": solver.vocab.decode_text(hyps[r]),
@@ -110,6 +164,8 @@ def main(argv=None) -> int:
                    help="training workdir (checkpoint + cmvn.npz)")
     p.add_argument("--beam", type=int, default=None,
                    help="beam size; 1 = greedy, 0 = CTC greedy")
+    p.add_argument("--nbest", type=int, default=1,
+                   help="(beam) emit the top-N hypotheses per file")
     p.add_argument("--out", default=None, help="write jsonl here too")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("inputs", nargs="+",
@@ -140,7 +196,7 @@ def main(argv=None) -> int:
     if not files:
         raise SystemExit("no audio files found")
     solver = Solver(cfg, args.load_dir, use_mesh=False)
-    results = transcribe(solver, files, mode)
+    results = transcribe(solver, files, mode, nbest=args.nbest)
     out_f = open(args.out, "w") if args.out else None
     for rec in results:
         line = json.dumps(rec)

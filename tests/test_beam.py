@@ -113,3 +113,21 @@ class TestGreedy:
         t1, _ = f(params["speller"], enc, enc_mask, keys)
         t2, _ = f(params["speller"], enc, enc_mask, keys)
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+class TestNBest:
+    def test_nbest_top1_equals_best_and_sorted(self):
+        params, enc, enc_mask, keys = setup(7)
+        dcfg = DecodeConfig(beam_size=4, length_penalty=1.0)
+        best_hyp, best_score = beam_decode_from_enc(
+            params["speller"], CFG, dcfg, enc, enc_mask, keys, MAX_LEN)
+        nbest, nscores = beam_decode_from_enc(
+            params["speller"], CFG, dcfg, enc, enc_mask, keys, MAX_LEN,
+            return_nbest=True)
+        assert nbest.shape == (enc.shape[0], 4, MAX_LEN)
+        np.testing.assert_array_equal(np.asarray(nbest[:, 0]),
+                                      np.asarray(best_hyp))
+        np.testing.assert_allclose(np.asarray(nscores[:, 0]),
+                                   np.asarray(best_score), rtol=1e-6)
+        s = np.asarray(nscores)
+        assert (np.diff(s, axis=1) <= 1e-6).all()  # descending

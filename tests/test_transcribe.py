@@ -105,3 +105,17 @@ class TestTranscribe:
         results = transcribe(solver, [p], "greedy")
         assert len(results) == 1  # decoded, not dropped
         assert "truncating" in capsys.readouterr().err
+
+
+class TestNBestTranscribe:
+    def test_nbest_records(self, trained, tmp_path):
+        from semi_supervised_asr_tpu.transcribe import transcribe
+
+        solver, _ = trained
+        paths, texts = write_utt_wavs(solver, tmp_path, n=2)
+        results = transcribe(solver, paths, "beam", nbest=3)
+        for r in results:
+            assert len(r["nbest"]) == 3
+            assert r["nbest"][0]["text"] == r["text"]
+            scores = [c["score"] for c in r["nbest"]]
+            assert scores == sorted(scores, reverse=True)
