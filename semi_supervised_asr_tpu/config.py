@@ -160,6 +160,9 @@ class TrainConfig:
     beta2: float = 0.999
     grad_clip_norm: float = 5.0
     weight_decay: float = 0.0
+    freeze: tuple[str, ...] = ()      # fine-tuning: param-path substrings
+                                      # whose updates are zeroed (e.g.
+                                      # ["listener"] freezes the encoder)
     total_steps: int = 100000
     batch_size: int = 32              # global batch size (all chips)
     grad_accum: int = 1               # microbatches per optimizer update

@@ -62,5 +62,24 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.grad_clip_norm > 0:
-        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    if cfg.freeze:
+        # fine-tuning: zero the updates of any param whose tree path
+        # contains one of the freeze tokens (e.g. "listener" freezes the
+        # whole encoder; "fusion_lm" is frozen implicitly via stop_gradient
+        # already).  Values never move, optimizer state stays inert.
+        tokens = tuple(cfg.freeze)
+
+        def frozen_mask(params):
+            import jax
+
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: any(
+                    t in jax.tree_util.keystr(path) for t in tokens
+                ),
+                params,
+            )
+
+        opt = optax.chain(opt, optax.masked(optax.set_to_zero(),
+                                            frozen_mask))
     return opt

@@ -212,3 +212,24 @@ class TestCheckify:
         m = MESH.make_mesh(cfg.parallel)
         with pytest.raises(AssertionError, match="use_mesh"):
             TS.make_train_step(cfg, mesh=m)
+
+
+class TestFreeze:
+    def test_frozen_subtree_never_moves(self):
+        import dataclasses
+        cfg = CFG.replace(
+            train=dataclasses.replace(CFG.train, freeze=("listener",)))
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(20))
+        step = TS.make_train_step(cfg)
+        audio, alens, tokens, real, cmvn = make_batch(20)
+        enc0 = jax.tree.map(lambda x: np.asarray(x).copy(),
+                            state.params["listener"])
+        dec0 = np.asarray(state.params["speller"]["b_out"]).copy()
+        for _ in range(3):
+            state, m = step(state, audio, alens, tokens, real, *cmvn)
+        for a, b in zip(jax.tree.leaves(enc0),
+                        jax.tree.leaves(state.params["listener"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(
+            dec0, np.asarray(state.params["speller"]["b_out"]))
+        assert np.isfinite(float(m["loss"]))
