@@ -168,6 +168,8 @@ class TrainConfig:
     grad_accum: int = 1               # microbatches per optimizer update
                                       # (batch_size must divide evenly)
     eval_every: int = 1000
+    early_stop_patience: int = 0      # stop after N evals without a new
+                                      # best dev_error (0 = off)
     log_every: int = 100
     ckpt_every: int = 1000
     keep_ckpts: int = 3

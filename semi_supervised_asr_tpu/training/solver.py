@@ -261,6 +261,7 @@ class Solver:
         t_last = time.perf_counter()
         frames_acc = 0
         last_eval = {}
+        best_dev, evals_since_best = float("inf"), 0
         host_step = int(self.state.step)  # host-side mirror of state.step
         while host_step < cfg.train.total_steps:
             batch = next(labeled)
@@ -344,6 +345,18 @@ class Solver:
                     step, self.state, self.data_pos,
                     {"dev_error": last_eval["dev_error"]},
                 )
+                if last_eval["dev_error"] < best_dev - 1e-9:
+                    best_dev, evals_since_best = last_eval["dev_error"], 0
+                else:
+                    evals_since_best += 1
+                    patience = cfg.train.early_stop_patience
+                    if patience > 0 and evals_since_best >= patience:
+                        self.log.info(
+                            f"early stop at step {step}: dev_error has not "
+                            f"improved on {best_dev:.4f} for "
+                            f"{evals_since_best} evals"
+                        )
+                        break
             elif cfg.train.ckpt_every > 0 and step % cfg.train.ckpt_every == 0:
                 self.ckpt.save(step, self.state, self.data_pos,
                                {"dev_error": last_eval.get("dev_error", 1e9)})

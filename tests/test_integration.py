@@ -205,3 +205,22 @@ class TestAsyncCheckpoint:
         for a, b in zip(jax.tree.leaves(restored.params),
                         jax.tree.leaves(solver.state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEarlyStopping:
+    def test_stops_when_dev_stalls(self, tmp_path):
+        """lr=0 -> dev_error can never improve after the first eval;
+        patience=1 must halt long before total_steps."""
+        cfg = small_cfg(**{
+            "data.num_synthetic_utts": 8,
+            "train.batch_size": 4,
+            "train.learning_rate": 0.0,
+            "train.total_steps": 100,
+            "train.eval_every": 2,
+            "train.ckpt_every": 2,
+            "train.log_every": 2,
+            "train.early_stop_patience": 1,
+        })
+        solver = Solver(cfg, tmp_path, use_mesh=False)
+        solver.train()
+        assert int(solver.state.step) <= 6, int(solver.state.step)
