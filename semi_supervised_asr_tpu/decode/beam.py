@@ -176,22 +176,22 @@ def beam_decode_from_enc(
     if use_ctc:
         import optax
 
-        from semi_supervised_asr_tpu.data.vocab import EOS as _EOS
+        from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits
 
-        ctc_logits = (
-            jnp.einsum("bte,ev->btv", enc,
-                       ctc_params["w"].astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-            + ctc_params["b"].astype(jnp.float32)
-        )                                               # [B, T, V]
-        labels = hyps.reshape(b * k, max_len)
-        labels = jnp.where(labels == _EOS, PAD, labels)  # strip EOS
+        ctc_logits = ctc_head_logits(ctc_params, enc)   # [B, T, V]
+        logit_pad = 1.0 - enc_mask.astype(jnp.float32)
+        labels = jnp.where(hyps == EOS, PAD, hyps)      # [B, K, U] no EOS
         label_pad = (labels == PAD).astype(jnp.float32)
-        ctc_lp = -optax.ctc_loss(
-            _tile_rows(ctc_logits, k),
-            _tile_rows(1.0 - enc_mask.astype(jnp.float32), k),
-            labels, label_pad, blank_id=PAD,
-        ).reshape(b, k)                                 # total logp per hyp
+
+        # vmap the label-dependent forward pass over the K beams instead
+        # of tiling the [B, T, V] logits K-fold (decode-time memory)
+        def per_beam(lab, pad):
+            return optax.ctc_loss(ctc_logits, logit_pad, lab, pad,
+                                  blank_id=PAD)
+
+        ctc_lp = -jax.vmap(per_beam, in_axes=(1, 1), out_axes=1)(
+            labels, label_pad
+        )                                               # [B, K] total logp
         w = dcfg.ctc_weight
         scores = (1.0 - w) * scores + w * ctc_lp
 

@@ -14,17 +14,25 @@ import jax.numpy as jnp
 from semi_supervised_asr_tpu.data.vocab import EOS, PAD
 
 
+def ctc_head_logits(ctc_params: dict, enc: jax.Array) -> jax.Array:
+    """Encoder CTC head: [B, T', 2H] -> fp32 logits [B, T', V].
+
+    The single definition shared by the training loss, greedy CTC decode,
+    and beam rescoring (consistency by construction)."""
+    return (
+        jnp.einsum("bte,ev->btv", enc, ctc_params["w"].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+        + ctc_params["b"].astype(jnp.float32)
+    )
+
+
 def ctc_greedy_from_enc(
     ctc_params: dict,
     enc: jax.Array,        # [B, T', 2H]
     enc_mask: jax.Array,   # [B, T'] bool
 ) -> tuple[jax.Array, jax.Array]:
     """-> (tokens [B, T'] EOS-terminated PAD-padded, frame logp [B])."""
-    logits = (
-        jnp.einsum("bte,ev->btv", enc, ctc_params["w"].astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
-        + ctc_params["b"].astype(jnp.float32)
-    )
+    logits = ctc_head_logits(ctc_params, enc)
     logp = jax.nn.log_softmax(logits, axis=-1)
     path = jnp.argmax(logits, axis=-1)                   # [B, T']
     path = jnp.where(enc_mask, path, PAD)

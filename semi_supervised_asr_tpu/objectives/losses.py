@@ -67,11 +67,9 @@ def ctc_loss(
     """
     import optax
 
-    logits = (
-        jnp.einsum("bte,ev->btv", enc, ctc_params["w"].astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
-        + ctc_params["b"].astype(jnp.float32)
-    )
+    from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits
+
+    logits = ctc_head_logits(ctc_params, enc)
     labels = jnp.where(tokens == EOS, PAD, tokens)
     label_pad = (labels == PAD).astype(jnp.float32)
     logit_pad = 1.0 - enc_mask.astype(jnp.float32)

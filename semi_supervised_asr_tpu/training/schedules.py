@@ -61,13 +61,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         opt = optax.sgd(lr, momentum=0.9)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    if cfg.grad_clip_norm > 0:
-        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
     if cfg.freeze:
-        # fine-tuning: zero the updates of any param whose tree path
-        # contains one of the freeze tokens (e.g. "listener" freezes the
-        # whole encoder; "fusion_lm" is frozen implicitly via stop_gradient
-        # already).  Values never move, optimizer state stays inert.
+        # fine-tuning: zero the GRADIENTS of any param whose tree path
+        # contains a freeze token (e.g. "listener" freezes the encoder) —
+        # BEFORE clipping and the optimizer, so frozen params neither
+        # inflate the global clip norm (which would shrink the live
+        # params' effective LR) nor accumulate Adam moments.
         tokens = tuple(cfg.freeze)
 
         def frozen_mask(params):
@@ -80,6 +79,16 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
                 params,
             )
 
-        opt = optax.chain(opt, optax.masked(optax.set_to_zero(),
-                                            frozen_mask))
+        if cfg.grad_clip_norm > 0:
+            return optax.chain(
+                optax.masked(optax.set_to_zero(), frozen_mask),
+                optax.clip_by_global_norm(cfg.grad_clip_norm),
+                opt,
+            )
+        return optax.chain(
+            optax.masked(optax.set_to_zero(), frozen_mask), opt
+        )
+    if cfg.grad_clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
+                           opt)
     return opt

@@ -261,7 +261,17 @@ class Solver:
         t_last = time.perf_counter()
         frames_acc = 0
         last_eval = {}
+        # early stopping: resume remembers the pre-crash best via the
+        # checkpoint manager's per-step metrics (else a resumed plateau
+        # would count its first eval as a fresh best and never stop)
         best_dev, evals_since_best = float("inf"), 0
+        if resume and self.ckpt.best_step() is not None:
+            try:
+                m = self.ckpt.mgr.metrics(self.ckpt.best_step())
+                if m and "dev_error" in m:
+                    best_dev = float(m["dev_error"])
+            except Exception:
+                pass
         host_step = int(self.state.step)  # host-side mirror of state.step
         while host_step < cfg.train.total_steps:
             batch = next(labeled)
@@ -458,8 +468,11 @@ class Solver:
             self._decode_fns["lm"] = (lm_params, lm_step)
         return self._decode_fns["lm"]
 
-    def _beam_fn(self):
-        if "beam" not in self._decode_fns:
+    def _beam_fn(self, nbest: bool = False):
+        """Jit beam decode; ``nbest`` returns all K lattices sorted by
+        score (transcribe --nbest) instead of the single best."""
+        key = "beam_nbest" if nbest else "beam"
+        if key not in self._decode_fns:
             cfg = self.cfg
             lm_params, lm_step = self._lm()
 
@@ -491,10 +504,11 @@ class Solver:
                     enc, enc_mask, keys, max_u,
                     lm_params=lm_params, lm_step_fn=lm_step,
                     ctc_params=params["ctc"] if use_ctc else None,
+                    return_nbest=nbest,
                 )
 
-            self._decode_fns["beam"] = self._jit_decode(fn)
-        return self._decode_fns["beam"]
+            self._decode_fns[key] = self._jit_decode(fn)
+        return self._decode_fns[key]
 
     def _score_batches(
         self, dataset, params, mode: str
@@ -600,21 +614,33 @@ class Solver:
         except Exception as e:  # never fail training over a plot
             self.log.info(f"alignment plot skipped: {e}")
 
-    def test(
-        self, mode: str = "beam", restore_best: bool = True,
-        out_path: str | Path | None = None,
-    ) -> dict:
-        params = self.state.params
-        if (self.cfg.decode.average_ckpts > 1
-                and self.ckpt.latest_step() is not None):
+    def eval_params(self, require_ckpt: bool = False):
+        """The params decode-time consumers should use: checkpoint-averaged
+        (decode.average_ckpts) or best/latest restored — the SAME logic for
+        --test and transcribe so serving matches measured eval quality."""
+        if self.ckpt.latest_step() is None:
+            if require_ckpt:
+                raise SystemExit(
+                    f"{self.workdir}: no checkpoint found — decoding with "
+                    "untrained params would produce garbage (check the "
+                    "--load-dir path / train first)"
+                )
+            return self.state.params
+        if self.cfg.decode.average_ckpts > 1:
             params, steps = self.ckpt.average_params(
                 self.state, self.cfg.decode.average_ckpts
             )
             self.log.info(f"decoding with params averaged over steps {steps}")
-        elif restore_best and self.ckpt.latest_step() is not None:
-            step = self.ckpt.best_step() or self.ckpt.latest_step()
-            state, _, _ = self.ckpt.restore(self.state, step)
-            params = state.params
+            return params
+        step = self.ckpt.best_step() or self.ckpt.latest_step()
+        state, _, _ = self.ckpt.restore(self.state, step)
+        return state.params
+
+    def test(
+        self, mode: str = "beam", restore_best: bool = True,
+        out_path: str | Path | None = None,
+    ) -> dict:
+        params = self.eval_params() if restore_best else self.state.params
         eval_ds = self.bundle.test if self.bundle.test is not None else self.bundle.dev
         rate, records, wrate = self._score_batches(eval_ds, params, mode)
         if out_path is not None:

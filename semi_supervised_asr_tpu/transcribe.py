@@ -38,39 +38,6 @@ def collect_files(paths: list[str]) -> list[Path]:
     return out
 
 
-def _nbest_fn(solver):
-    """Beam decode returning ALL K lattices sorted by score (for --nbest)."""
-    import jax
-
-    from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
-    from semi_supervised_asr_tpu.models import seq2seq as M
-    from semi_supervised_asr_tpu.training import train_step as TS
-
-    cfg = solver.cfg
-    lm_params, lm_step = solver._lm()
-    use_ctc = cfg.decode.ctc_weight > 0.0 and "ctc" in solver.state.params
-
-    @jax.jit
-    def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
-        feats, flens = TS.featurize(
-            cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
-        )
-        enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
-        max_u = max(1, min(
-            cfg.data.token_buckets[-1], cfg.decode.max_decode_len,
-            int(cfg.decode.max_decode_ratio * enc.shape[1])
-            if cfg.decode.max_decode_ratio > 0 else 10**9,
-        ))
-        return beam_decode_from_enc(
-            params["speller"], cfg.model, cfg.decode, enc, enc_mask, keys,
-            max_u, lm_params=lm_params, lm_step_fn=lm_step,
-            ctc_params=params["ctc"] if use_ctc else None,
-            return_nbest=True,
-        )
-
-    return fn
-
-
 def transcribe(solver, files: list[Path], mode: str,
                nbest: int = 1) -> list[dict]:
     """Bucket + batch the files, decode, -> [{audio, text, score}].
@@ -84,18 +51,21 @@ def transcribe(solver, files: list[Path], mode: str,
     assert not solver.from_features, (
         "transcribe decodes raw audio; data.use_feature_store must be off"
     )
-    use_nbest = nbest > 1 and mode == "beam"
+    if nbest > 1 and mode != "beam":
+        raise SystemExit(
+            f"--nbest needs beam decoding (got mode={mode!r}); drop "
+            "--beam 0/1 or --nbest"
+        )
+    use_nbest = nbest > 1
     spec = solver.spec
     if use_nbest:
-        fn = _nbest_fn(solver)
+        fn = solver._beam_fn(nbest=True)
     else:
         fn = {"greedy": solver._greedy_fn, "ctc": solver._ctc_fn}.get(
             mode, solver._beam_fn)()
-    params = solver.state.params
-    if solver.ckpt.latest_step() is not None:
-        step = solver.ckpt.best_step() or solver.ckpt.latest_step()
-        state, _, _ = solver.ckpt.restore(solver.state, step)
-        params = state.params
+    # same params --test would use (best/latest or checkpoint-averaged);
+    # refuses to decode with untrained params
+    params = solver.eval_params(require_ckpt=True)
 
     max_bucket = spec.frame_buckets[-1]
     by_bucket: dict[int, list[tuple[Path, np.ndarray]]] = {}
@@ -180,9 +150,12 @@ def main(argv=None) -> int:
     from semi_supervised_asr_tpu.config import load_config
     from semi_supervised_asr_tpu.training.solver import Solver
 
-    # split trailing key=value overrides from input paths
-    paths = [x for x in args.inputs if "=" not in x]
-    overrides += [x for x in args.inputs if "=" in x]
+    # split trailing key=value overrides from input paths — an EXISTING
+    # path wins even if it contains '=' (e.g. "take=2.wav")
+    paths = [x for x in args.inputs
+             if Path(x).exists() or "=" not in x]
+    overrides += [x for x in args.inputs
+                  if not Path(x).exists() and "=" in x]
 
     cfg = load_config(args.config, overrides)
     if args.beam is not None and args.beam > 1:

@@ -87,3 +87,34 @@ class TestSchedules:
             schedules.make_optimizer(TrainConfig(optimizer=name))
         with pytest.raises(ValueError):
             schedules.make_optimizer(TrainConfig(optimizer="nope"))
+
+
+class TestFreezeClipOrdering:
+    def test_frozen_grads_do_not_inflate_clip_norm(self):
+        """Freezing must zero gradients BEFORE global-norm clipping: huge
+        frozen-subtree grads must not shrink the live params' updates."""
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from semi_supervised_asr_tpu.config import TrainConfig
+        from semi_supervised_asr_tpu.training.schedules import make_optimizer
+
+        cfg = dataclasses.replace(
+            TrainConfig(), optimizer="sgd", learning_rate=1.0,
+            lr_schedule="constant", grad_clip_norm=1.0,
+            freeze=("frozen",),
+        )
+        opt = make_optimizer(cfg)
+        params = {"frozen": jnp.ones(4), "live": jnp.ones(4)}
+        st = opt.init(params)
+        g_small = jnp.full(4, 0.1)
+        up_huge, _ = opt.update(
+            {"frozen": jnp.full(4, 1e6), "live": g_small}, st, params)
+        up_zero, _ = opt.update(
+            {"frozen": jnp.zeros(4), "live": g_small}, st, params)
+        np.testing.assert_array_equal(np.asarray(up_huge["frozen"]), 0.0)
+        np.testing.assert_allclose(np.asarray(up_huge["live"]),
+                                   np.asarray(up_zero["live"]), rtol=1e-6)
