@@ -224,3 +224,40 @@ class TestEarlyStopping:
         solver = Solver(cfg, tmp_path, use_mesh=False)
         solver.train()
         assert int(solver.state.step) <= 6, int(solver.state.step)
+
+
+class TestResume:
+    def test_solver_resume_continues_from_checkpoint(self, tmp_path):
+        base = {
+            "data.num_synthetic_utts": 8,
+            "train.batch_size": 4,
+            "train.eval_every": 0,
+            "train.ckpt_every": 2,
+            "train.log_every": 2,
+        }
+        cfg4 = small_cfg(**base, **{"train.total_steps": 4})
+        Solver(cfg4, tmp_path, use_mesh=False).train()
+
+        cfg8 = small_cfg(**base, **{"train.total_steps": 8})
+        s2 = Solver(cfg8, tmp_path, use_mesh=False)
+        s2.train(resume=True)
+        assert int(s2.state.step) == 8
+        assert s2.ckpt.latest_step() == 8
+        # resumed run logged steps 6 and 8 only (5..8 trained here)
+        recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")
+                if '"prefix": "train"' in l]
+        assert [r["step"] for r in recs].count(6) == 1
+
+    def test_cli_resume_flag(self, tmp_path):
+        args = [sys.executable, "-m", "semi_supervised_asr_tpu.main",
+                "--config", CONFIG, "--train", "--workdir", str(tmp_path),
+                "--platform", "cpu", "train.eval_every=0",
+                "train.ckpt_every=2", "train.log_every=2",
+                "data.num_synthetic_utts=8", "train.batch_size=8"]
+        out1 = subprocess.run(args + ["train.total_steps=2"],
+                              capture_output=True, text=True, timeout=560)
+        assert out1.returncode == 0, out1.stderr[-2000:]
+        out2 = subprocess.run(args + ["train.total_steps=4", "--resume"],
+                              capture_output=True, text=True, timeout=560)
+        assert out2.returncode == 0, out2.stderr[-2000:]
+        assert "resumed from step 2" in out2.stdout + out2.stderr
