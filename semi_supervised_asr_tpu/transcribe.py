@@ -10,7 +10,8 @@ training), decodes with beam (default) / greedy (``--beam 1``) / CTC
 ``{"audio": path, "text": ..., "score": ...}``.
 
 WAV / NPY / FLAC are supported (FLAC via the native decoder).  Files
-longer than the largest frame bucket are truncated with a warning.
+longer than the largest frame bucket are decoded in bucket-sized chunks
+and the texts joined (with a warning).
 """
 
 from __future__ import annotations
@@ -68,20 +69,30 @@ def transcribe(solver, files: list[Path], mode: str,
     params = solver.eval_params(require_ckpt=True)
 
     max_bucket = spec.frame_buckets[-1]
-    by_bucket: dict[int, list[tuple[Path, np.ndarray]]] = {}
+    # keys: (path, chunk_index) — long files are CHUNKED at the largest
+    # bucket (attention LAS is not streaming; chunked decode is the
+    # standard workaround) and their texts rejoined in order
+    by_bucket: dict[int, list[tuple[tuple[Path, int], np.ndarray]]] = {}
+    n_chunks: dict[str, int] = {}
     for f in files:
         audio = load_audio(f)
         frames = spec.frames_for_samples(len(audio))
-        fb = spec.frame_bucket(frames)
-        if fb is None:
+        if spec.frame_bucket(frames) is None:
+            chunk_samples = spec.samples_for_frames(max_bucket)
+            pieces = [audio[s: s + chunk_samples]
+                      for s in range(0, len(audio), chunk_samples)]
             print(f"WARNING: {f} ({frames} frames) exceeds the largest "
-                  f"bucket ({max_bucket}) — truncating", file=sys.stderr)
-            fb = max_bucket
-            audio = audio[: spec.samples_for_frames(fb)]
-        by_bucket.setdefault(fb, []).append((f, audio))
+                  f"bucket ({max_bucket}) — decoding {len(pieces)} chunks "
+                  "and joining the texts", file=sys.stderr)
+        else:
+            pieces = [audio]
+        n_chunks[str(f)] = len(pieces)
+        for ci, piece in enumerate(pieces):
+            fb = spec.frame_bucket(spec.frames_for_samples(len(piece)))
+            by_bucket.setdefault(fb, []).append(((f, ci), piece))
 
     batch_size = solver.cfg.train.batch_size
-    results: list[dict] = []
+    chunk_results: dict[tuple[str, int], dict] = {}
     from semi_supervised_asr_tpu.ops.frontend_oracle import pad_for_batch
 
     for fb, items in sorted(by_bucket.items()):
@@ -103,27 +114,38 @@ def transcribe(solver, files: list[Path], mode: str,
             hyps = np.asarray(out[0])
             scores = np.asarray(out[1])
             for r in range(n):
+                path, ci = chunk[r][0]
                 if use_nbest:
                     cands = [
                         {"text": solver.vocab.decode_text(hyps[r, j]),
                          "score": float(scores[r, j])}
                         for j in range(min(nbest, hyps.shape[1]))
                     ]
-                    results.append({
-                        "audio": str(chunk[r][0]),
-                        "text": cands[0]["text"],
-                        "score": cands[0]["score"],
-                        "nbest": cands,
-                    })
-                    continue
-                results.append({
-                    "audio": str(chunk[r][0]),
-                    "text": solver.vocab.decode_text(hyps[r]),
-                    "score": float(scores[r].sum()
-                                   if scores[r].ndim else scores[r]),
-                })
-    order = {str(f): i for i, f in enumerate(files)}
-    results.sort(key=lambda r: order[r["audio"]])
+                    rec = {"text": cands[0]["text"],
+                           "score": cands[0]["score"], "nbest": cands}
+                else:
+                    rec = {
+                        "text": solver.vocab.decode_text(hyps[r]),
+                        "score": float(scores[r].sum()
+                                       if scores[r].ndim else scores[r]),
+                    }
+                chunk_results[(str(path), ci)] = rec
+
+    # assemble per file (multi-chunk: join texts, sum scores; nbest only
+    # meaningful for single-chunk files)
+    results = []
+    for f in files:
+        key = str(f)
+        parts = [chunk_results[(key, ci)] for ci in range(n_chunks[key])]
+        if len(parts) == 1:
+            results.append({"audio": key, **parts[0]})
+        else:
+            results.append({
+                "audio": key,
+                "text": " ".join(p["text"] for p in parts if p["text"]),
+                "score": float(sum(p["score"] for p in parts)),
+                "chunks": len(parts),
+            })
     return results
 
 

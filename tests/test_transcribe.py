@@ -89,8 +89,10 @@ class TestTranscribe:
         saved = [json.loads(l) for l in open(tmp_path / "h.jsonl")]
         assert saved == lines
 
-    def test_overlong_truncated_with_warning(self, trained, tmp_path,
-                                             capsys):
+    def test_overlong_chunked_with_warning(self, trained, tmp_path,
+                                           capsys):
+        """Files beyond the largest bucket are decoded in chunks and the
+        texts joined — full coverage, not truncation."""
         from scipy.io import wavfile
 
         from semi_supervised_asr_tpu.transcribe import transcribe
@@ -103,8 +105,30 @@ class TestTranscribe:
         wavfile.write(p, 16000,
                       (rng.normal(0, 0.05, s) * 32767).astype(np.int16))
         results = transcribe(solver, [p], "greedy")
-        assert len(results) == 1  # decoded, not dropped
-        assert "truncating" in capsys.readouterr().err
+        assert len(results) == 1  # one record for the whole file
+        assert results[0]["chunks"] >= 3
+        assert "chunks" in capsys.readouterr().err
+
+    def test_chunked_long_file_covers_all_content(self, trained, tmp_path):
+        """Concatenating two training utterances beyond the bucket limit
+        must transcribe BOTH texts (the old behavior truncated the tail)."""
+        from scipy.io import wavfile
+
+        from semi_supervised_asr_tpu.transcribe import transcribe
+
+        solver, _ = trained
+        max_frames = solver.spec.frame_buckets[-1]
+        chunk_samples = solver.spec.samples_for_frames(max_frames)
+        u0, u1 = solver.bundle.train[0], solver.bundle.train[1]
+        a0 = np.zeros(chunk_samples, np.float32)
+        a0[: len(u0.audio)] = u0.audio          # chunk 1 = utt0 (padded)
+        audio = np.concatenate([a0, u1.audio])  # chunk 2 = utt1
+        p = tmp_path / "two.wav"
+        wavfile.write(p, 16000,
+                      np.clip(audio * 32767, -32768, 32767).astype(np.int16))
+        results = transcribe(solver, [p], "greedy")
+        assert results[0]["chunks"] == 2
+        assert u1.text in results[0]["text"]    # the tail is NOT lost
 
 
 class TestNBestTranscribe:
