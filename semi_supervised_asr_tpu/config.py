@@ -250,11 +250,18 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    """Device mesh layout (BASELINE.json:11). `model` axis is a stub for TP."""
+    """Device mesh layout (BASELINE.json:11).
+
+    ``model_parallel > 1`` enables Megatron-style tensor parallelism over
+    the ``model`` axis: vocab-adjacent params (embedding rows, output
+    projection columns, CTC head) live sharded; everything else replicates
+    (parallel/tp.py).  Worth it for large BPE vocabularies; DP alone is
+    optimal at phone/char vocab sizes.
+    """
 
     data_axis: str = "data"
     model_axis: str = "model"
-    model_parallel: int = 1           # leave 1: model is small; axis is a stub
+    model_parallel: int = 1
     donate_state: bool = True
 
 

@@ -6,9 +6,8 @@ NCCL/MPI.  Layout:
 
 * axis ``data``: batch dimension sharded; params replicated -> XLA inserts
   the psum gradient allreduce (riding ICI on a real slice);
-* axis ``model``: a stub of size ``model_parallel`` (default 1) so tensor
-  parallelism can shard projections later without re-plumbing callers
-  (SURVEY.md §3.2: TP not planned — model is tens of MB).
+* axis ``model``: tensor parallelism of size ``model_parallel`` (default
+  1) — vocab-adjacent params shard over it, see ``parallel/tp.py``.
 
 Multi-host entry: call ``maybe_initialize_distributed()`` first; per-host
 input sharding is handled by the pipeline via ``process_index``.

@@ -128,8 +128,20 @@ class Solver:
                 f"{cfg.model.lm_fusion} fusion: frozen LM grafted from "
                 f"{cfg.model.lm_fusion_ckpt}"
             )
+        state_sh = None
+        if self.mesh is not None and cfg.parallel.model_parallel > 1:
+            # tensor parallelism: vocab-adjacent params live sharded over
+            # the `model` axis (parallel/tp.py); shardings are taken from
+            # the LIVE state so a grafted fusion LM is covered too
+            from semi_supervised_asr_tpu.parallel import tp
+
+            state_sh = tp.state_shardings(
+                self.mesh, cfg.parallel, self.state
+            )
+            self.state = jax.device_put(self.state, state_sh)
         self.step_fn = TS.make_train_step(
-            cfg, self.semi, self.mesh, from_features=self.from_features
+            cfg, self.semi, self.mesh, from_features=self.from_features,
+            state_shardings=state_sh,
         )
         self.ckpt = Checkpointer(
             self.workdir / cfg.train.ckpt_dir,

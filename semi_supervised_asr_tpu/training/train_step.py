@@ -290,6 +290,7 @@ def make_train_step(
     semi_supervised: bool = False,
     mesh=None,
     from_features: bool = False,
+    state_shardings=None,
 ):
     """Build the fused jit step; compiles once per bucket shape.
 
@@ -366,10 +367,32 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(cfg.parallel.data_axis))
-    in_sh = (repl,) + (data,) * n_batch_args + (repl, repl)
+    if cfg.parallel.model_parallel > 1:
+        # Tensor parallelism (parallel/tp.py): vocab-adjacent params live
+        # sharded over the `model` axis; the rest of the state replicates.
+        # The Pallas LSTM kernel has no GSPMD partitioning rule — TP runs
+        # force the XLA scan backend (the kernels it would replace aren't
+        # the ones TP shards anyway).
+        assert cfg.model.lstm_backend != "pallas", (
+            "model_parallel > 1 requires model.lstm_backend: xla"
+        )
+        if state_shardings is not None:
+            # caller passes shardings of its LIVE state (the param tree can
+            # grow after init, e.g. a grafted fusion LM)
+            state_sh = state_shardings
+        else:
+            from semi_supervised_asr_tpu.parallel import tp
+
+            abstract_state = jax.eval_shape(
+                partial(init_train_state, cfg), jax.random.PRNGKey(0)
+            )
+            state_sh = tp.state_shardings(mesh, cfg.parallel, abstract_state)
+    else:
+        state_sh = repl
+    in_sh = (state_sh,) + (data,) * n_batch_args + (repl, repl)
     return jax.jit(
         fn,
         in_shardings=in_sh,
-        out_shardings=(repl, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=donate,
     )
