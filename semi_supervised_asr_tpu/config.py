@@ -146,6 +146,12 @@ class ObjectiveConfig:
     pseudo_confidence: float = 0.0    # min mean prob filter in (0,1); 0=all
     ema_decay: float = 0.999          # EMA teacher for pseudo-labels
     use_ema_teacher: bool = True
+    # sequence-level expected-risk (MWER) fine-tuning, arXiv:1712.01818:
+    # jit beam proposes n-best inside the step, jit edit distance scores
+    # the risks, loss = n-best expected (risk - mean risk)
+    lambda_mwer: float = 0.0
+    mwer_beam: int = 4                # n-best size for the risk expectation
+    mwer_warmup_steps: int = 0        # CE-only steps before MWER kicks in
 
 
 @dataclass(frozen=True)

@@ -185,6 +185,94 @@ def pseudo_label_loss(
     return jnp.sum(nll * keep_f[:, None]) / denom
 
 
+def expected_risk(
+    seq_logp: jax.Array,    # [B, K] total log-prob of each n-best hyp
+    risks: jax.Array,       # [B, K] per-hyp risk (e.g. edit distance)
+    row_weight: jax.Array,  # [B] 1.0 for live rows, 0.0 for padding rows
+) -> tuple[jax.Array, jax.Array]:
+    """MWER expected risk (Prabhavalkar et al. 2018, arXiv:1712.01818).
+
+    -> (scalar loss, mean risk metric).  ``loss = E_{p̂}[risk - mean risk]``
+    with p̂ the n-best-renormalized sequence posteriors; subtracting the
+    uniform n-best mean is the paper's variance reduction and makes the
+    all-hyps-equal case exactly zero.  Gradients flow only through
+    ``seq_logp``.
+    """
+    p = jax.nn.softmax(seq_logp.astype(jnp.float32), axis=-1)
+    risks = jax.lax.stop_gradient(risks.astype(jnp.float32))
+    baseline = jnp.mean(risks, axis=-1, keepdims=True)
+    per_row = jnp.sum(p * (risks - baseline), axis=-1)
+    denom = jnp.maximum(jnp.sum(row_weight), 1.0)
+    loss = jnp.sum(per_row * row_weight) / denom
+    mean_risk = jnp.sum(jnp.sum(p * risks, axis=-1) * row_weight) / denom
+    return loss, mean_risk
+
+
+def mwer_loss(
+    params: dict,
+    model_cfg: ModelConfig,
+    obj_cfg: ObjectiveConfig,
+    feats: jax.Array,
+    feat_lens: jax.Array,
+    tokens: jax.Array,     # [B, U] gold (EOS-terminated, PAD-padded)
+    remat: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Minimum-WER sequence training, entirely inside the jit step.
+
+    The batched jit beam (decode/beam.py) proposes K n-best hypotheses
+    (discrete — no gradient path), each is teacher-force re-scored by the
+    model (differentiable), risks are jit edit distances
+    (ops/edit_distance.py) against the gold tokens, and the loss is the
+    n-best expected risk.  Reference counterpart: none (reference trains
+    CE only); this is a capability extension in the reference's model
+    family, standard for production LAS (arXiv:1712.01818).
+    """
+    from semi_supervised_asr_tpu.config import DecodeConfig
+    from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+    from semi_supervised_asr_tpu.models import seq2seq as M
+    from semi_supervised_asr_tpu.ops.edit_distance import (
+        batched_edit_distance,
+    )
+
+    b, u = tokens.shape
+    k = obj_cfg.mwer_beam
+    dcfg = DecodeConfig(beam_size=k, length_penalty=1.0)
+
+    enc, enc_mask, keys = M.encode(
+        params, feats, feat_lens, model_cfg, remat=remat
+    )
+    nbest, _ = beam_decode_from_enc(
+        params["speller"], model_cfg, dcfg, enc, enc_mask, keys,
+        max_len=u, return_nbest=True,
+    )                                               # [B, K, U] int
+    nbest = jax.lax.stop_gradient(nbest)
+
+    # differentiable re-scoring: one batched teacher-forced pass over B*K
+    flat = nbest.reshape(b * k, u)
+    tokens_in, targets = shift_targets(flat)
+    logits, _ = S.forward_teacher(
+        params["speller"], model_cfg,
+        jnp.repeat(enc, k, axis=0), jnp.repeat(enc_mask, k, axis=0),
+        tokens_in, tf_rate=1.0, rng=None, train=False,
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    gold_lp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    seq_logp = jnp.sum(gold_lp * token_mask(targets), axis=1).reshape(b, k)
+
+    # risks: edit distance on content tokens (EOS is not an error unit)
+    hyp_c = jnp.where(nbest == EOS, PAD, nbest)
+    ref_c = jnp.where(tokens == EOS, PAD, tokens)
+    hyp_lens = jnp.sum(hyp_c != PAD, axis=-1)
+    ref_lens = jnp.sum(ref_c != PAD, axis=-1)
+    risks = batched_edit_distance(
+        hyp_c, hyp_lens,
+        jnp.broadcast_to(ref_c[:, None, :], (b, k, u)),
+        jnp.broadcast_to(ref_lens[:, None], (b, k)),
+    )
+    row_weight = (ref_lens > 0).astype(jnp.float32)  # drop all-PAD rows
+    return expected_risk(seq_logp, risks, row_weight)
+
+
 def token_accuracy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     mask = token_mask(targets)
     pred = jnp.argmax(logits, axis=-1)

@@ -170,6 +170,19 @@ def supervised_step_fn(
         )
         metrics = dict(aux)   # ce, acc (+ ctc when the aux head is on)
 
+        if obj.lambda_mwer > 0.0:
+            # sequence-level expected risk over the jit beam's n-best
+            # (arXiv:1712.01818); gated like the pseudo term — the beam
+            # needs a CE-trained model before its n-best carries signal
+            mwer, mean_risk = LO.mwer_loss(
+                params, cfg.model, obj, feats, flens, tokens,
+                remat=cfg.train.remat_encoder,
+            )
+            gate = (state.step >= obj.mwer_warmup_steps).astype(jnp.float32)
+            loss = loss + obj.lambda_mwer * gate * mwer
+            metrics["mwer"] = mwer
+            metrics["mwer_risk"] = mean_risk
+
         if obj.lambda_text_ae > 0.0 and unlab_text is not None:
             ae = LO.text_ae_loss(params, cfg.model, obj, unlab_text)
             loss = loss + obj.lambda_text_ae * ae
