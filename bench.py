@@ -43,6 +43,9 @@ def main() -> int:
                    help="frontend DFT: fp32 MXU matmul (default; 12% "
                         "faster full step, matches rfft to ~4e-5) or "
                         "XLA rfft (VPU-bound)")
+    p.add_argument("--conv-subsample", type=int, default=0,
+                   help="stride-2 conv stem blocks before the LSTMs "
+                        "(each halves the scan length; changes the model)")
     args = p.parse_args()
 
     if args.platform:
@@ -65,6 +68,7 @@ def main() -> int:
             attn_conv_width=100, dec_hidden=512, dec_layers=1,
             embed_dim=256, compute_dtype="bfloat16",
             lstm_backend=args.lstm_backend,
+            conv_subsample=args.conv_subsample,
         ),
         objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
         train=TrainConfig(learning_rate=1e-3),
@@ -72,6 +76,8 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     b, f, u = args.batch, args.frames, args.tokens
+    tr = cfg.model.time_reduction
+    f = ((f + tr - 1) // tr) * tr   # bucket rule: divisible by reduction
     s = (f - 1) * cfg.frontend.hop_length
     audio = (rng.standard_normal((b, s)) * 0.1).astype(np.float32)
     audio_lens = np.full((b,), s, np.int32)

@@ -72,6 +72,13 @@ class ModelConfig:
     enc_base_layers: int = 1      # full-rate BiLSTM layers before the pyramid
     enc_dropout: float = 0.0
     # each pyramid layer folds 2 frames -> total reduction 2**enc_layers
+    # Conv subsampler stem (ESPnet-style Conv2dSubsampling): N stride-2
+    # 3x3 conv blocks over (time, freq) BEFORE the LSTMs.  Each block
+    # halves the scan length the latency-bound BiLSTMs must walk — the
+    # measured lever for encoder step time (DESIGN.md perf decisions) —
+    # and multiplies total time reduction by 2**N.
+    conv_subsample: int = 0
+    conv_channels: int = 32
     # Attention
     attn_type: str = "location"   # "location" | "additive" | "dot"
     attn_dim: int = 128
@@ -118,7 +125,7 @@ class ModelConfig:
 
     @property
     def time_reduction(self) -> int:
-        return 2 ** self.enc_layers
+        return 2 ** (self.enc_layers + self.conv_subsample)
 
     @property
     def enc_out_dim(self) -> int:

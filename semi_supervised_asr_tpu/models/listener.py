@@ -1,10 +1,12 @@
 """Listener: pyramidal BiLSTM encoder (Chan et al. 2015, arXiv:1508.01211).
 
 Reference counterpart: the pBLSTM `Encoder` (SURVEY.md §3 #8).  TPU-native
-realization: ``enc_base_layers`` full-rate BiLSTMs followed by
-``enc_layers`` pyramid stages, each a reshape time-fold (T -> T/2, feature
-dim doubles) then a BiLSTM.  Total time reduction 2**enc_layers; buckets
-must be divisible by it (enforced by the data pipeline).
+realization: an optional conv subsampler stem (``conv_subsample`` stride-2
+3x3 conv blocks — MXU work that halves the scan length per block), then
+``enc_base_layers`` full-rate BiLSTMs, then ``enc_layers`` pyramid stages,
+each a reshape time-fold (T -> T/2, feature dim doubles) then a BiLSTM.
+Total time reduction 2**(enc_layers + conv_subsample); buckets must be
+divisible by it (enforced by the data pipeline).
 
 Outputs are float32 [B, T', 2*enc_hidden] with exact zeros on pad frames.
 """
@@ -18,19 +20,76 @@ from semi_supervised_asr_tpu.config import ModelConfig
 from semi_supervised_asr_tpu.ops import recurrent as R
 
 
+def conv_stem_dims(cfg: ModelConfig) -> int:
+    """Feature dim the LSTM stack sees after the conv stem's reshape."""
+    f = cfg.n_mels
+    for _ in range(cfg.conv_subsample):
+        f = (f + 1) // 2
+    return f * cfg.conv_channels
+
+
 def init_listener(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
-    keys = jax.random.split(key, cfg.enc_base_layers + cfg.enc_layers)
-    layers = []
+    n = cfg.enc_base_layers + cfg.enc_layers + cfg.conv_subsample
+    keys = jax.random.split(key, max(n, 2))
+    params: dict = {"layers": []}
     in_dim = cfg.n_mels
+    if cfg.conv_subsample > 0:
+        # ESPnet-style Conv2dSubsampling stem: stride-2 3x3 convs over
+        # (time, freq); each halves the length the scans must walk
+        glorot = jax.nn.initializers.glorot_uniform()
+        params["conv"] = []
+        c_in = 1
+        for i in range(cfg.conv_subsample):
+            params["conv"].append({
+                "w": glorot(
+                    keys[cfg.enc_base_layers + cfg.enc_layers + i],
+                    (3, 3, c_in, cfg.conv_channels), dtype,
+                ),
+                "b": jnp.zeros((cfg.conv_channels,), dtype),
+            })
+            c_in = cfg.conv_channels
+        in_dim = conv_stem_dims(cfg)
     for i in range(cfg.enc_base_layers):
-        layers.append(R.bilstm_init(keys[i], in_dim, cfg.enc_hidden, dtype))
+        params["layers"].append(
+            R.bilstm_init(keys[i], in_dim, cfg.enc_hidden, dtype)
+        )
         in_dim = 2 * cfg.enc_hidden
     for j in range(cfg.enc_layers):
         k = keys[cfg.enc_base_layers + j]
         # pyramid fold doubles the feature dim before the BiLSTM
-        layers.append(R.bilstm_init(k, 2 * in_dim, cfg.enc_hidden, dtype))
+        params["layers"].append(
+            R.bilstm_init(k, 2 * in_dim, cfg.enc_hidden, dtype)
+        )
         in_dim = 2 * cfg.enc_hidden
-    return {"layers": layers}
+    return params
+
+
+def conv_stem_apply(
+    conv_params: list,
+    x: jax.Array,          # [B, T, F] zero on pad frames
+    lens: jax.Array,       # [B]
+    cfg: ModelConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """-> ([B, ceil(T/2^N), F'*C], new lens).  Pad frames stay exact zeros
+    (re-masked after every block: bias+relu would otherwise bleed into the
+    pad region and break pad-invariance of the downstream scans)."""
+    compute = jnp.dtype(cfg.compute_dtype)
+    h = x[..., None]                               # [B, T, F, 1]
+    for p in conv_params:
+        # conv runs in compute dtype end-to-end (preferred_element_type
+        # would make the transposed conv in the VJP mix dtypes); the MXU
+        # accumulates in fp32 internally, the upcast happens at the bias
+        h = jax.lax.conv_general_dilated(
+            h.astype(compute), p["w"].astype(compute),
+            window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32) + p["b"].astype(jnp.float32)
+        h = jax.nn.relu(h)
+        lens = (lens + 1) // 2
+        mask = (jnp.arange(h.shape[1])[None, :] < lens[:, None])
+        h = jnp.where(mask[:, :, None, None], h, 0.0)
+    b, t = h.shape[:2]
+    return h.reshape(b, t, -1), lens
 
 
 def listener_apply(
@@ -65,6 +124,9 @@ def listener_apply(
         def run_bilstm(p, h, l):
             return R.bilstm(p, h, l, compute, cfg.fuse_bilstm,
                             cfg.scan_unroll)
+
+    if cfg.conv_subsample > 0:
+        x, lens = conv_stem_apply(params["conv"], x, lens, cfg)
 
     li = 0
     for i in range(cfg.enc_base_layers):
