@@ -91,8 +91,12 @@ def supervised_loss(
     rng: jax.Array,
     train: bool = True,
     remat: bool = False,
+    return_enc: bool = False,
 ) -> tuple[jax.Array, dict]:
-    """Supervised CE on labeled (audio, text) pairs (+ optional CTC aux)."""
+    """Supervised CE on labeled (audio, text) pairs (+ optional CTC aux).
+
+    ``return_enc``: also return (enc, enc_mask) so downstream in-step
+    objectives (MWER) reuse the encoder pass instead of re-encoding."""
     from semi_supervised_asr_tpu.models import seq2seq as M
 
     tokens_in, targets = shift_targets(tokens)
@@ -111,6 +115,8 @@ def supervised_loss(
         aux = ctc_loss(params["ctc"], enc, enc_mask, targets)
         loss = loss + obj_cfg.lambda_ctc * aux
         metrics["ctc"] = aux
+    if return_enc:
+        return loss, metrics, enc, enc_mask
     return loss, metrics
 
 
@@ -217,6 +223,26 @@ def mwer_loss(
     tokens: jax.Array,     # [B, U] gold (EOS-terminated, PAD-padded)
     remat: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
+    """Standalone MWER entry (encodes internally); the fused train step
+    uses :func:`mwer_loss_from_enc` to reuse the supervised CE pass's
+    encoder states."""
+    from semi_supervised_asr_tpu.models import seq2seq as M
+
+    enc, enc_mask, _ = M.encode(
+        params, feats, feat_lens, model_cfg, remat=remat
+    )
+    return mwer_loss_from_enc(params, model_cfg, obj_cfg, enc, enc_mask,
+                              tokens)
+
+
+def mwer_loss_from_enc(
+    params: dict,
+    model_cfg: ModelConfig,
+    obj_cfg: ObjectiveConfig,
+    enc: jax.Array,        # [B, T', enc_out] (typically the CE pass's)
+    enc_mask: jax.Array,   # [B, T']
+    tokens: jax.Array,     # [B, U] gold (EOS-terminated, PAD-padded)
+) -> tuple[jax.Array, jax.Array]:
     """Minimum-WER sequence training, entirely inside the jit step.
 
     The batched jit beam (decode/beam.py) proposes K n-best hypotheses
@@ -229,7 +255,7 @@ def mwer_loss(
     """
     from semi_supervised_asr_tpu.config import DecodeConfig
     from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
-    from semi_supervised_asr_tpu.models import seq2seq as M
+    from semi_supervised_asr_tpu.models import attention as A
     from semi_supervised_asr_tpu.ops.edit_distance import (
         batched_edit_distance,
     )
@@ -238,9 +264,7 @@ def mwer_loss(
     k = obj_cfg.mwer_beam
     dcfg = DecodeConfig(beam_size=k, length_penalty=1.0)
 
-    enc, enc_mask, keys = M.encode(
-        params, feats, feat_lens, model_cfg, remat=remat
-    )
+    keys = A.precompute_keys(params["speller"]["attention"], enc)
     nbest, _ = beam_decode_from_enc(
         params["speller"], model_cfg, dcfg, enc, enc_mask, keys,
         max_len=u, return_nbest=True,

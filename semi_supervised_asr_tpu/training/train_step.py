@@ -164,19 +164,19 @@ def supervised_step_fn(
         unlab_text = mb.get("unlab_text")
         k_feat, k_tf, k_pl_feat, k_pl = jax.random.split(key, 4)
         feats, flens = feat_fn(cfg, audio, audio_lens, cmvn, k_feat, True)
-        loss, aux = LO.supervised_loss(
+        loss, aux, enc, enc_mask = LO.supervised_loss(
             params, cfg.model, obj, feats, flens, tokens, tf_rate, k_tf,
-            remat=cfg.train.remat_encoder,
+            remat=cfg.train.remat_encoder, return_enc=True,
         )
         metrics = dict(aux)   # ce, acc (+ ctc when the aux head is on)
 
         if obj.lambda_mwer > 0.0:
             # sequence-level expected risk over the jit beam's n-best
-            # (arXiv:1712.01818); gated like the pseudo term — the beam
-            # needs a CE-trained model before its n-best carries signal
-            mwer, mean_risk = LO.mwer_loss(
-                params, cfg.model, obj, feats, flens, tokens,
-                remat=cfg.train.remat_encoder,
+            # (arXiv:1712.01818), on the CE pass's encoder states — no
+            # second encode; gated like the pseudo term — the beam needs
+            # a CE-trained model before its n-best carries signal
+            mwer, mean_risk = LO.mwer_loss_from_enc(
+                params, cfg.model, obj, enc, enc_mask, tokens,
             )
             gate = (state.step >= obj.mwer_warmup_steps).astype(jnp.float32)
             loss = loss + obj.lambda_mwer * gate * mwer
