@@ -251,6 +251,11 @@ class DataConfig:
     unlabeled_text_split: str = ""
     num_synthetic_utts: int = 128
     synthetic_seed: int = 1234
+    # >0: synthetic token sequences follow a sparse first-order Markov
+    # grammar with this many allowed successors per token (instead of
+    # iid-uniform) — gives text-AE/pseudo-label terms linguistic structure
+    # to exploit (experiments/structured_semi.py)
+    synthetic_grammar: int = 0
     drop_remainder: bool = True
     # train from precomputed HDF5 log-mel features (<data_dir>/<split>.h5,
     # written by preprocess --features) instead of raw audio + on-device

@@ -41,6 +41,34 @@ def _token_signature(
     return (0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)) * env
 
 
+def grammar_successors(vocab_size: int, branching: int) -> np.ndarray:
+    """[V, branching] allowed-successor table of the sparse Markov grammar.
+
+    Deterministic in (vocab_size, branching) only — labeled, unlabeled,
+    and dev streams all speak the SAME language regardless of their
+    per-stream seeds (that is the point: structure shared across streams
+    is what semi-supervised terms can exploit)."""
+    rng = np.random.default_rng((97, vocab_size, branching))
+    content = np.arange(len(SPECIALS), vocab_size)
+    return np.stack([
+        rng.choice(content, size=branching, replace=False)
+        for _ in range(vocab_size)
+    ])
+
+
+def _sample_tokens(
+    rng: np.random.Generator, vocab_size: int, n_tok: int, branching: int
+) -> np.ndarray:
+    if branching <= 0:
+        return rng.integers(len(SPECIALS), vocab_size, n_tok).astype(np.int32)
+    succ = grammar_successors(vocab_size, branching)
+    ids = np.empty(n_tok, np.int32)
+    ids[0] = rng.integers(len(SPECIALS), vocab_size)
+    for i in range(1, n_tok):
+        ids[i] = succ[ids[i - 1], rng.integers(branching)]
+    return ids
+
+
 def make_utterance(
     index: int,
     vocab: Vocab,
@@ -53,7 +81,9 @@ def make_utterance(
 ) -> Utterance:
     rng = np.random.default_rng((cfg.synthetic_seed, index))
     n_tok = int(rng.integers(min_tokens, max_tokens + 1))
-    content_ids = rng.integers(len(SPECIALS), vocab.size, n_tok).astype(np.int32)
+    content_ids = _sample_tokens(
+        rng, vocab.size, n_tok, cfg.synthetic_grammar
+    )
     seg = int(token_dur_s * fcfg.sample_rate)
     audio = np.concatenate(
         [_token_signature(int(i), seg, fcfg.sample_rate) for i in content_ids]
