@@ -32,6 +32,14 @@ def load_audio(path: str | Path) -> np.ndarray:
     if path.suffix.lower() == ".npy":
         return np.load(path).astype(np.float32)
     if path.suffix.lower() == ".wav":
+        # real TIMIT's ".WAV" files are NIST SPHERE, not RIFF — sniff
+        from semi_supervised_asr_tpu.utils.sphere import is_sphere
+
+        if is_sphere(path):
+            from semi_supervised_asr_tpu.utils.sphere import read_sphere
+
+            wav, _ = read_sphere(path)
+            return wav
         from scipy.io import wavfile
 
         sr, data = wavfile.read(path)

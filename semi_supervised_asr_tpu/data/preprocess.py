@@ -32,6 +32,12 @@ from semi_supervised_asr_tpu.data.vocab import char_vocab, timit_vocab
 
 
 def _wav_len(path: Path) -> int:
+    from semi_supervised_asr_tpu.utils.sphere import is_sphere
+
+    if is_sphere(path):  # real TIMIT: NIST SPHERE named .WAV
+        from semi_supervised_asr_tpu.utils.sphere import sphere_sample_count
+
+        return sphere_sample_count(path)
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path, mmap=True)
