@@ -66,20 +66,29 @@ class Solver:
         )
         self.log = MetricsLogger(self.workdir)
 
-        # global CMVN stats (cached)
+        # global CMVN stats (cached).  Multi-host: every process computes
+        # the same stats (deterministic over the full train set), but the
+        # cache write is tmp+rename so concurrent hosts on a shared
+        # filesystem can never interleave a partial npz.
         stats_path = self.workdir / "cmvn.npz"
         if stats_path.exists():
             z = np.load(stats_path)
             self.cmvn = (z["mean"], z["inv_std"])
-        elif self.from_features:
-            mean, inv_std = pipe.compute_global_cmvn_features(self.bundle.train)
-            np.savez(stats_path, mean=mean, inv_std=inv_std)
-            self.cmvn = (mean, inv_std)
         else:
-            mean, inv_std = pipe.compute_global_cmvn(
-                self.bundle.train, cfg.frontend
+            if self.from_features:
+                mean, inv_std = pipe.compute_global_cmvn_features(
+                    self.bundle.train
+                )
+            else:
+                mean, inv_std = pipe.compute_global_cmvn(
+                    self.bundle.train, cfg.frontend
+                )
+            import os as _os
+            tmp = stats_path.with_suffix(
+                f".{_os.getpid()}.{jax.process_index()}.tmp.npz"
             )
-            np.savez(stats_path, mean=mean, inv_std=inv_std)
+            np.savez(tmp, mean=mean, inv_std=inv_std)
+            _os.replace(tmp, stats_path)
             self.cmvn = (mean, inv_std)
 
         # device mesh: data-parallel whenever >1 device is visible
