@@ -220,9 +220,15 @@ class DecodeConfig:
 class LMConfig:
     """External LM for shallow fusion (models/lm.py, lm_trainer.py)."""
 
-    embed_dim: int = 128
-    hidden: int = 512
+    arch: str = "lstm"                # "lstm" | "transformer"
+    embed_dim: int = 128              # lstm embed / transformer d_model
+    hidden: int = 512                 # lstm hidden per layer
     layers: int = 1
+    # transformer-only
+    heads: int = 4
+    ff_dim: int = 512
+    max_len: int = 256                # KV-cache length; must cover
+                                      # decode.max_decode_len for fusion
     learning_rate: float = 1e-3
     total_steps: int = 5000
     batch_size: int = 64

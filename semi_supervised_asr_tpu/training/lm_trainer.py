@@ -36,18 +36,35 @@ def save_lm(workdir: str | Path, params: dict) -> None:
         ckpt.save(lm_ckpt_dir(workdir), params)
 
 
+def init_lm_params(cfg: Config, vocab_size: int, seed: int = 0) -> dict:
+    """Architecture-dispatching init (lm.arch: lstm | transformer)."""
+    if cfg.lm.arch == "transformer":
+        return LM.init_transformer_lm(
+            jax.random.PRNGKey(seed), vocab_size, cfg.lm.embed_dim,
+            cfg.lm.layers, cfg.lm.heads, cfg.lm.ff_dim, cfg.lm.max_len,
+        )
+    assert cfg.lm.arch == "lstm", cfg.lm.arch
+    return LM.init_lm(
+        jax.random.PRNGKey(seed), vocab_size, cfg.lm.embed_dim,
+        cfg.lm.hidden, cfg.lm.layers,
+    )
+
+
 def load_lm(
     workdir: str | Path, cfg: Config, vocab_size: int,
     dims: tuple[int, int, int] | None = None,
 ) -> dict:
     """Restore a trained LM.  ``dims`` = (embed, hidden, layers) overrides
-    the template architecture (deep/cold fusion reads model.lm_fusion_*
-    instead of cfg.lm)."""
-    embed, hidden, layers = dims or (cfg.lm.embed_dim, cfg.lm.hidden,
-                                     cfg.lm.layers)
-    template = LM.init_lm(
-        jax.random.PRNGKey(0), vocab_size, embed, hidden, layers,
-    )
+    the template with an LSTM architecture (deep/cold fusion reads
+    model.lm_fusion_* instead of cfg.lm; the grafted LM is LSTM-only —
+    its state rides inside the speller scan carry)."""
+    if dims is not None:
+        embed, hidden, layers = dims
+        template = LM.init_lm(
+            jax.random.PRNGKey(0), vocab_size, embed, hidden, layers,
+        )
+    else:
+        template = init_lm_params(cfg, vocab_size)
     with ocp.StandardCheckpointer() as ckpt:
         return ckpt.restore(lm_ckpt_dir(workdir), target=template)
 
@@ -59,10 +76,7 @@ def train_lm(cfg: Config, workdir: str | Path) -> dict:
     bundle = registry.build_datasets(cfg)
     text_ds = bundle.unlabeled_text or bundle.train
 
-    params = LM.init_lm(
-        jax.random.PRNGKey(cfg.train.seed), bundle.vocab.size,
-        cfg.lm.embed_dim, cfg.lm.hidden, cfg.lm.layers,
-    )
+    params = init_lm_params(cfg, bundle.vocab.size, cfg.train.seed)
     opt = optax.adam(cfg.lm.learning_rate)
     opt_state = opt.init(params)
 
@@ -73,6 +87,11 @@ def train_lm(cfg: Config, workdir: str | Path) -> dict:
         return optax.apply_updates(params, updates), opt_state, loss
 
     token_bucket = max(cfg.data.token_buckets)
+    if cfg.lm.arch == "transformer":
+        assert token_bucket <= cfg.lm.max_len, (
+            f"lm.max_len {cfg.lm.max_len} must cover the largest token "
+            f"bucket {token_bucket}"
+        )
     stream = pipe.text_batches(
         text_ds, token_bucket, cfg.lm.batch_size, cfg.train.seed,
         shard_index=jax.process_index(), num_shards=jax.process_count(),

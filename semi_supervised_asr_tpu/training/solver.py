@@ -482,9 +482,15 @@ class Solver:
 
                 lm_params = load_lm(dcfg.lm_ckpt, self.cfg, self.vocab.size)
                 lm_step = LMM.lm_step
+                if "blocks" in lm_params:  # transformer: KV cache bound
+                    assert dcfg.max_decode_len <= self.cfg.lm.max_len, (
+                        f"decode.max_decode_len {dcfg.max_decode_len} "
+                        f"exceeds the transformer LM's lm.max_len "
+                        f"{self.cfg.lm.max_len}"
+                    )
                 self.log.info(
-                    f"shallow fusion: LM from {dcfg.lm_ckpt} "
-                    f"weight {dcfg.lm_weight}"
+                    f"shallow fusion: {self.cfg.lm.arch} LM from "
+                    f"{dcfg.lm_ckpt} weight {dcfg.lm_weight}"
                 )
             self._decode_fns["lm"] = (lm_params, lm_step)
         return self._decode_fns["lm"]
