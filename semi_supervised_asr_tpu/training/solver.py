@@ -403,10 +403,26 @@ class Solver:
     # evaluation
     # ------------------------------------------------------------------ #
 
+    def _eval_param_shardings(self):
+        """Sharding pytree decode expects for params: replicated under
+        plain DP, the TP layout under model_parallel > 1."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.cfg.parallel.model_parallel > 1:
+            from semi_supervised_asr_tpu.parallel import tp
+
+            return tp.state_shardings(
+                self.mesh, self.cfg.parallel, self.state.params
+            )
+        return NamedSharding(self.mesh, P())
+
     def _jit_decode(self, fn):
         """jit a decode fn; with a mesh, shard eval batches over the data
-        axis (params replicated) so validation/test decode scales across
-        chips like training does (C5)."""
+        axis so validation/test decode scales across chips like training
+        does (C5).  Params: replicated under plain DP, `model`-sharded
+        under TP (callers ``device_put`` them to the same layout —
+        checkpoint-restored params arrive committed to one device and jit
+        will not reshard committed args itself)."""
         if self.mesh is None:
             return jax.jit(fn)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -414,7 +430,8 @@ class Solver:
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P(self.cfg.parallel.data_axis))
         return jax.jit(
-            fn, in_shardings=(repl, data, data, repl, repl),
+            fn, in_shardings=(self._eval_param_shardings(), data, data,
+                              repl, repl),
             out_shardings=data,
         )
 
@@ -547,6 +564,10 @@ class Solver:
         for phone units."""
         fn = {"greedy": self._greedy_fn, "ctc": self._ctc_fn}.get(
             mode, self._beam_fn)()
+        if self.mesh is not None:
+            # checkpoint-restored params arrive committed to one device;
+            # place them in the layout the jitted decode declares
+            params = jax.device_put(params, self._eval_param_shardings())
         er = MET.ErrorRate()
         wer = MET.ErrorRate()          # word-level (char units only)
         records = []

@@ -161,6 +161,52 @@ class TestTrajectoryEquality:
         assert int(state.step) == 1
 
 
+class TestSolverEndToEnd:
+    def test_solver_trains_validates_resumes_under_tp(self, tmp_path):
+        """The real driver on a 4x2 (data x model) mesh: train steps with
+        TP-sharded state, mesh-sharded eval decode on TP params, orbax
+        save, and a resume into the TP layout."""
+        from semi_supervised_asr_tpu.config import load_config
+        from semi_supervised_asr_tpu.training.solver import Solver
+
+        overrides = [
+            "data.unit=char",              # vocab 32: divisible by mp=2
+            "data.num_synthetic_utts=16",
+            "parallel.model_parallel=2",
+            "train.batch_size=8",
+            "train.total_steps=4",
+            "train.eval_every=0",
+            "train.ckpt_every=4",
+            "train.log_every=2",
+        ]
+        cfg = load_config("configs/synthetic_smoke.yaml", overrides)
+        wd = tmp_path / "tp_run"
+        solver = Solver(cfg, wd, use_mesh=True)
+        assert solver.mesh.devices.shape == (4, 2)
+        assert solver.state.params["speller"]["w_out"].sharding.spec == P(
+            None, "model"
+        )
+        solver.train()
+        assert int(solver.state.step) == 4
+        # updated params keep the TP layout
+        assert solver.state.params["speller"]["w_out"].sharding.spec == P(
+            None, "model"
+        )
+        ev = solver.validate()   # sharded eval decode on TP params
+        assert 0.0 <= ev["dev_error"] <= 1.5
+
+        # resume restores INTO the TP layout
+        solver2 = Solver(cfg, wd, use_mesh=True)
+        solver2.train(resume=True)
+        assert int(solver2.state.step) == 4
+        assert solver2.state.params["speller"]["w_out"].sharding.spec == P(
+            None, "model"
+        )
+        a = np.asarray(solver.state.params["speller"]["w_out"])
+        b = np.asarray(solver2.state.params["speller"]["w_out"])
+        np.testing.assert_array_equal(a, b)
+
+
 class TestGuards:
     def test_pallas_backend_rejected(self, mesh42):
         import dataclasses
