@@ -76,13 +76,36 @@ def build_decode_fn(cfg, params, mode: str = "beam",
     return fn
 
 
+def _cast_floats(tree, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def export_decode(cfg, params, batch: int, frames: int,
                   mode: str = "beam", lm_params=None,
-                  lm_step_fn=None) -> bytes:
-    """Serialize the decode fn for a fixed [batch, frames] shape."""
+                  lm_step_fn=None, param_dtype=None) -> bytes:
+    """Serialize the decode fn for a fixed [batch, frames] shape.
+
+    ``param_dtype`` (e.g. jnp.bfloat16): quantize the baked weights —
+    halves the artifact and serves in the TPU-native dtype; CMVN stats
+    stay float32 (they normalize the float32 feature path).
+    """
     import jax
     from jax import export as jexport
 
+    if param_dtype is not None:
+        cmvn = (params.pop("__cmvn_mean"), params.pop("__cmvn_std"))
+        params = _cast_floats(params, param_dtype)
+        params["__cmvn_mean"], params["__cmvn_std"] = cmvn
+        lm_params = (_cast_floats(lm_params, param_dtype)
+                     if lm_params is not None else None)
     fn = build_decode_fn(cfg, params, mode, lm_params, lm_step_fn)
     s = (frames - 1) * cfg.frontend.hop_length
     specs = (
@@ -117,6 +140,9 @@ def main(argv=None) -> int:
                         "default: the config's data.frame_buckets")
     p.add_argument("--greedy", action="store_true",
                    help="export greedy instead of beam decode")
+    p.add_argument("--bf16", action="store_true",
+                   help="quantize baked weights to bfloat16 (half the "
+                        "artifact, TPU-native serving dtype)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("overrides", nargs="*", default=[])
     args = p.parse_args(argv)
@@ -149,13 +175,17 @@ def main(argv=None) -> int:
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     manifest = []
+    import jax.numpy as jnp
+
+    pdt = jnp.bfloat16 if args.bf16 else None
     for fcount in frames:
         blob = export_decode(solver.cfg, dict(params), args.batch, fcount,
-                             mode, lm_params, lm_step)
+                             mode, lm_params, lm_step, param_dtype=pdt)
         name = f"decode_{mode}_b{args.batch}_f{fcount}.shlo"
         (out / name).write_bytes(blob)
         manifest.append({
             "file": name, "mode": mode, "batch": args.batch,
+            "param_dtype": "bfloat16" if args.bf16 else "float32",
             "frames": fcount, "bytes": len(blob),
             "samples": (fcount - 1) * cfg.frontend.hop_length,
         })

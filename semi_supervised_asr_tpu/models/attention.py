@@ -70,7 +70,9 @@ def location_features(params: dict, alpha: jax.Array) -> jax.Array:
     """Conv over the previous alignment: [B, T] -> [B, T, C] (SAME pad)."""
     out = lax.conv_general_dilated(
         alpha[..., None],            # [B, T, 1]
-        params["conv"],              # [W, 1, C]
+        # cast to the alignment's dtype: bf16-quantized export params
+        # would otherwise mix dtypes (lax.conv requires them equal)
+        params["conv"].astype(alpha.dtype),  # [W, 1, C]
         window_strides=(1,),
         padding="SAME",
         dimension_numbers=("NTC", "TIO", "NTC"),

@@ -54,6 +54,32 @@ class TestExportRoundTrip:
         np.testing.assert_allclose(np.asarray(got_scores),
                                    np.asarray(want_scores), rtol=1e-5)
 
+    def test_bf16_quantized_artifact(self, trained, tmp_path):
+        import jax.numpy as jnp
+
+        from semi_supervised_asr_tpu import export as EX
+
+        solver, _ = trained
+        params = dict(solver.state.params)
+        params["__cmvn_mean"], params["__cmvn_std"] = solver.cmvn
+        frames, batch = 96, 4
+        f32 = EX.export_decode(solver.cfg, dict(params), batch, frames,
+                               mode="greedy")
+        bf16 = EX.export_decode(solver.cfg, dict(params), batch, frames,
+                                mode="greedy", param_dtype=jnp.bfloat16)
+        # weights dominate the artifact: bf16 must be materially smaller
+        assert len(bf16) < 0.75 * len(f32), (len(bf16), len(f32))
+
+        p = tmp_path / "q.shlo"
+        p.write_bytes(bf16)
+        s = (frames - 1) * solver.cfg.frontend.hop_length
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal((batch, s)) * 0.1).astype(np.float32)
+        lens = np.full((batch,), s, np.int32)
+        toks, scores = EX.run_artifact(p, audio, lens)
+        assert np.asarray(toks).shape[0] == batch
+        assert np.all(np.isfinite(np.asarray(scores)))
+
     def test_cli_writes_manifest_and_artifacts(self, trained, tmp_path):
         _, wd = trained
         out = subprocess.run(
