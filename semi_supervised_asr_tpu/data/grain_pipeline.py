@@ -16,7 +16,7 @@ from typing import Iterator
 
 import grain
 
-from semi_supervised_asr_tpu.config import DataConfig, FrontendConfig
+from semi_supervised_asr_tpu.config import FrontendConfig
 from semi_supervised_asr_tpu.data.bucketing import BucketSpec, plan_epoch
 from semi_supervised_asr_tpu.data.pipeline import Batch, assemble_batch
 

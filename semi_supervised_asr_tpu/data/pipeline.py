@@ -23,7 +23,7 @@ from typing import Iterator
 
 import numpy as np
 
-from semi_supervised_asr_tpu.config import DataConfig, FrontendConfig
+from semi_supervised_asr_tpu.config import FrontendConfig
 from semi_supervised_asr_tpu.data.bucketing import BucketSpec, plan_epoch
 from semi_supervised_asr_tpu.data.vocab import PAD
 from semi_supervised_asr_tpu.ops.frontend_oracle import pad_for_batch

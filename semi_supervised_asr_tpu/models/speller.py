@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from semi_supervised_asr_tpu.config import ModelConfig, ObjectiveConfig
+from semi_supervised_asr_tpu.config import ModelConfig
 from semi_supervised_asr_tpu.models import attention as A
 from semi_supervised_asr_tpu.ops import recurrent as R
 

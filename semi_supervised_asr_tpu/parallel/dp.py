@@ -10,10 +10,7 @@ for any future hand-scheduled collective (e.g. a Pallas ring allreduce).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map

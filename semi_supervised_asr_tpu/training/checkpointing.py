@@ -12,7 +12,6 @@ step, PRNG key) plus the data-iterator position (epoch, batch index) so
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
 
 import jax
 import numpy as np

@@ -7,7 +7,7 @@ through the native C++ kernel (utils/native_ops.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
