@@ -34,8 +34,13 @@ def grain_epoch_batches(
     num_threads: int = 4,
     prefetch: int = 8,
     sort_by_length: bool = False,
+    start_batch: int = 0,
 ) -> Iterator[Batch]:
-    """Per-host batch stream for one epoch via grain, with read-ahead."""
+    """Per-host batch stream for one epoch via grain, with read-ahead.
+
+    ``start_batch`` skips the first N shard-local batches at plan cost
+    (exact mid-epoch resume — same contract as pipeline.epoch_batches).
+    """
     lengths = [
         (dataset.audio_len(i), dataset.token_len(i))
         for i in range(len(dataset))
@@ -45,7 +50,7 @@ def grain_epoch_batches(
     from semi_supervised_asr_tpu.data.pipeline import _warn_skipped
 
     _warn_skipped(skipped, dataset)
-    shard_plan = plan[shard_index::num_shards]
+    shard_plan = plan[shard_index::num_shards][start_batch:]
 
     def assemble(item):
         bucket, idxs, n_real = item

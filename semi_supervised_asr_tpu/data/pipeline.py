@@ -89,6 +89,35 @@ def _warn_skipped(skipped: list[int], dataset) -> None:
         )
 
 
+def _audio_lengths(dataset) -> list[tuple[int, int]]:
+    return [
+        (dataset.audio_len(i), dataset.token_len(i))
+        for i in range(len(dataset))
+    ]
+
+
+def epoch_batch_count(
+    lengths,
+    spec: BucketSpec,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    drop_remainder: bool = True,
+    sort_by_length: bool = False,
+) -> int:
+    """Shard-local batches this epoch WOULD yield — plan only, nothing
+    assembled.  Exact-resume fast-forward uses this to skip whole epochs
+    of an unlabeled stream at metadata cost (SURVEY.md §6 checkpoint row:
+    restore 'data-iterator state')."""
+    plan, _ = plan_epoch(
+        lengths, spec, batch_size, seed, epoch, drop_remainder,
+        sort_by_length,
+    )
+    return len(plan[shard_index::num_shards])
+
+
 def epoch_batches(
     dataset,
     spec: BucketSpec,
@@ -100,20 +129,21 @@ def epoch_batches(
     num_shards: int = 1,
     drop_remainder: bool = True,
     sort_by_length: bool = False,
+    start_batch: int = 0,
 ) -> Iterator[Batch]:
-    """Deterministic per-host batch stream for one epoch."""
-    lengths = [
-        (dataset.audio_len(i), dataset.token_len(i))
-        for i in range(len(dataset))
-    ]
+    """Deterministic per-host batch stream for one epoch.
+
+    ``start_batch``: skip the first N shard-local batches WITHOUT
+    assembling them (the plan is metadata; assembly is the audio-decode
+    cost) — exact mid-epoch resume fast-forwards here.
+    """
+    lengths = _audio_lengths(dataset)
     plan, skipped = plan_epoch(
         lengths, spec, batch_size, seed, epoch, drop_remainder,
         sort_by_length,
     )
     _warn_skipped(skipped, dataset)
-    for k, (bucket, idxs, n_real) in enumerate(plan):
-        if k % num_shards != shard_index:
-            continue
+    for bucket, idxs, n_real in plan[shard_index::num_shards][start_batch:]:
         yield assemble_batch(dataset, idxs, n_real, bucket, spec, fcfg)
 
 
@@ -127,13 +157,32 @@ def repeating_batches(
     num_shards: int = 1,
     drop_remainder: bool = True,
     start_epoch: int = 0,
+    skip_batches: int = 0,
 ) -> Iterator[Batch]:
-    """Endless stream: new deterministic shuffle every epoch."""
+    """Endless stream: new deterministic shuffle every epoch.
+
+    ``skip_batches``: fast-forward past the first N yields at plan cost
+    (no assembly) — resuming a semi-supervised run advances each
+    unlabeled stream by the number of steps already taken so the resumed
+    trajectory equals the uninterrupted one.
+    """
+    skip = skip_batches
+    lengths = _audio_lengths(dataset) if skip > 0 else None
     for epoch in itertools.count(start_epoch):
+        if skip > 0:
+            n = epoch_batch_count(
+                lengths, spec, batch_size, seed, epoch,
+                shard_index, num_shards, drop_remainder,
+            )
+            if skip >= n:
+                skip -= n
+                continue
         yield from epoch_batches(
             dataset, spec, fcfg, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder,
+            start_batch=skip,
         )
+        skip = 0
 
 
 @dataclass
@@ -187,34 +236,51 @@ def epoch_feature_batches(
     num_shards: int = 1,
     drop_remainder: bool = True,
     sort_by_length: bool = False,
+    start_batch: int = 0,
 ) -> Iterator[FeatureBatch]:
     """Feature-store variant of epoch_batches: buckets on FRAMES directly."""
+    lengths = _feature_lengths(dataset, spec)
+    plan, skipped = plan_epoch(
+        lengths, spec, batch_size, seed, epoch, drop_remainder,
+        sort_by_length,
+    )
+    _warn_skipped(skipped, dataset)
+    for bucket, idxs, n_real in plan[shard_index::num_shards][start_batch:]:
+        yield assemble_feature_batch(dataset, idxs, n_real, bucket)
+
+
+def _feature_lengths(dataset, spec: BucketSpec) -> list[tuple[int, int]]:
     lengths = []
     for i in range(len(dataset)):
         frames, toks = dataset.feat_len(i), dataset.token_len(i)
         # plan_epoch buckets via frames_for_samples(n_samples); invert it so
         # the frame count round-trips exactly: samples = (frames-1)*hop
         lengths.append((spec.samples_for_frames(frames), toks))
-    plan, skipped = plan_epoch(
-        lengths, spec, batch_size, seed, epoch, drop_remainder,
-        sort_by_length,
-    )
-    _warn_skipped(skipped, dataset)
-    for k, (bucket, idxs, n_real) in enumerate(plan):
-        if k % num_shards != shard_index:
-            continue
-        yield assemble_feature_batch(dataset, idxs, n_real, bucket)
+    return lengths
 
 
 def repeating_feature_batches(
     dataset, spec, batch_size, seed,
     shard_index=0, num_shards=1, drop_remainder=True, start_epoch=0,
+    skip_batches=0,
 ) -> Iterator[FeatureBatch]:
+    skip = skip_batches
+    lengths = _feature_lengths(dataset, spec) if skip > 0 else None
     for epoch in itertools.count(start_epoch):
+        if skip > 0:
+            n = epoch_batch_count(
+                lengths, spec, batch_size, seed, epoch,
+                shard_index, num_shards, drop_remainder,
+            )
+            if skip >= n:
+                skip -= n
+                continue
         yield from epoch_feature_batches(
             dataset, spec, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder,
+            start_batch=skip,
         )
+        skip = 0
 
 
 def text_batches(
@@ -224,12 +290,15 @@ def text_batches(
     seed: int,
     shard_index: int = 0,
     num_shards: int = 1,
+    skip_batches: int = 0,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Endless unlabeled-TEXT stream: (tokens [B, U], real [B]).
 
     One static token bucket (the largest) so the semi-supervised step
     compiles once per labeled bucket, not per text shape.
+    ``skip_batches`` fast-forwards without assembling (exact resume).
     """
+    skip = skip_batches
     for epoch in itertools.count():
         rng = np.random.default_rng((seed, epoch, 17))
         order = rng.permutation(len(dataset))
@@ -239,10 +308,14 @@ def text_batches(
                 "text_batches: dataset shard is empty "
                 f"(size {len(dataset)}, shard {shard_index}/{num_shards})"
             )
+        n_epoch = (len(order) + batch_size - 1) // batch_size
+        if skip >= n_epoch:
+            skip -= n_epoch
+            continue
         # remainder batches carry a real-mask like the audio pipelines —
         # a dataset smaller than batch_size must still yield (else an
         # endless epoch loop would spin forever producing nothing)
-        for s in range(0, len(order), batch_size):
+        for s in range(skip * batch_size, len(order), batch_size):
             idxs = order[s : s + batch_size]
             tokens = np.full((batch_size, token_bucket), PAD, np.int32)
             real = np.zeros((batch_size,), bool)
@@ -252,6 +325,7 @@ def text_batches(
                 tokens[r, :u] = t[:u]
                 real[r] = True
             yield tokens, real
+        skip = 0
 
 
 def compute_global_cmvn_features(

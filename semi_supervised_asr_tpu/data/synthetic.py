@@ -13,6 +13,7 @@ hosts and epochs.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -41,13 +42,16 @@ def _token_signature(
     return (0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)) * env
 
 
+@functools.lru_cache(maxsize=8)
 def grammar_successors(vocab_size: int, branching: int) -> np.ndarray:
     """[V, branching] allowed-successor table of the sparse Markov grammar.
 
     Deterministic in (vocab_size, branching) only — labeled, unlabeled,
     and dev streams all speak the SAME language regardless of their
     per-stream seeds (that is the point: structure shared across streams
-    is what semi-supervised terms can exploit)."""
+    is what semi-supervised terms can exploit).  Cached: rebuilding the
+    table per utterance is V rng.choice calls (ADVICE r1); callers must
+    not mutate the returned array."""
     rng = np.random.default_rng((97, vocab_size, branching))
     content = np.arange(len(SPECIALS), vocab_size)
     return np.stack([

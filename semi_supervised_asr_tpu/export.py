@@ -44,6 +44,15 @@ def build_decode_fn(cfg, params, mode: str = "beam",
     from semi_supervised_asr_tpu.models import seq2seq as M
     from semi_supervised_asr_tpu.training.train_step import featurize
 
+    if lm_params is not None and "blocks" in lm_params:
+        # transformer LM: decoding past lm.max_len would silently clamp
+        # the KV-cache write position (models/lm.py) — the Solver guards
+        # its live decode; the export path must too (ADVICE r1)
+        assert cfg.decode.max_decode_len <= cfg.lm.max_len, (
+            f"decode.max_decode_len {cfg.decode.max_decode_len} exceeds "
+            f"the transformer LM's lm.max_len {cfg.lm.max_len}; a fused "
+            "artifact would corrupt LM scores silently"
+        )
     cmvn_mean = jnp.asarray(params.pop("__cmvn_mean"))
     cmvn_std = jnp.asarray(params.pop("__cmvn_std"))
     params = jax.tree.map(jnp.asarray, params)

@@ -154,9 +154,11 @@ def pseudo_label_loss(
     The teacher (EMA or current params, stop-gradient either way) greedily
     decodes the CLEAN view inside the step — a ``lax.scan``, never a host
     round-trip; the student is trained with CE on the AUGMENTED view
-    against those pseudo-labels.  Low-confidence utterances (mean gold
-    logprob below ``pseudo_confidence`` quantile semantics: absolute
-    threshold) are masked out.
+    against those pseudo-labels.  ``pseudo_confidence`` is an ABSOLUTE
+    probability threshold in (0, 1): utterances whose mean per-token
+    teacher probability (exp of mean hyp logprob) falls below it are
+    masked out; 0 keeps everything.  It is NOT a keep-quantile — the kept
+    fraction varies with teacher quality (experiments/README.md tunes it).
     """
     from semi_supervised_asr_tpu.decode.greedy import greedy_decode_from_enc
     from semi_supervised_asr_tpu.models import seq2seq as M

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from semi_supervised_asr_tpu.config import FrontendConfig
 from semi_supervised_asr_tpu.ops import frontend as F
+from semi_supervised_asr_tpu.ops import kernel_mesh as KM
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,7 +93,35 @@ def fused_post_fft(
     specaug: tuple[jax.Array, jax.Array, jax.Array, jax.Array] | None,
     interpret: bool = False,
 ) -> jax.Array:
-    """-> [B, T, n_mels] features; specaug=None disables masking."""
+    """-> [B, T, n_mels] features; specaug=None disables masking.
+
+    Under an active ``kernel_mesh`` (data-parallel jit), wraps itself in
+    ``shard_map`` over the batch axis — pallas_call has no GSPMD
+    partitioning rule, so without this each device would compute the FULL
+    global batch (ops/kernel_mesh.py).  SpecAugment band parameters are
+    sampled globally by the caller and shard with the batch, so fused ==
+    unfused parity holds per shard.  No differentiable inputs pass
+    through here (the frontend is upstream of every parameter), so the
+    wrap is gradient-inert and safe under any mesh layout incl. TP.
+    """
+    ctx = KM.active()
+    if ctx is not None:
+        mesh, axis = ctx
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def body(ps, fl, mean, istd, sa):
+            with KM.kernel_mesh(None):
+                return fused_post_fft(ps, fl, cfg, mean, istd, sa, interpret)
+
+        sa_spec = None if specaug is None else (P(axis),) * 4
+        sharded = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P(), sa_spec),
+            out_specs=P(axis), check_vma=False,
+        )
+        return sharded(pspec, feat_lens, cmvn_mean, cmvn_inv_std, specaug)
+
     b, t, f = pspec.shape
     m = cfg.n_mels
     f_pad = _round_up(f, 128)

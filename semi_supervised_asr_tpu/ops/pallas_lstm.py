@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from semi_supervised_asr_tpu.ops import kernel_mesh as KM
+
 
 def _fwd_kernel(gx_ref, w_ref, v_ref, hout_ref, hprev_ref, cprev_ref,
                 acts_ref, h_s, c_s, *, compute_dtype, block_t):
@@ -323,6 +325,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _fallback(b: int, hidden: int, allow_interpret: bool) -> bool:
+    """True -> use the XLA scan instead of the kernel."""
+    return not _supported(b, hidden) or (
+        _interpret() and not (allow_interpret or KM.interpret_forced())
+    )
+
+
+def _shard_map_batch(body, mesh, axis, *args):
+    """Run ``body`` per data-shard: batch (axis 0 of every array arg)
+    split over ``axis``, params pytree replicated.  See ops/kernel_mesh.py
+    for why pallas_call needs this under a GSPMD mesh."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    specs = tuple(P() if isinstance(a, dict) else P(axis) for a in args)
+    return shard_map(
+        body, mesh=mesh, in_specs=specs, out_specs=P(axis),
+        check_vma=False,
+    )(*args)
+
+
 def _fwd_call_bidir(gates_x, w_hh2, valid, compute_dtype, block_t):
     """gates_x [T, 2B, 4H] (rows split fwd/bwd), w_hh2 [2, H, 4H]."""
     t = gates_x.shape[0]
@@ -500,13 +523,31 @@ def lstm_pallas(
     Falls back to the XLA scan when shapes miss the tiling constraints
     (B % 8, H % 128) or when not on TPU (interpret mode is orders of
     magnitude slower than the XLA scan — parity tests opt in with
-    ``allow_interpret=True``).
+    ``allow_interpret=True`` or SSASR_PALLAS_INTERPRET=1).
+
+    Under an active ``kernel_mesh`` (data-parallel train/decode jit) the
+    whole op runs inside ``shard_map`` over the batch axis so each device
+    invokes the kernel on its own shard — tiling constraints apply to the
+    PER-SHARD batch.
     """
     from semi_supervised_asr_tpu.ops import recurrent as R
 
+    ctx = KM.active()
+    if ctx is not None:
+        mesh, axis = ctx
+        if lengths is None:
+            lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+
+        def body(p, xx, ll):
+            with KM.kernel_mesh(None):
+                return lstm_pallas(p, xx, ll, reverse, compute_dtype,
+                                   allow_interpret, block_t)
+
+        return _shard_map_batch(body, mesh, axis, params, x, lengths)
+
     b, t, _ = x.shape
     hidden = params["w_hh"].shape[0]
-    if not _supported(b, hidden) or (_interpret() and not allow_interpret):
+    if _fallback(b, hidden, allow_interpret):
         return R.lstm(params, x, lengths, reverse, compute_dtype)
 
     gates_x = (
@@ -548,7 +589,26 @@ def bilstm_pallas(
     per-direction weights) — the per-direction kernels otherwise serialize
     on the single TPU compute stream, costing a 2T serial chain per layer
     instead of T.  Exact same results either way (parity-tested).
+
+    Under an active ``kernel_mesh``, wraps itself in ``shard_map`` over
+    the batch axis BEFORE the direction stacking, so the fused variant's
+    fwd/bwd row split stays per-shard-correct (sharding the stacked 2B
+    rows globally would hand some devices only one direction's rows).
     """
+    ctx = KM.active()
+    if ctx is not None:
+        mesh, axis = ctx
+        if lengths is None:
+            lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+
+        def body(p, xx, ll):
+            with KM.kernel_mesh(None):
+                return bilstm_pallas(p, xx, ll, compute_dtype,
+                                     allow_interpret, block_t,
+                                     fuse_directions)
+
+        return _shard_map_batch(body, mesh, axis, params, x, lengths)
+
     if not fuse_directions:
         fwd = lstm_pallas(params["fwd"], x, lengths, False, compute_dtype,
                           allow_interpret, block_t)
@@ -560,7 +620,7 @@ def bilstm_pallas(
 
     b, t, _ = x.shape
     hidden = params["fwd"]["w_hh"].shape[0]
-    if not _supported(b, hidden) or (_interpret() and not allow_interpret):
+    if _fallback(b, hidden, allow_interpret):
         return R.bilstm(params, x, lengths, compute_dtype)
 
     def gx(p):

@@ -5,8 +5,12 @@ best-metric checkpoint retention.  TPU-grade realization: orbax
 CheckpointManager with async-capable sharded saves, an atomic latest-step
 pointer, bounded retention, and a separate best-metric checkpoint.
 The saved tree is the full TrainState (params, opt state, EMA params,
-step, PRNG key) plus the data-iterator position (epoch, batch index) so
-``--resume auto`` continues the exact stream.
+step, PRNG key) plus the data-iterator position (epoch, batch-in-epoch).
+Resume continues the EXACT stream: the solver fast-forwards the labeled
+epoch plan past the recorded batch index and each unlabeled stream by
+the restored step count (plan cost only — skipped batches are never
+assembled), so the resumed parameter trajectory is bitwise-equal to an
+uninterrupted run (tests/test_exact_resume.py).
 """
 
 from __future__ import annotations

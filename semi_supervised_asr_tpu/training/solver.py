@@ -165,16 +165,17 @@ class Solver:
     # training
     # ------------------------------------------------------------------ #
 
-    def _labeled_stream(self, start_epoch: int = 0):
+    def _labeled_stream(self, start_epoch: int = 0, start_batch: int = 0):
         """Endless labeled stream that mirrors its position into
         ``self.data_pos`` so checkpoints record (epoch, batch-in-epoch);
-        resume restarts at the recorded epoch boundary (mid-epoch batches
-        before the crash are revisited — deterministic plans make that a
-        repeat, never a skip)."""
+        resume continues the EXACT stream: the first epoch fast-forwards
+        past the ``start_batch`` already-consumed batches at plan cost
+        (nothing is assembled or decoded for skipped entries)."""
         shard, n_shards = jax.process_index(), jax.process_count()
 
         def gen():
             epoch = start_epoch
+            skip = start_batch
             while True:
                 self.data_pos["epoch"] = epoch
                 # SortaGrad warmup: ascending-length order for the first
@@ -186,7 +187,7 @@ class Solver:
                         self.cfg.train.batch_size, self.cfg.train.seed,
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
-                        sort_by_length=sortagrad,
+                        sort_by_length=sortagrad, start_batch=skip,
                     )
                 elif self.cfg.data.grain_threads > 0:
                     from semi_supervised_asr_tpu.data.grain_pipeline import (
@@ -199,7 +200,7 @@ class Solver:
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
                         num_threads=self.cfg.data.grain_threads,
-                        sort_by_length=sortagrad,
+                        sort_by_length=sortagrad, start_batch=skip,
                     )
                 else:
                     it = pipe.epoch_batches(
@@ -207,12 +208,13 @@ class Solver:
                         self.cfg.train.batch_size, self.cfg.train.seed,
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
-                        sort_by_length=sortagrad,
+                        sort_by_length=sortagrad, start_batch=skip,
                     )
-                for k, b in enumerate(it):
+                for k, b in enumerate(it, start=skip):
                     self.data_pos["batch"] = k
                     yield b
                 epoch += 1
+                skip = 0
 
         return gen()
 
@@ -223,9 +225,13 @@ class Solver:
             return batch.audio, batch.audio_lens, batch.tokens, batch.real
         return batch.feats, batch.feat_lens, batch.tokens, batch.real
 
-    def _unlabeled_streams(self):
+    def _unlabeled_streams(self, skip_batches: int = 0):
         """Unlabeled audio padded to the LARGEST frame bucket; text to the
-        largest token bucket — one static shape each."""
+        largest token bucket — one static shape each.
+
+        ``skip_batches``: each semi step consumes exactly one batch per
+        stream, so a resume fast-forwards both by the restored step count
+        (plan-cost only) and the trajectory continues exactly."""
         shard, n_shards = jax.process_index(), jax.process_count()
         cfg = self.cfg
         ua = None
@@ -245,14 +251,14 @@ class Solver:
                     self.bundle.unlabeled_audio, big_spec,
                     cfg.train.batch_size, cfg.train.seed + 1,
                     shard_index=shard, num_shards=n_shards,
-                    drop_remainder=False,
+                    drop_remainder=False, skip_batches=skip_batches,
                 )
             else:
                 ua = pipe.repeating_batches(
                     self.bundle.unlabeled_audio, big_spec, cfg.frontend,
                     cfg.train.batch_size, cfg.train.seed + 1,
                     shard_index=shard, num_shards=n_shards,
-                    drop_remainder=False,
+                    drop_remainder=False, skip_batches=skip_batches,
                 )
         ut = None
         if cfg.objective.lambda_text_ae > 0.0 and self.bundle.unlabeled_text:
@@ -260,6 +266,7 @@ class Solver:
                 self.bundle.unlabeled_text, self.spec.token_buckets[-1],
                 cfg.train.batch_size, cfg.train.seed + 2,
                 shard_index=shard, num_shards=n_shards,
+                skip_batches=skip_batches,
             )
         return ua, ut
 
@@ -272,12 +279,23 @@ class Solver:
         cfg = self.cfg
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        start_batch = 0
+        skip_unlab = 0
         if resume and self.ckpt.latest_step() is not None:
             self.state, self.data_pos, start = self.ckpt.restore(self.state)
-            self.log.info(f"resumed from step {start}")
+            # exact mid-epoch resume: data_pos["batch"] was the index of
+            # the LAST batch consumed before the save -> continue at +1;
+            # unlabeled streams advance one batch per step -> fast-forward
+            # by the restored step count (plan cost, nothing assembled)
+            start_batch = self.data_pos["batch"] + 1
+            skip_unlab = int(self.state.step)
+            self.log.info(
+                f"resumed from step {start} (epoch "
+                f"{self.data_pos['epoch']}, next batch {start_batch})"
+            )
 
-        labeled = self._labeled_stream(self.data_pos["epoch"])
-        ua_stream, ut_stream = self._unlabeled_streams()
+        labeled = self._labeled_stream(self.data_pos["epoch"], start_batch)
+        ua_stream, ut_stream = self._unlabeled_streams(skip_unlab)
 
         t_last = time.perf_counter()
         frames_acc = 0
@@ -427,11 +445,23 @@ class Solver:
             return jax.jit(fn)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from semi_supervised_asr_tpu.ops import kernel_mesh as KM
+
+        mesh, axis = self.mesh, self.cfg.parallel.data_axis
+
+        def fn_with_kernel_mesh(*args):
+            # Pallas kernels (listener backend, fused frontend) partition
+            # over the data axis via shard_map under this context
+            # (ops/kernel_mesh.py) — eval decode shards like training does
+            with KM.kernel_mesh(mesh, axis):
+                return fn(*args)
+
         repl = NamedSharding(self.mesh, P())
-        data = NamedSharding(self.mesh, P(self.cfg.parallel.data_axis))
+        data = NamedSharding(self.mesh, P(axis))
         return jax.jit(
-            fn, in_shardings=(self._eval_param_shardings(), data, data,
-                              repl, repl),
+            fn_with_kernel_mesh,
+            in_shardings=(self._eval_param_shardings(), data, data,
+                          repl, repl),
             out_shardings=data,
         )
 

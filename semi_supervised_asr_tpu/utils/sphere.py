@@ -84,7 +84,11 @@ def read_sphere(path: str | Path) -> tuple[np.ndarray, int]:
         samples = _ulaw_expand(np.frombuffer(data, np.uint8))
         scale = 32768.0
     elif nbytes == 2:
-        endian = "<" if head.get("sample_byte_format", "01") == "01" else ">"
+        # SPHERE-era corpora written on big-endian workstations commonly
+        # OMIT sample_byte_format; defaulting to little-endian would
+        # decode those to garbage with no error, so the historical
+        # big-endian norm ('10') is the fallback (ADVICE r1)
+        endian = "<" if head.get("sample_byte_format", "10") == "01" else ">"
         samples = np.frombuffer(data, dtype=np.dtype(f"{endian}i2"))
         scale = 32768.0
     else:

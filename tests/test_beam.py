@@ -12,6 +12,10 @@ from semi_supervised_asr_tpu.decode.greedy import greedy_decode_from_enc
 from semi_supervised_asr_tpu.decode.python_beam import beam_decode_python
 from semi_supervised_asr_tpu.models import seq2seq as M
 
+import pytest
+
+pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
+
 CFG = ModelConfig(
     n_mels=8, vocab_size=10, enc_hidden=12, enc_layers=1, enc_base_layers=1,
     attn_dim=8, attn_conv_channels=4, attn_conv_width=5,

@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
 import yaml
 
 from semi_supervised_asr_tpu.config import (

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
+
 from semi_supervised_asr_tpu.config import FrontendConfig
 from semi_supervised_asr_tpu.ops import frontend, frontend_oracle as oracle
 

@@ -10,6 +10,10 @@ from semi_supervised_asr_tpu.data.vocab import EOS, PAD, SOS
 from semi_supervised_asr_tpu.models import seq2seq as M
 from semi_supervised_asr_tpu.objectives import losses as LO
 
+import pytest
+
+pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
+
 CFG = ModelConfig(
     n_mels=8, vocab_size=12, enc_hidden=16, enc_layers=2, enc_base_layers=1,
     attn_dim=8, attn_conv_channels=4, attn_conv_width=5,

@@ -11,6 +11,10 @@ from semi_supervised_asr_tpu.config import (
 )
 from semi_supervised_asr_tpu.training import train_step as TS
 
+import pytest
+
+pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
+
 CFG = Config(
     frontend=FrontendConfig(spec_augment=False, cmvn="global"),
     model=ModelConfig(

@@ -2,6 +2,10 @@ import numpy as np
 
 from semi_supervised_asr_tpu.data import vocab as V
 
+import pytest
+
+pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
+
 
 def test_specials_fixed():
     v = V.timit_vocab()
