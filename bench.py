@@ -56,12 +56,14 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
     m = cfg.model
     f = cfg.frontend
     t = frames
-    fl = 0.0
-    # frontend: real-DFT as two matmuls [win -> n_fft/2+1] + mel matmul
+    # frontend: real-DFT as two matmuls [win -> n_fft/2+1] + mel matmul.
+    # Forward-only (no parameters upstream of it -> no backward pass).
     n_bins = f.n_fft // 2 + 1
+    fl_front = 0.0
     if f.fft_backend == "matmul":
-        fl += 2 * b * t * f.win_length * n_bins * 2
-    fl += 2 * b * t * n_bins * f.n_mels
+        fl_front += 2 * b * t * f.win_length * n_bins * 2
+    fl_front += 2 * b * t * n_bins * f.n_mels
+    fl = 0.0
     # conv stem: stride-2 3x3 blocks over (time, freq)
     ti, fi, ci = t, f.n_mels, 1
     for _ in range(m.conv_subsample):
@@ -96,7 +98,7 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
         dec_in = dh
     per_step += 2 * b * dh * m.vocab_size
     fl += u * per_step
-    return 3.0 * fl        # backward ~= 2x forward
+    return fl_front + 3.0 * fl     # backward ~= 2x forward (model only)
 
 
 def _gen_wav_corpus(root, n_utts: int, frames: int, u: int, hop: int,
