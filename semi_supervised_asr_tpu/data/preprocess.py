@@ -66,6 +66,14 @@ def read_phn(path: Path) -> list[str]:
 def scan_timit(root: Path, split_dir: str) -> list[dict]:
     entries = []
     base = root / split_dir
+    if not base.is_dir():
+        # LDC TIMIT ships UPPERCASE split dirs (TRAIN/TEST); the default
+        # --splits are lowercase — resolve case-insensitively so the
+        # documented command works on a case-sensitive filesystem
+        for cand in (split_dir.upper(), split_dir.lower()):
+            if (root / cand).is_dir():
+                base = root / cand
+                break
     for wav in sorted(base.rglob("*.[wW][aA][vV]")):
         phn = wav.with_suffix(".PHN")
         if not phn.exists():
