@@ -35,11 +35,14 @@ def grain_epoch_batches(
     prefetch: int = 8,
     sort_by_length: bool = False,
     start_batch: int = 0,
+    row_range: tuple[int, int] | None = None,
 ) -> Iterator[Batch]:
     """Per-host batch stream for one epoch via grain, with read-ahead.
 
     ``start_batch`` skips the first N shard-local batches at plan cost
     (exact mid-epoch resume — same contract as pipeline.epoch_batches).
+    ``row_range`` assembles only the host's rows of each global plan
+    batch (multi-host mesh path — same contract as pipeline._slice_rows).
     """
     lengths = [
         (dataset.audio_len(i), dataset.token_len(i))
@@ -47,13 +50,14 @@ def grain_epoch_batches(
     ]
     plan, skipped = plan_epoch(lengths, spec, batch_size, seed, epoch,
                                drop_remainder, sort_by_length)
-    from semi_supervised_asr_tpu.data.pipeline import _warn_skipped
+    from semi_supervised_asr_tpu.data.pipeline import _slice_rows, _warn_skipped
 
     _warn_skipped(skipped, dataset)
     shard_plan = plan[shard_index::num_shards][start_batch:]
 
     def assemble(item):
         bucket, idxs, n_real = item
+        idxs, n_real = _slice_rows(idxs, n_real, row_range)
         return assemble_batch(dataset, idxs, n_real, bucket, spec, fcfg)
 
     ds = grain.MapDataset.source(shard_plan).map(assemble)
@@ -76,9 +80,11 @@ def grain_repeating_batches(
     start_epoch: int = 0,
     num_threads: int = 4,
     prefetch: int = 8,
+    row_range: tuple[int, int] | None = None,
 ) -> Iterator[Batch]:
     for epoch in itertools.count(start_epoch):
         yield from grain_epoch_batches(
             dataset, spec, fcfg, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder, num_threads, prefetch,
+            row_range=row_range,
         )

@@ -72,6 +72,23 @@ def assemble_batch(
 
 
 
+def _slice_rows(
+    idxs: list[int], n_real: int, row_range: tuple[int, int] | None
+) -> tuple[list[int], int]:
+    """Host's rows of a GLOBAL plan batch (multi-host row sharding).
+
+    Under a multi-host mesh every process iterates the SAME global plan
+    (identical bucket shapes and launch counts each step — required for
+    the processes' SPMD executables to agree) and assembles only the rows
+    its devices own on the data axis; ``row_range=(lo, hi)`` selects
+    those.  Real rows lead the batch, so the slice's real count is
+    ``n_real`` clipped into [lo, hi)."""
+    if row_range is None:
+        return idxs, n_real
+    lo, hi = row_range
+    return idxs[lo:hi], max(0, min(n_real, hi) - lo)
+
+
 _WARNED_DATASETS: set[int] = set()
 
 
@@ -130,12 +147,17 @@ def epoch_batches(
     drop_remainder: bool = True,
     sort_by_length: bool = False,
     start_batch: int = 0,
+    row_range: tuple[int, int] | None = None,
 ) -> Iterator[Batch]:
     """Deterministic per-host batch stream for one epoch.
 
     ``start_batch``: skip the first N shard-local batches WITHOUT
     assembling them (the plan is metadata; assembly is the audio-decode
     cost) — exact mid-epoch resume fast-forwards here.
+
+    ``row_range``: assemble only these rows of each (global) plan batch —
+    the multi-host mesh path (see ``_slice_rows``); assembly/decode cost
+    per host scales down with the host's share of the data axis.
     """
     lengths = _audio_lengths(dataset)
     plan, skipped = plan_epoch(
@@ -144,6 +166,7 @@ def epoch_batches(
     )
     _warn_skipped(skipped, dataset)
     for bucket, idxs, n_real in plan[shard_index::num_shards][start_batch:]:
+        idxs, n_real = _slice_rows(idxs, n_real, row_range)
         yield assemble_batch(dataset, idxs, n_real, bucket, spec, fcfg)
 
 
@@ -158,6 +181,7 @@ def repeating_batches(
     drop_remainder: bool = True,
     start_epoch: int = 0,
     skip_batches: int = 0,
+    row_range: tuple[int, int] | None = None,
 ) -> Iterator[Batch]:
     """Endless stream: new deterministic shuffle every epoch.
 
@@ -180,7 +204,7 @@ def repeating_batches(
         yield from epoch_batches(
             dataset, spec, fcfg, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder,
-            start_batch=skip,
+            start_batch=skip, row_range=row_range,
         )
         skip = 0
 
@@ -237,6 +261,7 @@ def epoch_feature_batches(
     drop_remainder: bool = True,
     sort_by_length: bool = False,
     start_batch: int = 0,
+    row_range: tuple[int, int] | None = None,
 ) -> Iterator[FeatureBatch]:
     """Feature-store variant of epoch_batches: buckets on FRAMES directly."""
     lengths = _feature_lengths(dataset, spec)
@@ -246,6 +271,7 @@ def epoch_feature_batches(
     )
     _warn_skipped(skipped, dataset)
     for bucket, idxs, n_real in plan[shard_index::num_shards][start_batch:]:
+        idxs, n_real = _slice_rows(idxs, n_real, row_range)
         yield assemble_feature_batch(dataset, idxs, n_real, bucket)
 
 
@@ -262,7 +288,7 @@ def _feature_lengths(dataset, spec: BucketSpec) -> list[tuple[int, int]]:
 def repeating_feature_batches(
     dataset, spec, batch_size, seed,
     shard_index=0, num_shards=1, drop_remainder=True, start_epoch=0,
-    skip_batches=0,
+    skip_batches=0, row_range=None,
 ) -> Iterator[FeatureBatch]:
     skip = skip_batches
     lengths = _feature_lengths(dataset, spec) if skip > 0 else None
@@ -278,7 +304,7 @@ def repeating_feature_batches(
         yield from epoch_feature_batches(
             dataset, spec, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder,
-            start_batch=skip,
+            start_batch=skip, row_range=row_range,
         )
         skip = 0
 
@@ -291,12 +317,15 @@ def text_batches(
     shard_index: int = 0,
     num_shards: int = 1,
     skip_batches: int = 0,
+    row_range: tuple[int, int] | None = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Endless unlabeled-TEXT stream: (tokens [B, U], real [B]).
 
     One static token bucket (the largest) so the semi-supervised step
     compiles once per labeled bucket, not per text shape.
     ``skip_batches`` fast-forwards without assembling (exact resume).
+    ``row_range`` selects the host's rows of each global batch
+    (see ``_slice_rows``).
     """
     skip = skip_batches
     for epoch in itertools.count():
@@ -324,6 +353,9 @@ def text_batches(
                 u = min(len(t), token_bucket)
                 tokens[r, :u] = t[:u]
                 real[r] = True
+            if row_range is not None:
+                lo, hi = row_range
+                tokens, real = tokens[lo:hi], real[lo:hi]
             yield tokens, real
         skip = 0
 

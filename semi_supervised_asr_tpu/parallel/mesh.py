@@ -42,6 +42,33 @@ def make_mesh(
     return Mesh(arr, (pcfg.data_axis, pcfg.model_axis))
 
 
+def host_data_rows(mesh: Mesh, pcfg: ParallelConfig) -> tuple[int, int, int]:
+    """(row_start, row_end, n_rows) of THIS process on the data axis.
+
+    Which contiguous block of data-axis rows do this host's devices
+    cover?  Under DP across hosts each process owns a disjoint block;
+    under cross-process TP (model axis spanning processes) several hosts
+    share the same rows — they must feed IDENTICAL batch rows, which
+    the shared block makes automatic.  Multi-host training uses this to
+    slice each GLOBAL plan batch into the host-local part
+    (pipeline._slice_rows), so every process's SPMD executable sees the
+    same global shapes each step."""
+    dev = mesh.devices  # [data, model]
+    pid = jax.process_index()
+    rows = sorted({
+        i
+        for i in range(dev.shape[0])
+        for j in range(dev.shape[1])
+        if dev[i, j].process_index == pid
+    })
+    assert rows, f"process {pid} owns no devices in the mesh"
+    assert rows == list(range(rows[0], rows[-1] + 1)), (
+        f"process {pid}'s data-axis rows {rows} are not contiguous — "
+        "reorder devices so each host's block of the data axis is a slice"
+    )
+    return rows[0], rows[-1] + 1, dev.shape[0]
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

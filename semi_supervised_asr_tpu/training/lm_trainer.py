@@ -92,9 +92,13 @@ def train_lm(cfg: Config, workdir: str | Path) -> dict:
             f"lm.max_len {cfg.lm.max_len} must cover the largest token "
             f"bucket {token_bucket}"
         )
+    # every process trains the SAME full stream: the step has no
+    # cross-process collective, so striding the text per host (the
+    # old scheme) would produce divergent per-host LMs racing on one
+    # save path — identical deterministic streams give every host the
+    # bitwise-same (small) LM instead
     stream = pipe.text_batches(
         text_ds, token_bucket, cfg.lm.batch_size, cfg.train.seed,
-        shard_index=jax.process_index(), num_shards=jax.process_count(),
     )
     loss = None
     for i in range(1, cfg.lm.total_steps + 1):

@@ -165,13 +165,32 @@ class Solver:
     # training
     # ------------------------------------------------------------------ #
 
+    def _stream_shard(self) -> tuple[int, int, tuple[int, int] | None]:
+        """(plan_shard, plan_nshards, row_range) for the TRAINING streams.
+
+        Multi-host mesh: every host iterates the SAME global plan —
+        identical bucket shapes and launch counts per step are required
+        for the processes' SPMD executables to agree (striding the plan
+        per host, the old scheme, desyncs the moment two hosts draw
+        different buckets at the same step) — and assembles only the rows
+        its devices own on the data axis (``mesh.host_data_rows``).
+        Cross-process TP thereby feeds hosts sharing a data row identical
+        rows.  ``train.batch_size`` is GLOBAL in every configuration.
+
+        Single host (or no mesh): the full plan, full rows."""
+        if self.mesh is not None and jax.process_count() > 1:
+            r0, r1, n_rows = MESH.host_data_rows(self.mesh, self.cfg.parallel)
+            per = self.cfg.train.batch_size // n_rows
+            return 0, 1, (r0 * per, r1 * per)
+        return jax.process_index(), jax.process_count(), None
+
     def _labeled_stream(self, start_epoch: int = 0, start_batch: int = 0):
         """Endless labeled stream that mirrors its position into
         ``self.data_pos`` so checkpoints record (epoch, batch-in-epoch);
         resume continues the EXACT stream: the first epoch fast-forwards
         past the ``start_batch`` already-consumed batches at plan cost
         (nothing is assembled or decoded for skipped entries)."""
-        shard, n_shards = jax.process_index(), jax.process_count()
+        shard, n_shards, row_range = self._stream_shard()
 
         def gen():
             epoch = start_epoch
@@ -188,6 +207,7 @@ class Solver:
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
                         sort_by_length=sortagrad, start_batch=skip,
+                        row_range=row_range,
                     )
                 elif self.cfg.data.grain_threads > 0:
                     from semi_supervised_asr_tpu.data.grain_pipeline import (
@@ -201,6 +221,7 @@ class Solver:
                         self.cfg.data.drop_remainder,
                         num_threads=self.cfg.data.grain_threads,
                         sort_by_length=sortagrad, start_batch=skip,
+                        row_range=row_range,
                     )
                 else:
                     it = pipe.epoch_batches(
@@ -209,6 +230,7 @@ class Solver:
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
                         sort_by_length=sortagrad, start_batch=skip,
+                        row_range=row_range,
                     )
                 for k, b in enumerate(it, start=skip):
                     self.data_pos["batch"] = k
@@ -232,7 +254,7 @@ class Solver:
         ``skip_batches``: each semi step consumes exactly one batch per
         stream, so a resume fast-forwards both by the restored step count
         (plan-cost only) and the trajectory continues exactly."""
-        shard, n_shards = jax.process_index(), jax.process_count()
+        shard, n_shards, row_range = self._stream_shard()
         cfg = self.cfg
         ua = None
         if cfg.objective.lambda_pseudo > 0.0 and self.bundle.unlabeled_audio:
@@ -252,6 +274,7 @@ class Solver:
                     cfg.train.batch_size, cfg.train.seed + 1,
                     shard_index=shard, num_shards=n_shards,
                     drop_remainder=False, skip_batches=skip_batches,
+                    row_range=row_range,
                 )
             else:
                 ua = pipe.repeating_batches(
@@ -259,6 +282,7 @@ class Solver:
                     cfg.train.batch_size, cfg.train.seed + 1,
                     shard_index=shard, num_shards=n_shards,
                     drop_remainder=False, skip_batches=skip_batches,
+                    row_range=row_range,
                 )
         ut = None
         if cfg.objective.lambda_text_ae > 0.0 and self.bundle.unlabeled_text:
@@ -266,7 +290,7 @@ class Solver:
                 self.bundle.unlabeled_text, self.spec.token_buckets[-1],
                 cfg.train.batch_size, cfg.train.seed + 2,
                 shard_index=shard, num_shards=n_shards,
-                skip_batches=skip_batches,
+                skip_batches=skip_batches, row_range=row_range,
             )
         return ua, ut
 
@@ -421,18 +445,41 @@ class Solver:
     # evaluation
     # ------------------------------------------------------------------ #
 
-    def _eval_param_shardings(self):
+    def _decode_mesh(self):
+        """Mesh eval decode runs on.
+
+        Single host: the training mesh.  Multi-host DP: a LOCAL mesh over
+        this host's devices only — each host decodes its own shard of the
+        eval batches with no cross-host launch-count coupling (shard batch
+        counts may differ by one), and only the final error counters are
+        reduced.  Multi-host TP (model axis spans processes) cannot be
+        made host-local without gathering params, so it keeps the global
+        mesh; every host then feeds identical batches (shard 0/1)."""
+        if self.mesh is None:
+            return None
+        if (jax.process_count() > 1
+                and self.cfg.parallel.model_parallel == 1):
+            from jax.sharding import Mesh
+
+            return Mesh(
+                np.asarray(jax.local_devices()).reshape(-1, 1),
+                (self.cfg.parallel.data_axis, self.cfg.parallel.model_axis),
+            )
+        return self.mesh
+
+    def _eval_param_shardings(self, mesh=None):
         """Sharding pytree decode expects for params: replicated under
         plain DP, the TP layout under model_parallel > 1."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        mesh = self.mesh if mesh is None else mesh
         if self.cfg.parallel.model_parallel > 1:
             from semi_supervised_asr_tpu.parallel import tp
 
             return tp.state_shardings(
-                self.mesh, self.cfg.parallel, self.state.params
+                mesh, self.cfg.parallel, self.state.params
             )
-        return NamedSharding(self.mesh, P())
+        return NamedSharding(mesh, P())
 
     def _jit_decode(self, fn):
         """jit a decode fn; with a mesh, shard eval batches over the data
@@ -440,14 +487,20 @@ class Solver:
         does (C5).  Params: replicated under plain DP, `model`-sharded
         under TP (callers ``device_put`` them to the same layout —
         checkpoint-restored params arrive committed to one device and jit
-        will not reshard committed args itself)."""
-        if self.mesh is None:
+        will not reshard committed args itself).
+
+        Multi-host: runs on ``_decode_mesh()`` (host-local under DP).  In
+        the multi-host-TP global-mesh case outputs are REPLICATED so the
+        host can fetch them (data-sharded outputs would span
+        non-addressable devices)."""
+        mesh = self._decode_mesh()
+        if mesh is None:
             return jax.jit(fn)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from semi_supervised_asr_tpu.ops import kernel_mesh as KM
 
-        mesh, axis = self.mesh, self.cfg.parallel.data_axis
+        axis = self.cfg.parallel.data_axis
 
         def fn_with_kernel_mesh(*args):
             # Pallas kernels (listener backend, fused frontend) partition
@@ -456,13 +509,14 @@ class Solver:
             with KM.kernel_mesh(mesh, axis):
                 return fn(*args)
 
-        repl = NamedSharding(self.mesh, P())
-        data = NamedSharding(self.mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(axis))
+        cross_host = mesh is self.mesh and jax.process_count() > 1
         return jax.jit(
             fn_with_kernel_mesh,
-            in_shardings=(self._eval_param_shardings(), data, data,
+            in_shardings=(self._eval_param_shardings(mesh), data, data,
                           repl, repl),
-            out_shardings=data,
+            out_shardings=repl if cross_host else data,
         )
 
     def _greedy_fn(self):
@@ -591,26 +645,48 @@ class Solver:
 
         WER (word-level, from decoded text) is only meaningful for char
         units — LibriSpeech's headline metric (SURVEY.md §1.1 #7); None
-        for phone units."""
+        for phone units.
+
+        Multi-host DP: each process decodes ONLY its shard of the eval
+        batches on a host-local mesh (eval cost scales with hosts like
+        training does), then the error/total counters allgather so every
+        host reports the same GLOBAL rate — best-ckpt selection and early
+        stopping stay coordinated.  ``records`` holds the local shard's
+        hypotheses.  Multi-host TP keeps the global mesh: all hosts feed
+        identical batches and no shard split happens (_decode_mesh).
+        """
         fn = {"greedy": self._greedy_fn, "ctc": self._ctc_fn}.get(
             mode, self._beam_fn)()
         if self.mesh is not None:
             # checkpoint-restored params arrive committed to one device;
             # place them in the layout the jitted decode declares
-            params = jax.device_put(params, self._eval_param_shardings())
+            dm = self._decode_mesh()
+            if dm is not self.mesh:
+                # host-local decode mesh: params sit committed to the
+                # GLOBAL mesh and backends reject device-to-device
+                # cross-host transfers — hop via host (params are
+                # replicated under DP, so the local shard is the value)
+                params = jax.tree.map(np.asarray, params)
+            params = jax.device_put(params, self._eval_param_shardings(dm))
         er = MET.ErrorRate()
         wer = MET.ErrorRate()          # word-level (char units only)
         records = []
+        shard, n_shards = 0, 1
+        if (self.mesh is not None and jax.process_count() > 1
+                and self.cfg.parallel.model_parallel == 1):
+            shard, n_shards = jax.process_index(), jax.process_count()
         if self.from_features:
             batches = pipe.epoch_feature_batches(
                 dataset, self.spec, self.cfg.train.batch_size,
                 seed=0, epoch=0, drop_remainder=False,
+                shard_index=shard, num_shards=n_shards,
             )
         else:
             batches = pipe.epoch_batches(
                 dataset, self.spec, self.cfg.frontend,
                 self.cfg.train.batch_size, seed=0, epoch=0,
                 drop_remainder=False,
+                shard_index=shard, num_shards=n_shards,
             )
         for batch in batches:
             xin = self._step_inputs(batch)
@@ -637,6 +713,18 @@ class Solver:
                     wer.update(we, nw)
                     rec["word_errors"], rec["ref_words"] = we, nw
                 records.append(rec)
+        if n_shards > 1:
+            # cross-host reduce of the counters (per-host shards cover
+            # disjoint batches; the SUM is the full-set statistic)
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(
+                np.asarray(
+                    [er.errors, er.total, wer.errors, wer.total], np.int64
+                )
+            ).sum(axis=0)
+            er = MET.ErrorRate(int(counts[0]), int(counts[1]))
+            wer = MET.ErrorRate(int(counts[2]), int(counts[3]))
         wrate = (wer.rate if self.cfg.data.unit in ("char", "bpe")
                  else None)
         return er.rate, records, wrate
@@ -721,15 +809,30 @@ class Solver:
         params = self.eval_params() if restore_best else self.state.params
         eval_ds = self.bundle.test if self.bundle.test is not None else self.bundle.dev
         rate, records, wrate = self._score_batches(eval_ds, params, mode)
+        n_utts = len(records)
+        sharded_eval = (
+            self.mesh is not None and jax.process_count() > 1
+            and self.cfg.parallel.model_parallel == 1
+        )
         if out_path is not None:
             import json
 
+            if sharded_eval:
+                # each host holds only its shard's hypotheses — write
+                # per-host parts instead of clobbering one shared path
+                out_path = f"{out_path}.part{jax.process_index()}"
             with open(out_path, "w") as f:
                 for rec in records:
                     f.write(json.dumps(rec) + "\n")
+        if sharded_eval:
+            from jax.experimental import multihost_utils
+
+            n_utts = int(multihost_utils.process_allgather(
+                np.asarray([n_utts], np.int64)
+            ).sum())
         metric = {"phone": "per", "char": "cer"}.get(
             self.cfg.data.unit, "ter")
-        out = {metric: rate, "n_utts": len(records), "mode": mode}
+        out = {metric: rate, "n_utts": n_utts, "mode": mode}
         if wrate is not None:
             out["wer"] = wrate
         return out

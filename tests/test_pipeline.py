@@ -226,3 +226,56 @@ class TestSortaGrad:
         a, _ = plan_epoch(lengths, spec, 4, 0, 0, sort_by_length=True)
         b, _ = plan_epoch(lengths, spec, 4, 0, 0, sort_by_length=True)
         assert a == b
+
+
+class TestRowSlicing:
+    """Multi-host row sharding (pipeline._slice_rows): hosts slicing the
+    SAME global plan must tile every batch exactly — same buckets in the
+    same order, rows partitioned, real rows preserved (the contract
+    solver._stream_shard relies on for cross-process SPMD agreement)."""
+
+    def test_row_slices_tile_the_global_batch(self):
+        ds = make_ds(32)
+        spec = make_bucket_spec(DCFG, FCFG, time_reduction=8)
+        full = list(epoch_batches(ds, spec, FCFG, 4, seed=3, epoch=0,
+                                  drop_remainder=False))
+        lo = list(epoch_batches(ds, spec, FCFG, 4, seed=3, epoch=0,
+                                drop_remainder=False, row_range=(0, 2)))
+        hi = list(epoch_batches(ds, spec, FCFG, 4, seed=3, epoch=0,
+                                drop_remainder=False, row_range=(2, 4)))
+        assert len(full) == len(lo) == len(hi)
+        for f, a, b in zip(full, lo, hi):
+            assert a.bucket == b.bucket == f.bucket
+            assert a.audio.shape[0] == b.audio.shape[0] == 2
+            np.testing.assert_array_equal(
+                np.concatenate([a.audio, b.audio]), f.audio)
+            np.testing.assert_array_equal(
+                np.concatenate([a.tokens, b.tokens]), f.tokens)
+            np.testing.assert_array_equal(
+                np.concatenate([a.real, b.real]), f.real)
+            assert a.uids + b.uids == f.uids
+
+    def test_text_row_slices_tile(self):
+        from semi_supervised_asr_tpu.data.pipeline import text_batches
+
+        ds = make_ds(16)
+        full = text_batches(ds, 16, 4, seed=5)
+        lo = text_batches(ds, 16, 4, seed=5, row_range=(0, 2))
+        hi = text_batches(ds, 16, 4, seed=5, row_range=(2, 4))
+        for _ in range(6):
+            ft, fr = next(full)
+            at, ar = next(lo)
+            bt, br = next(hi)
+            np.testing.assert_array_equal(np.concatenate([at, bt]), ft)
+            np.testing.assert_array_equal(np.concatenate([ar, br]), fr)
+
+    def test_host_data_rows_single_process(self):
+        import jax
+        from semi_supervised_asr_tpu.config import ParallelConfig
+        from semi_supervised_asr_tpu.parallel import mesh as MESH
+
+        pcfg = ParallelConfig()
+        mesh = MESH.make_mesh(pcfg, jax.devices()[:4])
+        r0, r1, n = MESH.host_data_rows(mesh, pcfg)
+        # single process owns every data row -> full range
+        assert (r0, r1, n) == (0, 4, 4)
