@@ -70,16 +70,28 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
         ti, fi = (ti + 1) // 2, (fi + 1) // 2
         fl += 2 * b * ti * fi * 9 * ci * m.conv_channels
         ci = m.conv_channels
-    # BiLSTM stack: per direction 2*T*B*(I*4H + H*4H)
     h = m.enc_hidden
     in_dim = fi * ci if m.conv_subsample else f.n_mels
-    for _ in range(m.enc_base_layers):
-        fl += 2 * 2 * ti * b * (in_dim * 4 * h + h * 4 * h)
-        in_dim = 2 * h
-    for _ in range(m.enc_layers):
-        ti //= 2
-        fl += 2 * 2 * ti * b * (2 * in_dim * 4 * h + h * 4 * h)
-        in_dim = 2 * h
+    if m.encoder_arch == "transformer":
+        # input proj + per block: QKVO projections, score/context
+        # contractions, FFN (models/transformer_listener.py)
+        d = 2 * h
+        fl += 2 * b * ti * in_dim * d
+        per_blk = (
+            4 * 2 * b * ti * d * d          # q,k,v,o projections
+            + 2 * 2 * b * ti * ti * d       # scores + context
+            + 2 * 2 * b * ti * d * m.enc_ff_dim   # FFN
+        )
+        fl += m.enc_blocks * per_blk
+    else:
+        # BiLSTM stack: per direction 2*T*B*(I*4H + H*4H)
+        for _ in range(m.enc_base_layers):
+            fl += 2 * 2 * ti * b * (in_dim * 4 * h + h * 4 * h)
+            in_dim = 2 * h
+        for _ in range(m.enc_layers):
+            ti //= 2
+            fl += 2 * 2 * ti * b * (2 * in_dim * 4 * h + h * 4 * h)
+            in_dim = 2 * h
     t_enc = ti
     # attention: key projection once; per decode step query/energy/context
     fl += 2 * b * t_enc * (2 * h) * m.attn_dim
@@ -153,6 +165,21 @@ def main() -> int:
     p.add_argument("--conv-subsample", type=int, default=0,
                    help="stride-2 conv stem blocks before the LSTMs "
                         "(each halves the scan length; changes the model)")
+    p.add_argument("--encoder", default="blstm",
+                   choices=["blstm", "transformer"],
+                   help="listener architecture: pBLSTM (reference parity) "
+                        "or conv-subsampled self-attention encoder "
+                        "(MXU-dense, no serial scan; implies 2 conv "
+                        "blocks unless --conv-subsample set)")
+    p.add_argument("--enc-blocks", type=int, default=12,
+                   help="transformer encoder: number of blocks")
+    p.add_argument("--enc-ff", type=int, default=2048,
+                   help="transformer encoder: FFN width")
+    p.add_argument("--config", default=None,
+                   help="bench a shipped recipe: take model+frontend (and "
+                        "remat) from this YAML instead of the flagship "
+                        "bench shape; --batch/--frames/--tokens still "
+                        "set the data shape")
     p.add_argument("--sustained-secs", type=float, default=15.0,
                    help="train mode: ALSO measure pipeline-inclusive "
                         "throughput by streaming an on-disk WAV corpus "
@@ -174,20 +201,39 @@ def main() -> int:
     )
     from semi_supervised_asr_tpu.training import train_step as TS
 
-    cfg = Config(
-        frontend=FrontendConfig(spec_augment=True, cmvn="global",
-                                fft_backend=args.fft_backend),
-        model=ModelConfig(
-            n_mels=80, vocab_size=65, enc_hidden=256, enc_layers=3,
-            enc_base_layers=1, attn_dim=128, attn_conv_channels=10,
-            attn_conv_width=100, dec_hidden=512, dec_layers=1,
-            embed_dim=256, compute_dtype="bfloat16",
-            lstm_backend=args.lstm_backend,
-            conv_subsample=args.conv_subsample,
-        ),
-        objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
-        train=TrainConfig(learning_rate=1e-3),
-    )
+    if args.config:
+        # bench a shipped recipe's model/frontend (and remat) verbatim
+        # (vocab pinned to the synthetic 65 so the data below works)
+        from semi_supervised_asr_tpu.config import load_config
+
+        rcfg = load_config(args.config, ["model.vocab_size=65"])
+        cfg = Config(
+            frontend=rcfg.frontend, model=rcfg.model,
+            objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
+            train=TrainConfig(learning_rate=1e-3,
+                              remat_encoder=rcfg.train.remat_encoder),
+        )
+    else:
+        conv = args.conv_subsample
+        if args.encoder == "transformer" and conv == 0:
+            conv = 2    # the standard 4x speech-transformer reduction
+        cfg = Config(
+            frontend=FrontendConfig(spec_augment=True, cmvn="global",
+                                    fft_backend=args.fft_backend),
+            model=ModelConfig(
+                n_mels=80, vocab_size=65, enc_hidden=256, enc_layers=3,
+                enc_base_layers=1, attn_dim=128, attn_conv_channels=10,
+                attn_conv_width=100, dec_hidden=512, dec_layers=1,
+                embed_dim=256, compute_dtype="bfloat16",
+                lstm_backend=args.lstm_backend,
+                conv_subsample=conv,
+                encoder_arch=args.encoder,
+                enc_heads=8, enc_ff_dim=args.enc_ff,
+                enc_blocks=args.enc_blocks,
+            ),
+            objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
+            train=TrainConfig(learning_rate=1e-3),
+        )
 
     rng = np.random.default_rng(0)
     b, f, u = args.batch, args.frames, args.tokens

@@ -19,11 +19,22 @@ from semi_supervised_asr_tpu.models import speller as S
 from semi_supervised_asr_tpu.models import attention as A
 
 
+def _listener_fns(cfg: ModelConfig):
+    """(init, apply) for the configured encoder architecture."""
+    if cfg.encoder_arch == "transformer":
+        from semi_supervised_asr_tpu.models import transformer_listener as TL
+
+        return TL.init_transformer_listener, TL.transformer_listener_apply
+    assert cfg.encoder_arch == "blstm", cfg.encoder_arch
+    return L.init_listener, L.listener_apply
+
+
 def init_model(key: jax.Array, cfg: ModelConfig):
     k_enc, k_dec, k_ctc = jax.random.split(key, 3)
     dtype = jnp.dtype(cfg.param_dtype)
+    enc_init, _ = _listener_fns(cfg)
     params = {
-        "listener": L.init_listener(k_enc, cfg, dtype),
+        "listener": enc_init(k_enc, cfg, dtype),
         "speller": S.init_speller(k_dec, cfg, dtype),
     }
     if cfg.ctc_head:
@@ -52,11 +63,9 @@ def encode(
     (jax.checkpoint) — trades FLOPs for HBM on large configs
     (train.remat_encoder, SURVEY.md B6/HBM note).
     """
-    apply = L.listener_apply
+    _, apply = _listener_fns(cfg)
     if remat:
-        apply = jax.checkpoint(
-            L.listener_apply, static_argnums=(3, 4), policy=None
-        )
+        apply = jax.checkpoint(apply, static_argnums=(3, 4), policy=None)
     enc, enc_lens = apply(
         params["listener"], feats, feat_lens, cfg, train, dropout_rng
     )
