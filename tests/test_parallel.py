@@ -138,6 +138,41 @@ class TestShardedTrainStep:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
 
+    def test_transformer_listener_sharded_matches_unsharded(self, mesh8):
+        """The transformer listener (ls960_transformer recipe arch) under
+        the GSPMD mesh: einsum attention + conv stem + LN must partition
+        over the data axis and match the single-device step."""
+        import dataclasses as dc
+
+        cfg = CFG.replace(model=dc.replace(
+            CFG.model, encoder_arch="transformer", enc_heads=2,
+            enc_ff_dim=32, enc_blocks=2, conv_subsample=2, conv_channels=4,
+        ))
+        state_a = TS.init_train_state(cfg, jax.random.PRNGKey(3))
+        state_b = jax.tree.map(jnp.copy, state_a)
+        audio, alens, tokens, real, cmvn = make_batch(3)
+
+        plain = TS.make_train_step(cfg)
+        sharded = TS.make_train_step(cfg, mesh=mesh8)
+
+        sa, m_a = plain(state_a, audio, alens, tokens, real, *cmvn)
+        da, dl, dt, dr = MESH.shard_batch_arrays(
+            mesh8, cfg.parallel, audio, alens, tokens, real
+        )
+        sb, m_b = sharded(state_b, da, dl, dt, dr, *cmvn)
+        np.testing.assert_allclose(
+            float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
+        )
+        # wider atol than the blstm arm: LN/softmax fp32 reduction-order
+        # noise across 8 shards passes through Adam's rsqrt(v)
+        # normalization, which amplifies near-zero first-step grads
+        for a, b in zip(
+            jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
 
 class TestMeshDecode:
     def test_eval_decode_sharded_matches_single_device(self, tmp_path):
