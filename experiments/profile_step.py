@@ -43,7 +43,11 @@ def main():
     import jax
 
     if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+        if args.platform != "tpu":
+            jax.config.update("jax_platforms", args.platform)
+        # --platform tpu keeps the DEFAULT backend: under the
+        # axon plugin the chip registers programmatically and
+        # jax_platforms="tpu" would probe a native TPU and fail
     import jax.numpy as jnp
 
     from semi_supervised_asr_tpu.config import (

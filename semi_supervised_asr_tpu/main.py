@@ -47,7 +47,11 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        if args.platform != "tpu":
+            jax.config.update("jax_platforms", args.platform)
+        # --platform tpu keeps the DEFAULT backend: under the
+        # axon plugin the chip registers programmatically and
+        # jax_platforms="tpu" would probe a native TPU and fail
 
     from semi_supervised_asr_tpu.config import load_config
     from semi_supervised_asr_tpu.parallel.mesh import (

@@ -122,7 +122,11 @@ def main(argv=None) -> int:
     p.add_argument("overrides", nargs="*", default=[])
     args = p.parse_args(argv)
     if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+        if args.platform != "tpu":
+            jax.config.update("jax_platforms", args.platform)
+        # --platform tpu keeps the DEFAULT backend: under the
+        # axon plugin the chip registers programmatically and
+        # jax_platforms="tpu" would probe a native TPU and fail
     cfg = load_config(args.config, args.overrides)
     result = train_lm(cfg, args.workdir)
     print(json.dumps(result))
