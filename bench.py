@@ -175,6 +175,9 @@ def main() -> int:
                    help="transformer encoder: number of blocks")
     p.add_argument("--enc-ff", type=int, default=2048,
                    help="transformer encoder: FFN width")
+    p.add_argument("--bf16-stream", action="store_true",
+                   help="train.bf16_weight_stream: one-time bf16 weight "
+                        "cast inside the loss (halves scan weight traffic)")
     p.add_argument("--config", default=None,
                    help="bench a shipped recipe: take model+frontend (and "
                         "remat) from this YAML instead of the flagship "
@@ -210,8 +213,11 @@ def main() -> int:
         cfg = Config(
             frontend=rcfg.frontend, model=rcfg.model,
             objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
-            train=TrainConfig(learning_rate=1e-3,
-                              remat_encoder=rcfg.train.remat_encoder),
+            train=TrainConfig(
+                learning_rate=1e-3,
+                remat_encoder=rcfg.train.remat_encoder,
+                bf16_weight_stream=rcfg.train.bf16_weight_stream,
+            ),
         )
     else:
         conv = args.conv_subsample
@@ -232,7 +238,8 @@ def main() -> int:
                 enc_blocks=args.enc_blocks,
             ),
             objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
-            train=TrainConfig(learning_rate=1e-3),
+            train=TrainConfig(learning_rate=1e-3,
+                              bf16_weight_stream=args.bf16_stream),
         )
 
     rng = np.random.default_rng(0)

@@ -200,6 +200,16 @@ class TrainConfig:
     seed: int = 0
     ckpt_dir: str = "checkpoints"
     remat_encoder: bool = False       # jax.checkpoint the listener
+    # Cast every float32 param to bf16 ONCE at the top of the loss (fp32
+    # master weights stay in the train state / optimizer / checkpoints).
+    # XLA does not hoist the per-use casts out of the decoder scan, so the
+    # fp32 tree is otherwise re-streamed from HBM every scan step; the
+    # one-time cast halves that traffic AND the scan-transpose dW
+    # accumulator round-trips (measured: decoder fwd+bwd 22.9->17.2 ms at
+    # ls960 dims, DESIGN.md).  Costs bf16 rounding of the weights and
+    # bf16 dW accumulation across scan steps — equal-budget quality check
+    # in experiments/README.md.
+    bf16_weight_stream: bool = False
     # observability (SURVEY.md §6): trace N steps with jax.profiler
     profile_steps: int = 0            # 0 disables
     profile_start: int = 10

@@ -124,6 +124,18 @@ def featurize_precomputed(
     return feats, feat_lens
 
 
+def _bf16_floats(tree):
+    """One-time bf16 cast of every float32 leaf (train.bf16_weight_stream).
+
+    Applied INSIDE the loss so the cast's VJP returns fp32 grads to the
+    optimizer while the scans stream (and their transposes accumulate)
+    half-width weights."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        tree,
+    )
+
+
 def _mask_unreal(tokens: jax.Array, real: jax.Array) -> jax.Array:
     """Remainder-duplicate rows contribute nothing: their targets become
     all-PAD, which zeroes their token mask in the CE."""
@@ -160,6 +172,8 @@ def supervised_step_fn(
     feat_fn = featurize_precomputed if from_features else featurize
 
     def loss_fn(params, key, mb):
+        if cfg.train.bf16_weight_stream:
+            params = _bf16_floats(params)
         audio, audio_lens, tokens = mb["audio"], mb["audio_lens"], mb["tokens"]
         unlab_audio = mb.get("unlab_audio")
         unlab_audio_lens = mb.get("unlab_audio_lens")
@@ -206,6 +220,8 @@ def supervised_step_fn(
 
         if obj.lambda_pseudo > 0.0 and unlab_audio is not None:
             teacher = state.ema_params if obj.use_ema_teacher else params
+            if cfg.train.bf16_weight_stream and obj.use_ema_teacher:
+                teacher = _bf16_floats(teacher)  # decode-only, stop-grad
             clean, clens = feat_fn(
                 cfg, unlab_audio, unlab_audio_lens, cmvn, None, False
             )

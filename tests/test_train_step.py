@@ -237,3 +237,62 @@ class TestFreeze:
         assert not np.array_equal(
             dec0, np.asarray(state.params["speller"]["b_out"]))
         assert np.isfinite(float(m["loss"]))
+
+
+class TestBf16WeightStream:
+    """train.bf16_weight_stream: one-time bf16 cast inside the loss.
+
+    fp32 master weights must stay in the state; the step's loss/grads see
+    bf16-rounded weights (close to the fp32 step, not bitwise)."""
+
+    def _cfg(self):
+        import dataclasses
+        return CFG.replace(
+            train=dataclasses.replace(CFG.train, bf16_weight_stream=True))
+
+    def test_masters_stay_fp32_and_learns(self):
+        cfg = self._cfg()
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(30))
+        step = TS.make_train_step(cfg)
+        audio, alens, tokens, real, cmvn = make_batch(30)
+        losses = []
+        for _ in range(12):
+            state, m = step(state, audio, alens, tokens, real, *cmvn)
+            losses.append(float(m["loss"]))
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] * 0.8, losses
+
+    def test_loss_close_to_fp32_step(self):
+        state32 = TS.init_train_state(CFG, jax.random.PRNGKey(31))
+        cfg = self._cfg()
+        state16 = TS.init_train_state(cfg, jax.random.PRNGKey(31))
+        audio, alens, tokens, real, cmvn = make_batch(31)
+        _, m32 = TS.make_train_step(CFG)(
+            state32, audio, alens, tokens, real, *cmvn)
+        _, m16 = TS.make_train_step(cfg)(
+            state16, audio, alens, tokens, real, *cmvn)
+        l32, l16 = float(m32["loss"]), float(m16["loss"])
+        assert abs(l32 - l16) < 0.02 * abs(l32) + 1e-3, (l32, l16)
+
+    def test_semi_step_runs_bf16(self):
+        import dataclasses
+        cfg = SEMI_CFG.replace(
+            train=dataclasses.replace(SEMI_CFG.train,
+                                      bf16_weight_stream=True))
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(32))
+        step = TS.make_train_step(cfg, semi_supervised=True)
+        audio, alens, tokens, real, cmvn = make_batch(32)
+        ua, ualens, _, ureal, _ = make_batch(33)
+        utext = np.asarray([[5, 6, 7, 2, 0, 0], [8, 9, 2, 0, 0, 0]],
+                           np.int32)
+        utreal = np.ones((2,), bool)
+        state, m = step(
+            state, audio, alens, tokens, real,
+            ua, ualens, ureal, utext, utreal, *cmvn,
+        )
+        for k in ("loss", "ce", "text_ae", "pseudo"):
+            assert k in m and np.isfinite(float(m[k])), (k, m.get(k))
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
