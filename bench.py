@@ -178,11 +178,20 @@ def main() -> int:
     p.add_argument("--bf16-stream", action="store_true",
                    help="train.bf16_weight_stream: one-time bf16 weight "
                         "cast inside the loss (halves scan weight traffic)")
+    p.add_argument("--speller-grad", default="scan",
+                   choices=["scan", "stacked"],
+                   help="model.speller_grad: 'stacked' reroutes the "
+                        "decoder dW/d(enc) accumulators to post-hoc MXU "
+                        "contractions (models/speller.py)")
     p.add_argument("--config", default=None,
                    help="bench a shipped recipe: take model+frontend (and "
                         "remat) from this YAML instead of the flagship "
                         "bench shape; --batch/--frames/--tokens still "
                         "set the data shape")
+    p.add_argument("--override", action="append", default=[],
+                   help="with --config: section.key=value recipe "
+                        "overrides (repeatable), e.g. "
+                        "model.speller_grad=scan for perf A/Bs")
     p.add_argument("--sustained-secs", type=float, default=15.0,
                    help="train mode: ALSO measure pipeline-inclusive "
                         "throughput by streaming an on-disk WAV corpus "
@@ -193,10 +202,13 @@ def main() -> int:
     p.add_argument("--grain-threads", type=int, default=4)
     args = p.parse_args()
 
-    if args.platform:
+    if args.platform and args.platform != "tpu":
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # --platform tpu keeps the DEFAULT backend: under the axon plugin the
+    # chip registers programmatically and jax_platforms="tpu" would probe
+    # a native TPU and fail (same convention as main.py / experiments)
     import jax
 
     from semi_supervised_asr_tpu.config import (
@@ -209,7 +221,9 @@ def main() -> int:
         # (vocab pinned to the synthetic 65 so the data below works)
         from semi_supervised_asr_tpu.config import load_config
 
-        rcfg = load_config(args.config, ["model.vocab_size=65"])
+        rcfg = load_config(
+            args.config, ["model.vocab_size=65", *args.override]
+        )
         cfg = Config(
             frontend=rcfg.frontend, model=rcfg.model,
             objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
@@ -232,6 +246,7 @@ def main() -> int:
                 attn_conv_width=100, dec_hidden=512, dec_layers=1,
                 embed_dim=256, compute_dtype="bfloat16",
                 lstm_backend=args.lstm_backend,
+                speller_grad=args.speller_grad,
                 conv_subsample=conv,
                 encoder_arch=args.encoder,
                 enc_heads=8, enc_ff_dim=args.enc_ff,

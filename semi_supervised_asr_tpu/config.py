@@ -126,6 +126,17 @@ class ModelConfig:
     lm_fusion_embed: int = 128
     lm_fusion_hidden: int = 512
     lm_fusion_layers: int = 1
+    # Speller backward strategy.  "scan" = plain lax.scan autodiff: the
+    # reverse scan CARRIES the decoder dW accumulators (~38MB at ls960
+    # dims) plus the d(enc) accumulator through all U steps — pure HBM
+    # round-trip traffic.  "stacked" = custom-VJP scan
+    # (models/speller.py): the big weights are held constant inside the
+    # scan, the backward emits per-step gate/context cotangents STACKED,
+    # and dW/d(enc) are reconstructed as single MXU contractions —
+    # measured ~10% off the ls960_dp step (DESIGN.md).  Gradients are
+    # mathematically identical (contraction-order differences only;
+    # parity-tested in tests/test_stacked_grad.py).
+    speller_grad: str = "scan"    # "scan" | "stacked"
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # MXU-friendly; carries stay fp32

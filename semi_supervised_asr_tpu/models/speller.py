@@ -15,6 +15,10 @@ lattice row, so beam reordering is one ``jnp.take_along_axis`` per leaf.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -131,20 +135,36 @@ def speller_step(
     values: jax.Array,       # [B*, T, enc_out] encoder outputs
     mask: jax.Array,         # [B*, T] valid-frame mask
     dropout_rng: jax.Array | None = None,
-) -> tuple[dict, jax.Array, jax.Array]:
+    perts: dict | None = None,
+    save_linear: bool = False,
+) -> tuple[dict, jax.Array, jax.Array] | tuple[dict, jax.Array, jax.Array, dict]:
     """-> (new_state, logits [B*, V], alpha [B*, T]).
 
     ``dropout_rng`` (training only): dropout at rate ``cfg.dec_dropout``
     on the [h_top, context] concat feeding the output projection.
+
+    ``perts`` / ``save_linear`` serve the stacked-dW backward
+    (:func:`_stacked_scan`): ``perts`` injects zero-valued additive
+    perturbations at the big linear sites ({"gates": [per-layer [B,4H]],
+    "ctx": [B,enc_out], "logit": [B,V]}) whose cotangents are the
+    per-step gradients those sites would otherwise accumulate across the
+    scan; ``save_linear`` additionally returns the matmul left-operands
+    ({"x{i}", "h{i}", "out_in"} in compute dtype) needed to contract
+    those cotangents into weight gradients.
     """
     compute = jnp.dtype(cfg.compute_dtype)
     emb = params["embedding"][tokens].astype(jnp.float32)
     x = jnp.concatenate([emb, state["context"]], axis=-1)
 
+    saves = {}
     hs, cs = [], []
     for i in range(cfg.dec_layers):
+        if save_linear:
+            saves[f"x{i}"] = x.astype(compute)
+            saves[f"h{i}"] = state["h"][i].astype(compute)
         h, c = R.lstm_single_step(
-            params["cells"][i], x, state["h"][i], state["c"][i], compute
+            params["cells"][i], x, state["h"][i], state["c"][i], compute,
+            gate_pert=None if perts is None else perts["gates"][i],
         )
         hs.append(h)
         cs.append(c)
@@ -155,6 +175,8 @@ def speller_step(
         params["attention"], h_top, state["alpha"], keys, values, mask,
         cfg.attn_sharpening,
     )
+    if perts is not None:
+        context = context + perts["ctx"]
     out_in = jnp.concatenate([h_top, context], axis=-1)
     if dropout_rng is not None and cfg.dec_dropout > 0.0:
         keep = 1.0 - cfg.dec_dropout
@@ -212,6 +234,8 @@ def speller_step(
             + params["b_out"].astype(jnp.float32)
         )
     else:
+        if save_linear:
+            saves["out_in"] = out_in.astype(compute)
         logits = (
             jnp.dot(
                 out_in.astype(compute),
@@ -220,6 +244,8 @@ def speller_step(
             )
             + params["b_out"].astype(jnp.float32)
         )
+        if perts is not None and "logit" in perts:
+            logits = logits + perts["logit"]
     new_state = {
         "h": jnp.stack(hs),
         "c": jnp.stack(cs),
@@ -227,7 +253,157 @@ def speller_step(
         "alpha": alpha,
         **lm_leaves,
     }
+    if save_linear:
+        return new_state, logits, alpha, saves
     return new_state, logits, alpha
+
+
+@lru_cache(maxsize=None)
+def _stacked_scan(cfg: ModelConfig, use_dropout: bool):
+    """Teacher-forcing scan with a stacked-dW custom VJP.
+
+    Plain ``lax.scan`` autodiff transposes the decode loop into a reverse
+    scan whose carry includes a gradient ACCUMULATOR for every weight
+    used inside the loop — at ls960 dims that is ~38MB of decoder cell
+    dW plus the [B,T,enc_out] d(enc) partial, re-read and re-written
+    from HBM on every one of the U backward steps (pure bandwidth, no
+    MXU work).  This wrapper reroutes those gradients:
+
+    * the decoder cell weights, ``w_out``, and the attention *values*
+      (the encoder outputs) are held constant (``stop_gradient``) inside
+      the scan;
+    * zero-valued perturbations are injected at each of those linear
+      sites (:func:`speller_step` ``perts``), so the scan's vjp emits
+      the per-step site cotangents STACKED over time instead of
+      accumulated — the reverse scan's carry shrinks to the state
+      adjoints (the irreducible serial chain);
+    * the weight gradients are reconstructed afterwards as single MXU
+      contractions over the stacked (saved left-operand, cotangent)
+      pairs — e.g. ``dW_ih = einsum('ubi,ubz->iz', xs, d_gates)`` — and
+      ``d(enc) = einsum('ubt,ube->bte', alphas, d_context)``.
+
+    Gradients are mathematically identical to the scan path (the only
+    difference is summation order); parity is tested in
+    tests/test_stacked_grad.py.  Everything *small* (attention MLP,
+    biases, embedding lookup, fusion gates, tied projections) stays on
+    ordinary autodiff — their accumulators are KBs, not MBs.
+
+    The factory is cached per (cfg, use_dropout); cfg is a frozen
+    (hashable) dataclass, so each model shape builds its vjp once.
+    """
+    n_layers, tied = cfg.dec_layers, cfg.tie_embedding
+
+    def _select(prev_logits, tok_gt, k, tf_rate, b):
+        use_gt = jax.random.bernoulli(k, tf_rate, (b,))
+        sampled = jnp.argmax(prev_logits, axis=-1).astype(tok_gt.dtype)
+        return jnp.where(use_gt, tok_gt, sampled)
+
+    def _plain(rest, cells, values, keys, state0, logits0, toks, rngs,
+               mask, tf_rate):
+        params = dict(rest, cells=cells)
+        b = logits0.shape[0]
+
+        def step(carry, inp):
+            state, prev_logits = carry
+            tok_gt, k = inp
+            tok = _select(prev_logits, tok_gt, k, tf_rate, b)
+            drop = jax.random.fold_in(k, 1) if use_dropout else None
+            state, logits, alpha = speller_step(
+                params, cfg, state, tok, keys, values, mask,
+                dropout_rng=drop,
+            )
+            return (state, logits), (logits, alpha)
+
+        (_, _), (lr, ar) = lax.scan(step, (state0, logits0), (toks, rngs))
+        return lr, ar
+
+    spell = jax.custom_vjp(_plain)
+
+    def _fwd(rest, cells, values, keys, state0, logits0, toks, rngs,
+             mask, tf_rate):
+        u1 = toks.shape[0]
+        b = logits0.shape[0]
+        vocab = logits0.shape[-1]
+        pg = tuple(
+            jnp.zeros((u1, b, 4 * cfg.dec_hidden), jnp.float32)
+            for _ in range(n_layers)
+        )
+        pc = jnp.zeros((u1, b, cfg.enc_out_dim), jnp.float32)
+        pl = None if tied else jnp.zeros((u1, b, vocab), jnp.float32)
+        cells_c = jax.tree.map(lax.stop_gradient, cells)
+        vals_c = lax.stop_gradient(values)
+
+        def run(rest_, keys_, state0_, logits0_, pg_, pc_, pl_):
+            if not tied:
+                rest_ = dict(rest_, w_out=lax.stop_gradient(rest_["w_out"]))
+            params = dict(rest_, cells=cells_c)
+
+            def step(carry, inp):
+                state, prev_logits = carry
+                tok_gt, k, pg_u, pc_u, pl_u = inp
+                tok = _select(prev_logits, tok_gt, k, tf_rate, b)
+                drop = jax.random.fold_in(k, 1) if use_dropout else None
+                perts = {"gates": pg_u, "ctx": pc_u}
+                if pl_u is not None:
+                    perts["logit"] = pl_u
+                state, logits, alpha, saves = speller_step(
+                    params, cfg, state, tok, keys_, vals_c, mask,
+                    dropout_rng=drop, perts=perts, save_linear=True,
+                )
+                return (state, logits), (logits, alpha, saves)
+
+            (_, _), (lr, ar, saves) = lax.scan(
+                step, (state0_, logits0_), (toks, rngs, pg_, pc_, pl_)
+            )
+            return lr, ar, saves
+
+        (lr, ar, saves), pull = jax.vjp(
+            run, rest, keys, state0, logits0, pg, pc, pl
+        )
+        return (lr, ar), (pull, saves, ar, cells, values, toks, rngs, mask)
+
+    def _bwd(res, g):
+        pull, saves, ar, cells, values, toks, rngs, mask = res
+        g_lr, g_ar = g
+        zsaves = jax.tree.map(jnp.zeros_like, saves)
+        drest, dkeys, dstate0, dlogits0, dpg, dpc, dpl = pull(
+            (g_lr, g_ar, zsaves)
+        )
+        compute = jnp.dtype(cfg.compute_dtype)
+        dcells = []
+        for i in range(n_layers):
+            dz = dpg[i].astype(compute)
+            w = cells[i]
+            dcells.append({
+                "w_ih": jnp.einsum(
+                    "ubi,ubz->iz", saves[f"x{i}"], dz,
+                    preferred_element_type=jnp.float32,
+                ).astype(w["w_ih"].dtype),
+                "w_hh": jnp.einsum(
+                    "ubh,ubz->hz", saves[f"h{i}"], dz,
+                    preferred_element_type=jnp.float32,
+                ).astype(w["w_hh"].dtype),
+                "b": dpg[i].sum((0, 1)).astype(w["b"].dtype),
+            })
+        dvalues = jnp.einsum(
+            "ubt,ube->bte", ar, dpc, preferred_element_type=jnp.float32
+        ).astype(values.dtype)
+        if not tied:
+            dwout = jnp.einsum(
+                "ube,ubv->ev", saves["out_in"], dpl.astype(compute),
+                preferred_element_type=jnp.float32,
+            ).astype(drest["w_out"].dtype)
+            drest = dict(drest, w_out=dwout)
+
+        def f0(a):
+            return np.zeros(a.shape, jax.dtypes.float0)
+
+        return (drest, dcells, dvalues, dkeys, dstate0, dlogits0,
+                f0(toks), f0(rngs), f0(mask),
+                jnp.zeros((), jnp.float32))
+
+    spell.defvjp(_fwd, _bwd)
+    return spell
 
 
 def forward_teacher(
@@ -281,6 +457,21 @@ def forward_teacher(
     )
     if u == 1:
         return logits0[:, None], alpha0[:, None]
+
+    assert cfg.speller_grad in ("scan", "stacked"), cfg.speller_grad
+    if cfg.speller_grad == "stacked":
+        spell = _stacked_scan(cfg, use_dropout)
+        rest = {k: v for k, v in params.items() if k != "cells"}
+        logits_rest, alpha_rest = spell(
+            rest, params["cells"], enc, keys_proj, state, logits0,
+            tokens_in[:, 1:].swapaxes(0, 1), step_rngs[1:], enc_mask,
+            tf_rate,
+        )
+        logits_rest = logits_rest.swapaxes(0, 1)
+        alpha_rest = alpha_rest.swapaxes(0, 1)
+        logits = jnp.concatenate([logits0[:, None], logits_rest], axis=1)
+        alphas = jnp.concatenate([alpha0[:, None], alpha_rest], axis=1)
+        return logits, alphas
 
     (_, _), (logits_rest, alpha_rest) = lax.scan(
         step,

@@ -81,12 +81,17 @@ def lstm_single_step(
     h: jax.Array,
     c: jax.Array,
     compute_dtype=jnp.float32,
+    gate_pert: jax.Array | None = None,
 ):
     """One full LSTM step with input projection (decoder-side cells).
 
     x [B, I], h/c [B, H] float32 -> (h', c').  Unlike :func:`lstm`, the
     input projection cannot be hoisted because x depends on the previous
     decode step.
+
+    ``gate_pert`` [B, 4H]: additive perturbation on the pre-activation
+    gates — the stacked-dW speller backward's injection site (zeros in
+    the primal; its cotangent IS d(gates), models/speller.py).
     """
     gates_x = (
         jnp.dot(
@@ -96,6 +101,8 @@ def lstm_single_step(
         )
         + params["b"].astype(jnp.float32)
     )
+    if gate_pert is not None:
+        gates_x = gates_x + gate_pert
     (h2, c2), _ = lstm_cell_step((h, c), gates_x, params["w_hh"], compute_dtype)
     return h2, c2
 
