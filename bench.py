@@ -330,7 +330,11 @@ def main() -> int:
                 import dataclasses as _dc
 
                 dcfg = _dc.replace(
-                    cfg.data, frame_buckets=(f,), token_buckets=(u,)
+                    cfg.data, frame_buckets=(f,), token_buckets=(u,),
+                    # PCM WAV corpus -> int16 transfer is lossless and
+                    # halves the H2D bytes (the recipes' default for
+                    # real corpora); the step upcasts on device
+                    audio_i16_transfer=True,
                 )
                 spec = make_bucket_spec(
                     dcfg, cfg.frontend, cfg.model.time_reduction
@@ -340,8 +344,9 @@ def main() -> int:
                     drop_remainder=False,
                     num_threads=args.grain_threads,
                 )
-                # warmup: shapes identical to the compiled step -> no
-                # recompile; prime the pipeline threads
+                # warmup: shape+dtype identical to the streamed batches
+                # -> ONE extra compile for the int16-audio signature;
+                # prime the pipeline threads
                 bt = next(it)
                 state, m = step(
                     state, bt.audio, bt.audio_lens, bt.tokens, bt.real,
@@ -417,6 +422,7 @@ def main() -> int:
     if args.mode == "train":
         result.update(
             sustained=round(sustained, 1) if sustained else None,
+            sustained_audio="int16" if sustained else None,
             mfu=round(mfu, 5) if mfu is not None else None,
             model_flops_per_step=round(flops_step),
             bytes_per_step=bytes_step,

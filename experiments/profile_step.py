@@ -38,6 +38,13 @@ def main():
     p.add_argument("--tokens", type=int, default=48)
     p.add_argument("--lstm-backend", default="pallas")
     p.add_argument("--platform", default=None)
+    p.add_argument("--config", default=None,
+                   help="profile a shipped recipe: take model/frontend/"
+                        "train (remat, bf16 stream) from this YAML; "
+                        "--batch/--frames/--tokens still set the shape")
+    p.add_argument("--override", action="append", default=[],
+                   help="with --config: section.key=value overrides "
+                        "(repeatable)")
     args = p.parse_args()
 
     import jax
@@ -59,21 +66,36 @@ def main():
     from semi_supervised_asr_tpu.training import schedules
     from semi_supervised_asr_tpu.training import train_step as TS
 
-    cfg = Config(
-        frontend=FrontendConfig(spec_augment=True, cmvn="global"),
-        model=ModelConfig(
-            n_mels=80, vocab_size=65, enc_hidden=256, enc_layers=3,
-            enc_base_layers=1, attn_dim=128, attn_conv_channels=10,
-            attn_conv_width=100, dec_hidden=512, dec_layers=1,
-            embed_dim=256, compute_dtype="bfloat16",
-            lstm_backend=args.lstm_backend,
-        ),
-        objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
-        train=TrainConfig(learning_rate=1e-3),
-        # timeit reuses the same state object every call — donation would
-        # invalidate it after the first step
-        parallel=ParallelConfig(donate_state=False),
-    )
+    if args.config:
+        from semi_supervised_asr_tpu.config import load_config
+
+        rcfg = load_config(
+            args.config, ["model.vocab_size=65", *args.override]
+        )
+        cfg = Config(
+            frontend=rcfg.frontend, model=rcfg.model,
+            objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
+            train=rcfg.train,
+            parallel=ParallelConfig(donate_state=False),
+        )
+    else:
+        cfg = Config(
+            # matmul DFT matches bench.py's flagship default
+            frontend=FrontendConfig(spec_augment=True, cmvn="global",
+                                    fft_backend="matmul"),
+            model=ModelConfig(
+                n_mels=80, vocab_size=65, enc_hidden=256, enc_layers=3,
+                enc_base_layers=1, attn_dim=128, attn_conv_channels=10,
+                attn_conv_width=100, dec_hidden=512, dec_layers=1,
+                embed_dim=256, compute_dtype="bfloat16",
+                lstm_backend=args.lstm_backend,
+            ),
+            objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
+            train=TrainConfig(learning_rate=1e-3),
+            # timeit reuses the same state object every call — donation
+            # would invalidate it after the first step
+            parallel=ParallelConfig(donate_state=False),
+        )
     rng = np.random.default_rng(0)
     b, f, u = args.batch, args.frames, args.tokens
     s = (f - 1) * cfg.frontend.hop_length
@@ -110,13 +132,15 @@ def main():
     )(audio, audio_lens)
     feats = jax.device_put(np.asarray(feats))
 
-    # 3. encoder fwd+bwd
+    # 3. encoder fwd+bwd.  The GRADS must be returned (not just the
+    # value): returning value_and_grad(...)[0] lets XLA dead-code the
+    # whole backward pass, silently timing forward-only.
     @jax.jit
     def enc_fb(params, feats, flens):
         def loss(p):
             enc, mask, keys = M.encode(p, feats, flens, cfg.model)
             return jnp.sum(enc * enc)
-        return jax.value_and_grad(loss)(params)[0]
+        return jax.value_and_grad(loss)(params)[1]
 
     ef = timeit(lambda: enc_fb(state.params, feats, flens))
     print(f"encoder fwd+bwd:            {ef:7.2f} ms")
@@ -136,7 +160,7 @@ def main():
                 p["speller"], cfg.model, enc, mask, tokens,
                 tf_rate=1.0, rng=jax.random.PRNGKey(0))
             return LO.masked_ce(logits, tokens)[0]
-        return jax.value_and_grad(loss)(params)[0]
+        return jax.value_and_grad(loss)(params)[1]  # grads: no bwd DCE
 
     df = timeit(lambda: dec_fb(state.params, enc, mask, tokens))
     print(f"decoder+attn fwd+bwd:       {df:7.2f} ms")
@@ -149,7 +173,7 @@ def main():
                 p, cfg.model, cfg.objective, feats, flens, tokens, 1.0,
                 jax.random.PRNGKey(0))
             return l
-        return jax.value_and_grad(loss)(params)[0]
+        return jax.value_and_grad(loss)(params)[1]  # grads: no bwd DCE
 
     lf = timeit(lambda: loss_fb(state.params))
     print(f"enc+dec loss fwd+bwd:       {lf:7.2f} ms")

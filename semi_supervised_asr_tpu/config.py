@@ -300,6 +300,13 @@ class DataConfig:
     # >0: assemble batches through grain with this many read-ahead threads
     # (host work overlaps device steps); 0 = plain in-line pipeline
     grain_threads: int = 0
+    # Ship batch audio to the device as int16 (half the host->device
+    # bytes; the train/eval step upcasts to f32*1/32768 on-device as its
+    # first op).  LOSSLESS for 16-bit PCM sources (TIMIT/LibriSpeech —
+    # the f32 values are exactly int/32768, so the round trip is exact;
+    # tests/test_i16_transfer.py); float sources (.npy, synthetic) are
+    # clipped+rounded to the int16 grid, so leave this off for them.
+    audio_i16_transfer: bool = False
 
 
 @dataclass(frozen=True)

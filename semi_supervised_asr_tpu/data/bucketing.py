@@ -23,6 +23,9 @@ class BucketSpec:
     token_buckets: tuple[int, ...]     # ascending
     hop_length: int
     time_reduction: int
+    # batches carry int16 audio (data.audio_i16_transfer): half the H2D
+    # bytes; the device upcasts (train_step.featurize)
+    audio_i16: bool = False
 
     def samples_for_frames(self, frames: int) -> int:
         """Audio samples that produce exactly ``frames`` centered frames."""
@@ -69,6 +72,7 @@ def make_bucket_spec(
         token_buckets=toks,
         hop_length=fcfg.hop_length,
         time_reduction=time_reduction,
+        audio_i16=dcfg.audio_i16_transfer,
     )
 
 

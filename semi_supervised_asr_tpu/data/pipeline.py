@@ -68,6 +68,13 @@ def assemble_batch(
         token_lens[r] = u
         uids.append(utt.uid)
     real = np.arange(b) < n_real
+    if spec.audio_i16:
+        # data.audio_i16_transfer: halve the H2D bytes.  PCM-origin f32
+        # is exactly int/32768 -> *32768 is integral and representable
+        # in f32 (|x| <= 32767 < 2^24), so rint is an exact inverse;
+        # float-origin sources clip+round to the int16 grid.
+        np.clip(audio, -1.0, 32767.0 / 32768.0, out=audio)
+        audio = np.rint(audio * 32768.0).astype(np.int16)
     return Batch(audio, audio_lens, tokens, token_lens, real, bucket, uids)
 
 

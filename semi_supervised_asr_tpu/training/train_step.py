@@ -70,7 +70,14 @@ def featurize(
     rng: jax.Array | None,
     augment: bool,
 ) -> tuple[jax.Array, jax.Array]:
-    """Raw audio -> (features, frame lengths), SpecAugment when training."""
+    """Raw audio -> (features, frame lengths), SpecAugment when training.
+
+    ``audio`` may arrive as int16 (data.audio_i16_transfer — the
+    pipeline ships PCM at half the H2D bytes); the upcast here is the
+    exact inverse of the pipeline's ``rint(x*32768)`` for PCM sources.
+    """
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     fcfg = cfg.frontend
     mean, inv_std = (cmvn if cmvn is not None else (None, None))
     if _use_fused_frontend(cfg) and mean is not None:
