@@ -326,7 +326,7 @@ def main() -> int:
                 mpath = _gen_wav_corpus(
                     td, args.corpus_utts, f, u, cfg.frontend.hop_length
                 )
-                ds = ManifestDataset(mpath, vocab=None)
+                ds = ManifestDataset(mpath, vocab=None, prefer_i16=True)
                 import dataclasses as _dc
 
                 dcfg = _dc.replace(

@@ -56,6 +56,43 @@ def load_audio(path: str | Path) -> np.ndarray:
     raise ValueError(f"unsupported audio format: {path.suffix}")
 
 
+def load_audio_i16(path: str | Path) -> np.ndarray | None:
+    """Native int16 samples when the source is losslessly 16-bit, else None.
+
+    The int16 H2D transfer path (data.audio_i16_transfer) wants the
+    host to never touch float: WAV/SPHERE/16-bit-mono-FLAC decode
+    straight to the int16 grid the device divides by 32768, so the
+    decode->pad->transfer chain is pure integer memcpy (a ~3x cut in
+    host memory traffic vs int->f32->int).  Sources that are NOT exactly
+    representable (float .npy, 24/32-bit PCM, multichannel FLAC whose
+    mono mix is a float mean) return None and take the float path with
+    clip+round at batch assembly.
+    """
+    path = Path(path)
+    suf = path.suffix.lower()
+    if suf == ".wav":
+        from semi_supervised_asr_tpu.utils.sphere import is_sphere
+
+        if is_sphere(path):
+            from semi_supervised_asr_tpu.utils.sphere import read_sphere_i16
+
+            return read_sphere_i16(path)[0]
+        from scipy.io import wavfile
+
+        _, data = wavfile.read(path)
+        if data.dtype == np.int16 and data.ndim == 1:
+            return data
+        return None
+    if suf == ".flac":
+        from semi_supervised_asr_tpu.utils.flac import read_flac_int
+
+        samples, _, bits = read_flac_int(path)
+        if bits == 16 and samples.shape[1] == 1:
+            return samples[:, 0].astype(np.int16)
+        return None
+    return None
+
+
 def vocab_fingerprint(vocab) -> str:
     """Stable id of a vocab's token->id map (size + token-list hash)."""
     import hashlib
@@ -68,9 +105,13 @@ class ManifestDataset:
     """Lazy corpus over a jsonl manifest; lengths come from the manifest so
     bucketing never touches audio files."""
 
-    def __init__(self, manifest: str | Path, vocab: Vocab):
+    def __init__(self, manifest: str | Path, vocab: Vocab,
+                 prefer_i16: bool = False):
         self.root = Path(manifest).parent
         self.vocab = vocab
+        # int16-native decode for the audio_i16_transfer pipeline; falls
+        # back to float per-file when a source isn't losslessly 16-bit
+        self.prefer_i16 = prefer_i16
         self.entries = []
         with open(manifest) as f:
             for line in f:
@@ -95,9 +136,10 @@ class ManifestDataset:
         path = Path(e["audio"])
         if not path.is_absolute():
             path = self.root / path
+        audio = load_audio_i16(path) if self.prefer_i16 else None
         return Utterance(
             uid=e["uid"],
-            audio=load_audio(path),
+            audio=audio if audio is not None else load_audio(path),
             tokens=self._tokens(e),
             text=e.get("text", ""),
         )

@@ -53,7 +53,14 @@ def assemble_batch(
     fb, tb = bucket
     s_len = spec.samples_for_frames(fb)
     b = len(idxs)
-    audio = np.zeros((b, s_len), np.float32)
+    # data.audio_i16_transfer: int16 batches halve the H2D bytes, and an
+    # int16-native source (ManifestDataset prefer_i16) makes the whole
+    # decode->pad->batch chain integer memcpy.  PCM-origin f32 is exactly
+    # int/32768 -> *32768 is integral and representable in f32
+    # (|x| <= 32767 < 2^24), so rint is an exact inverse and both source
+    # dtypes produce the SAME batch; float-origin sources clip+round to
+    # the int16 grid (tests/test_i16_transfer.py).
+    audio = np.zeros((b, s_len), np.int16 if spec.audio_i16 else np.float32)
     audio_lens = np.zeros((b,), np.int32)
     tokens = np.full((b, tb), PAD, np.int32)
     token_lens = np.zeros((b,), np.int32)
@@ -61,20 +68,22 @@ def assemble_batch(
     for r, i in enumerate(idxs):
         utt = dataset[i]
         n = min(len(utt.audio), s_len)
-        audio[r] = pad_for_batch(utt.audio[:n].astype(np.float32), s_len, fcfg)
+        a = utt.audio[:n]
+        if spec.audio_i16:
+            if a.dtype != np.int16:
+                a = np.clip(a.astype(np.float32), -1.0, 32767.0 / 32768.0)
+                a = np.rint(a * 32768.0).astype(np.int16)
+        elif a.dtype == np.int16:
+            a = a.astype(np.float32) / 32768.0
+        else:
+            a = a.astype(np.float32)
+        audio[r] = pad_for_batch(a, s_len, fcfg)
         audio_lens[r] = n
         u = min(len(utt.tokens), tb)
         tokens[r, :u] = utt.tokens[:u]
         token_lens[r] = u
         uids.append(utt.uid)
     real = np.arange(b) < n_real
-    if spec.audio_i16:
-        # data.audio_i16_transfer: halve the H2D bytes.  PCM-origin f32
-        # is exactly int/32768 -> *32768 is integral and representable
-        # in f32 (|x| <= 32767 < 2^24), so rint is an exact inverse;
-        # float-origin sources clip+round to the int16 grid.
-        np.clip(audio, -1.0, 32767.0 / 32768.0, out=audio)
-        audio = np.rint(audio * 32768.0).astype(np.int16)
     return Batch(audio, audio_lens, tokens, token_lens, real, bucket, uids)
 
 
@@ -398,7 +407,10 @@ def compute_global_cmvn(
     count = 0
     s1 = s2 = 0.0
     for i in range(n):
-        lm = oracle.log_mel(dataset[i].audio.astype(np.float64), fcfg)
+        a = dataset[i].audio
+        # int16-native datasets (prefer_i16) carry unscaled PCM ints
+        scale = 32768.0 if a.dtype == np.int16 else 1.0
+        lm = oracle.log_mel(a.astype(np.float64) / scale, fcfg)
         s1 = s1 + lm.sum(axis=0)
         s2 = s2 + (lm**2).sum(axis=0)
         count += lm.shape[0]

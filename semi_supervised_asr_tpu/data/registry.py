@@ -68,7 +68,8 @@ def build_datasets(cfg: Config) -> DataBundle:
             from semi_supervised_asr_tpu.data.corpus import ManifestDataset
 
             def load(split):
-                return ManifestDataset(f"{d.data_dir}/{split}.jsonl", vocab)
+                return ManifestDataset(f"{d.data_dir}/{split}.jsonl", vocab,
+                                       prefer_i16=d.audio_i16_transfer)
 
         def load_test():
             """data.test_split is only consumed by --test; a missing

@@ -58,6 +58,18 @@ def _ulaw_expand(b: np.ndarray) -> np.ndarray:
 
 def read_sphere(path: str | Path) -> tuple[np.ndarray, int]:
     """-> (float32 samples in [-1, 1] (mono: first channel), sample_rate)."""
+    samples, sr = read_sphere_i16(path)
+    return samples.astype(np.float32) / 32768.0, sr
+
+
+def read_sphere_i16(path: str | Path) -> tuple[np.ndarray, int]:
+    """-> (native int16 samples (mono: first channel), sample_rate).
+
+    SPHERE audio is 16-bit linear at heart (2-byte PCM, or G.711 mu-law
+    expanded to int16), so the integer form is the lossless native one —
+    the int16 H2D transfer path (data.audio_i16_transfer) feeds on it
+    directly, skipping the float round trip.
+    """
     path = Path(path)
     with open(path, "rb") as f:
         magic = f.readline()
@@ -82,7 +94,6 @@ def read_sphere(path: str | Path) -> tuple[np.ndarray, int]:
 
     if coding.startswith("ulaw") or nbytes == 1:
         samples = _ulaw_expand(np.frombuffer(data, np.uint8))
-        scale = 32768.0
     elif nbytes == 2:
         # SPHERE-era corpora written on big-endian workstations commonly
         # OMIT sample_byte_format; defaulting to little-endian would
@@ -90,7 +101,6 @@ def read_sphere(path: str | Path) -> tuple[np.ndarray, int]:
         # big-endian norm ('10') is the fallback (ADVICE r1)
         endian = "<" if head.get("sample_byte_format", "10") == "01" else ">"
         samples = np.frombuffer(data, dtype=np.dtype(f"{endian}i2"))
-        scale = 32768.0
     else:
         raise ValueError(f"{path}: unsupported sample_n_bytes={nbytes}")
 
@@ -99,7 +109,7 @@ def read_sphere(path: str | Path) -> tuple[np.ndarray, int]:
         samples = samples.reshape(-1, channels)[:, 0]
     if n is not None:
         samples = samples[:n]
-    return samples.astype(np.float32) / scale, sr
+    return samples.astype(np.int16), sr
 
 
 def sphere_sample_count(path: str | Path) -> int:

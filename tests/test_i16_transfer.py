@@ -54,11 +54,11 @@ def _wav_corpus(root: Path, n=12, max_samples=4000):
     return mp
 
 
-def _batches(mp, i16: bool):
+def _batches(mp, i16: bool, prefer_i16: bool = False):
     dcfg = DataConfig(frame_buckets=(64,), token_buckets=(8,),
                       audio_i16_transfer=i16)
     spec = make_bucket_spec(dcfg, FCFG, 8)
-    ds = ManifestDataset(mp, vocab=None)
+    ds = ManifestDataset(mp, vocab=None, prefer_i16=prefer_i16)
     return list(epoch_batches(ds, spec, FCFG, 4, seed=0, epoch=0,
                               drop_remainder=False))
 
@@ -80,6 +80,65 @@ class TestRoundTrip:
                 b.audio.astype(np.float32) / 32768.0, a.audio
             )
             np.testing.assert_array_equal(a.tokens, b.tokens)
+
+    def test_i16_native_decode_identical(self, tmp_path):
+        """prefer_i16 (pure-integer host path) == float-decode + rint."""
+        mp = _wav_corpus(tmp_path)
+        via_float = _batches(mp, i16=True, prefer_i16=False)
+        native = _batches(mp, i16=True, prefer_i16=True)
+        for a, b in zip(via_float, native):
+            np.testing.assert_array_equal(a.audio, b.audio)
+            np.testing.assert_array_equal(a.audio_lens, b.audio_lens)
+
+    def test_i16_native_all_containers(self, tmp_path):
+        """WAV, NIST SPHERE, 16-bit mono FLAC all hit the int16-native
+        decode, bitwise-equal to their float decode * 32768."""
+        import json
+
+        from scipy.io import wavfile
+
+        from semi_supervised_asr_tpu.data.corpus import (
+            load_audio, load_audio_i16,
+        )
+        from tests.flac_writer import encode_flac
+        from tests.test_sphere import write_sphere
+
+        rng = np.random.default_rng(11)
+        pcm = (rng.standard_normal(3000) * 6000).astype(np.int16)
+        wavfile.write(tmp_path / "a.wav", 16000, pcm)
+        write_sphere(tmp_path / "b.wav", pcm)           # SPHERE named .wav
+        (tmp_path / "c.flac").write_bytes(bytes(encode_flac(pcm)))
+        for name in ("a.wav", "b.wav", "c.flac"):
+            got = load_audio_i16(tmp_path / name)
+            assert got is not None and got.dtype == np.int16, name
+            np.testing.assert_array_equal(got, pcm, err_msg=name)
+            np.testing.assert_array_equal(
+                got.astype(np.float32) / 32768.0,
+                load_audio(tmp_path / name), err_msg=name,
+            )
+
+    def test_i16_native_falls_back_on_float_sources(self, tmp_path):
+        """.npy (float-origin) refuses the int16-native path."""
+        import json
+
+        from semi_supervised_asr_tpu.data.corpus import load_audio_i16
+
+        np.save(tmp_path / "f.npy", np.zeros(100, np.float32))
+        assert load_audio_i16(tmp_path / "f.npy") is None
+
+    def test_cmvn_matches_across_dtypes(self, tmp_path):
+        """Global CMVN from a prefer_i16 dataset == from the float one."""
+        from semi_supervised_asr_tpu.data.pipeline import (
+            compute_global_cmvn,
+        )
+
+        mp = _wav_corpus(tmp_path, n=4)
+        dsf = ManifestDataset(mp, vocab=None)
+        dsi = ManifestDataset(mp, vocab=None, prefer_i16=True)
+        mf, sf = compute_global_cmvn(dsf, FCFG, max_utts=4)
+        mi, si = compute_global_cmvn(dsi, FCFG, max_utts=4)
+        np.testing.assert_array_equal(mf, mi)
+        np.testing.assert_array_equal(sf, si)
 
     def test_float_source_clips_to_grid(self):
         """Out-of-range float audio clips instead of wrapping."""
