@@ -200,12 +200,40 @@ def main() -> int:
     p.add_argument("--corpus-utts", type=int, default=256,
                    help="utterances in the generated sustained corpus")
     p.add_argument("--grain-threads", type=int, default=4)
+    p.add_argument("--device-timeout", type=float, default=600.0,
+                   help="seconds to wait for the default (TPU) backend to "
+                        "come up before falling back to CPU — a dead "
+                        "tunnel must produce a labeled CPU number, not a "
+                        "hang; 0 disables the probe")
     args = p.parse_args()
 
+    platform_fallback = None
     if args.platform and args.platform != "tpu":
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    elif args.device_timeout > 0:
+        # The axon TPU plugin blocks indefinitely in device init when its
+        # tunnel is unreachable; probe it in a killable subprocess first.
+        import subprocess
+        import sys
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=args.device_timeout, capture_output=True,
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            platform_fallback = (
+                "cpu (default TPU backend unreachable at bench time)"
+            )
+            print(f"# WARNING: {platform_fallback}", file=sys.stderr)
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
     # --platform tpu keeps the DEFAULT backend: under the axon plugin the
     # chip registers programmatically and jax_platforms="tpu" would probe
     # a native TPU and fail (same convention as main.py / experiments)
@@ -419,6 +447,8 @@ def main() -> int:
         "vs_baseline": round(fps / 20000.0, 4),
         "vs_baseline_is": "target_20k_frames_per_sec (no reference measurement exists)",
     }
+    if platform_fallback:
+        result["platform_fallback"] = platform_fallback
     if args.mode == "train":
         result.update(
             sustained=round(sustained, 1) if sustained else None,
