@@ -103,6 +103,9 @@ class ModelConfig:
     # see ops/recurrent.bilstm for measurements
     fuse_bilstm: bool = False
     scan_unroll: int = 1          # lax.scan unroll factor for encoder scans
+    speller_unroll: int = 1       # unroll factor for the teacher-forced
+                                  # decoder scans (train/AE; decode loops
+                                  # stay at 1 — their step is while-like)
     # "xla" = lax.scan LSTMs; "pallas" = hand-written Pallas scan kernel
     # (ops/pallas_lstm.py) for the encoder — needs B%8==0 and H%128==0,
     # falls back to xla otherwise

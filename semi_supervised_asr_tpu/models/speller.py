@@ -314,7 +314,8 @@ def _stacked_scan(cfg: ModelConfig, use_dropout: bool):
             )
             return (state, logits), (logits, alpha)
 
-        (_, _), (lr, ar) = lax.scan(step, (state0, logits0), (toks, rngs))
+        (_, _), (lr, ar) = lax.scan(step, (state0, logits0), (toks, rngs),
+                                    unroll=cfg.speller_unroll)
         return lr, ar
 
     spell = jax.custom_vjp(_plain)
@@ -353,7 +354,8 @@ def _stacked_scan(cfg: ModelConfig, use_dropout: bool):
                 return (state, logits), (logits, alpha, saves)
 
             (_, _), (lr, ar, saves) = lax.scan(
-                step, (state0_, logits0_), (toks, rngs, pg_, pc_, pl_)
+                step, (state0_, logits0_), (toks, rngs, pg_, pc_, pl_),
+                unroll=cfg.speller_unroll,
             )
             return lr, ar, saves
 
@@ -477,6 +479,7 @@ def forward_teacher(
         step,
         (state, logits0),
         (tokens_in[:, 1:].swapaxes(0, 1), step_rngs[1:]),
+        unroll=cfg.speller_unroll,
     )
     logits = jnp.concatenate(
         [logits0[:, None], logits_rest.swapaxes(0, 1)], axis=1

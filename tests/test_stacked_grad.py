@@ -185,3 +185,32 @@ class TestMesh:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=1e-5 * scale
             )
+
+
+class TestSpellerUnroll:
+    """model.speller_unroll: lax.scan unrolling is semantics-preserving —
+    identical primal AND grads (same graph, unrolled schedule) on both
+    speller_grad paths, including a U not divisible by the factor."""
+
+    @pytest.mark.parametrize("sg", ["scan", "stacked"])
+    @pytest.mark.parametrize("unroll", [2, 4])
+    def test_bitwise_primal_equal_grads(self, sg, unroll):
+        rng = np.random.default_rng(0)
+        cfg1 = dc.replace(CFG, speller_grad=sg, speller_unroll=1)
+        cfgu = dc.replace(CFG, speller_grad=sg, speller_unroll=unroll)
+        enc, mask, toks = _data(cfg1, rng)
+        params = S.init_speller(jax.random.PRNGKey(0), cfg1)
+        l1, g1 = jax.jit(jax.value_and_grad(_loss), static_argnums=2)(
+            params, enc, cfg1, mask, toks
+        )
+        lu, gu = jax.jit(jax.value_and_grad(_loss), static_argnums=2)(
+            params, enc, cfgu, mask, toks
+        )
+        assert float(l1) == float(lu)
+        scale = max(
+            float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g1)
+        ) + 1e-12
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gu)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-6 * scale
+            )
