@@ -72,16 +72,23 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
         ci = m.conv_channels
     h = m.enc_hidden
     in_dim = fi * ci if m.conv_subsample else f.n_mels
-    if m.encoder_arch == "transformer":
+    if m.encoder_arch in ("transformer", "conformer"):
         # input proj + per block: QKVO projections, score/context
         # contractions, FFN (models/transformer_listener.py)
         d = 2 * h
         fl += 2 * b * ti * in_dim * d
+        n_ff = 1 if m.encoder_arch == "transformer" else 2  # macaron
         per_blk = (
             4 * 2 * b * ti * d * d          # q,k,v,o projections
             + 2 * 2 * b * ti * ti * d       # scores + context
-            + 2 * 2 * b * ti * d * m.enc_ff_dim   # FFN
+            + n_ff * 2 * 2 * b * ti * d * m.enc_ff_dim   # FFN(s)
         )
+        if m.encoder_arch == "conformer":
+            per_blk += (
+                2 * b * ti * d * 2 * d      # pointwise d->2d
+                + 2 * b * ti * m.conformer_conv_width * d  # depthwise
+                + 2 * b * ti * d * d        # pointwise d->d
+            )
         fl += m.enc_blocks * per_blk
     else:
         # BiLSTM stack: per direction 2*T*B*(I*4H + H*4H)
@@ -166,7 +173,7 @@ def main() -> int:
                    help="stride-2 conv stem blocks before the LSTMs "
                         "(each halves the scan length; changes the model)")
     p.add_argument("--encoder", default="blstm",
-                   choices=["blstm", "transformer"],
+                   choices=["blstm", "transformer", "conformer"],
                    help="listener architecture: pBLSTM (reference parity) "
                         "or conv-subsampled self-attention encoder "
                         "(MXU-dense, no serial scan; implies 2 conv "
@@ -263,7 +270,7 @@ def main() -> int:
         )
     else:
         conv = args.conv_subsample
-        if args.encoder == "transformer" and conv == 0:
+        if args.encoder in ("transformer", "conformer") and conv == 0:
             conv = 2    # the standard 4x speech-transformer reduction
         cfg = Config(
             frontend=FrontendConfig(spec_augment=True, cmvn="global",

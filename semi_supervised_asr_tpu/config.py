@@ -69,11 +69,14 @@ class ModelConfig:
     # Listener architecture: "blstm" = pyramidal BiLSTM (reference parity,
     # SURVEY.md §3 #8); "transformer" = conv-subsampled self-attention
     # encoder (models/transformer_listener.py) — MXU-dense, no serial
-    # scan chain; d_model = 2*enc_hidden, reduction = 2**conv_subsample
+    # scan chain; "conformer" = convolution-augmented transformer
+    # (models/conformer_listener.py, Gulati 2020).  For both attention
+    # archs d_model = 2*enc_hidden and reduction = 2**conv_subsample
     encoder_arch: str = "blstm"
-    enc_heads: int = 4            # transformer: attention heads
-    enc_ff_dim: int = 1024        # transformer: FFN width
-    enc_blocks: int = 12          # transformer: number of blocks
+    enc_heads: int = 4            # transformer/conformer: attention heads
+    enc_ff_dim: int = 1024        # transformer/conformer: FFN width
+    enc_blocks: int = 12          # transformer/conformer: number of blocks
+    conformer_conv_width: int = 15  # conformer: depthwise conv kernel
     enc_hidden: int = 256         # per-direction LSTM hidden size
     enc_layers: int = 3           # pyramid layers AFTER the base BiLSTM
     enc_base_layers: int = 1      # full-rate BiLSTM layers before the pyramid
@@ -146,7 +149,7 @@ class ModelConfig:
 
     @property
     def time_reduction(self) -> int:
-        if self.encoder_arch == "transformer":
+        if self.encoder_arch in ("transformer", "conformer"):
             return 2 ** self.conv_subsample     # no pyramid
         return 2 ** (self.enc_layers + self.conv_subsample)
 

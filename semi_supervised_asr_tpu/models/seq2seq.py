@@ -25,6 +25,10 @@ def _listener_fns(cfg: ModelConfig):
         from semi_supervised_asr_tpu.models import transformer_listener as TL
 
         return TL.init_transformer_listener, TL.transformer_listener_apply
+    if cfg.encoder_arch == "conformer":
+        from semi_supervised_asr_tpu.models import conformer_listener as CL
+
+        return CL.init_conformer_listener, CL.conformer_listener_apply
     assert cfg.encoder_arch == "blstm", cfg.encoder_arch
     return L.init_listener, L.listener_apply
 
