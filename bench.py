@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -214,33 +215,38 @@ def main() -> int:
                         "hang; 0 disables the probe")
     args = p.parse_args()
 
-    platform_fallback = None
+    platform_fallback = os.environ.get("SSASR_BENCH_CPU_FALLBACK") or None
     if args.platform and args.platform != "tpu":
         import jax
 
         jax.config.update("jax_platforms", args.platform)
     elif args.device_timeout > 0:
         # The axon TPU plugin blocks indefinitely in device init when its
-        # tunnel is unreachable; probe it in a killable subprocess first.
-        import subprocess
+        # tunnel is unreachable.  Init it in THIS process under a watchdog
+        # (zero overhead when healthy — the main run reuses the backend);
+        # on timeout, re-exec with the CPU platform forced, which both
+        # kills the stuck init thread and labels the JSON via the env.
         import sys
+        import threading
 
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=args.device_timeout, capture_output=True,
-            )
-            ok = probe.returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
-        if not ok:
-            platform_fallback = (
-                "cpu (default TPU backend unreachable at bench time)"
-            )
-            print(f"# WARNING: {platform_fallback}", file=sys.stderr)
+        done = threading.Event()
+
+        def _touch():
             import jax
 
-            jax.config.update("jax_platforms", "cpu")
+            jax.devices()
+            done.set()
+
+        threading.Thread(target=_touch, daemon=True).start()
+        if not done.wait(args.device_timeout):
+            note = "cpu (default TPU backend unreachable at bench time)"
+            print(f"# WARNING: {note} — re-exec on cpu", file=sys.stderr)
+            os.environ["SSASR_BENCH_CPU_FALLBACK"] = note
+            os.execv(
+                sys.executable,
+                [sys.executable, sys.argv[0], *sys.argv[1:],
+                 "--platform", "cpu"],
+            )
     # --platform tpu keeps the DEFAULT backend: under the axon plugin the
     # chip registers programmatically and jax_platforms="tpu" would probe
     # a native TPU and fail (same convention as main.py / experiments)

@@ -36,7 +36,10 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--frames", type=int, default=400)
     p.add_argument("--tokens", type=int, default=48)
-    p.add_argument("--lstm-backend", default="pallas")
+    p.add_argument("--lstm-backend", default=None,
+                   help="LSTM backend (default pallas without --config); "
+                        "with --config, giving it OVERRIDES the recipe's "
+                        "model.lstm_backend, omitting it keeps the recipe's")
     p.add_argument("--platform", default=None)
     p.add_argument("--config", default=None,
                    help="profile a shipped recipe: take model/frontend/"
@@ -69,8 +72,15 @@ def main():
     if args.config:
         from semi_supervised_asr_tpu.config import load_config
 
+        # --lstm-backend must not be silently ignored: apply it as an
+        # override so A/Bing a recipe's backend measures what it says
+        backend_ov = (
+            [f"model.lstm_backend={args.lstm_backend}"]
+            if args.lstm_backend else []
+        )
         rcfg = load_config(
-            args.config, ["model.vocab_size=65", *args.override]
+            args.config,
+            ["model.vocab_size=65", *backend_ov, *args.override],
         )
         cfg = Config(
             frontend=rcfg.frontend, model=rcfg.model,
@@ -88,7 +98,7 @@ def main():
                 enc_base_layers=1, attn_dim=128, attn_conv_channels=10,
                 attn_conv_width=100, dec_hidden=512, dec_layers=1,
                 embed_dim=256, compute_dtype="bfloat16",
-                lstm_backend=args.lstm_backend,
+                lstm_backend=args.lstm_backend or "pallas",
             ),
             objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
             train=TrainConfig(learning_rate=1e-3),

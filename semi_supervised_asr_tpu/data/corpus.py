@@ -27,70 +27,62 @@ from semi_supervised_asr_tpu.data.synthetic import Utterance
 from semi_supervised_asr_tpu.data.vocab import EOS, Vocab
 
 
-def load_audio(path: str | Path) -> np.ndarray:
+def load_audio(path: str | Path, prefer_i16: bool = False) -> np.ndarray:
+    """Decode one utterance, reading the file exactly ONCE.
+
+    ``prefer_i16`` (the data.audio_i16_transfer host path): sources that
+    are losslessly 16-bit — WAV/SPHERE/16-bit-mono-FLAC — return native
+    **int16** so decode->pad->transfer is pure integer memcpy (a ~3x cut
+    in host memory traffic vs int->f32->int); anything not exactly
+    representable (float .npy, 24/32-bit PCM, multichannel FLAC whose
+    mono mix is a float mean) returns float32 and gets clip+round at
+    batch assembly.  FLAC eligibility is decided from the STREAMINFO
+    header, not by decoding twice.
+    """
     path = Path(path)
-    if path.suffix.lower() == ".npy":
+    suf = path.suffix.lower()
+    if suf == ".npy":
         return np.load(path).astype(np.float32)
-    if path.suffix.lower() == ".wav":
+    if suf == ".wav":
         # real TIMIT's ".WAV" files are NIST SPHERE, not RIFF — sniff
         from semi_supervised_asr_tpu.utils.sphere import is_sphere
 
         if is_sphere(path):
-            from semi_supervised_asr_tpu.utils.sphere import read_sphere
+            from semi_supervised_asr_tpu.utils.sphere import read_sphere_i16
 
-            wav, _ = read_sphere(path)
-            return wav
+            samples, _ = read_sphere_i16(path)  # SPHERE is 16-bit at heart
+            if prefer_i16:
+                return samples
+            return samples.astype(np.float32) / 32768.0
         from scipy.io import wavfile
 
         sr, data = wavfile.read(path)
         if data.dtype == np.int16:
+            if prefer_i16 and data.ndim == 1:
+                return data
             return data.astype(np.float32) / 32768.0
         if data.dtype == np.int32:
             return data.astype(np.float32) / 2147483648.0
         return data.astype(np.float32)
-    if path.suffix.lower() == ".flac":
-        from semi_supervised_asr_tpu.utils.flac import read_flac
+    if suf == ".flac":
+        from semi_supervised_asr_tpu.utils.flac import (
+            read_flac, read_flac_int, stream_info,
+        )
 
+        if prefer_i16:
+            info = stream_info(path)    # header-only eligibility check
+            if info["bits"] == 16 and info["channels"] == 1:
+                return read_flac_int(path)[0][:, 0].astype(np.int16)
         wav, _ = read_flac(path)
         return wav
     raise ValueError(f"unsupported audio format: {path.suffix}")
 
 
 def load_audio_i16(path: str | Path) -> np.ndarray | None:
-    """Native int16 samples when the source is losslessly 16-bit, else None.
-
-    The int16 H2D transfer path (data.audio_i16_transfer) wants the
-    host to never touch float: WAV/SPHERE/16-bit-mono-FLAC decode
-    straight to the int16 grid the device divides by 32768, so the
-    decode->pad->transfer chain is pure integer memcpy (a ~3x cut in
-    host memory traffic vs int->f32->int).  Sources that are NOT exactly
-    representable (float .npy, 24/32-bit PCM, multichannel FLAC whose
-    mono mix is a float mean) return None and take the float path with
-    clip+round at batch assembly.
-    """
-    path = Path(path)
-    suf = path.suffix.lower()
-    if suf == ".wav":
-        from semi_supervised_asr_tpu.utils.sphere import is_sphere
-
-        if is_sphere(path):
-            from semi_supervised_asr_tpu.utils.sphere import read_sphere_i16
-
-            return read_sphere_i16(path)[0]
-        from scipy.io import wavfile
-
-        _, data = wavfile.read(path)
-        if data.dtype == np.int16 and data.ndim == 1:
-            return data
-        return None
-    if suf == ".flac":
-        from semi_supervised_asr_tpu.utils.flac import read_flac_int
-
-        samples, _, bits = read_flac_int(path)
-        if bits == 16 and samples.shape[1] == 1:
-            return samples[:, 0].astype(np.int16)
-        return None
-    return None
+    """Native int16 samples when the source is losslessly 16-bit, else None
+    (see ``load_audio(prefer_i16=True)`` — this is its strict form)."""
+    audio = load_audio(path, prefer_i16=True)
+    return audio if audio.dtype == np.int16 else None
 
 
 def vocab_fingerprint(vocab) -> str:
@@ -136,10 +128,9 @@ class ManifestDataset:
         path = Path(e["audio"])
         if not path.is_absolute():
             path = self.root / path
-        audio = load_audio_i16(path) if self.prefer_i16 else None
         return Utterance(
             uid=e["uid"],
-            audio=audio if audio is not None else load_audio(path),
+            audio=load_audio(path, prefer_i16=self.prefer_i16),
             tokens=self._tokens(e),
             text=e.get("text", ""),
         )

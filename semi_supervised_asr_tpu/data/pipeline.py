@@ -33,7 +33,9 @@ from semi_supervised_asr_tpu.ops.frontend_oracle import pad_for_batch
 class Batch:
     """One fixed-shape training batch (host numpy; device-put by the step)."""
 
-    audio: np.ndarray          # [B, S] float32
+    audio: np.ndarray          # [B, S] float32 — or int16 PCM-grid
+                               # samples when spec.audio_i16 (the step
+                               # upcasts *1/32768 on device)
     audio_lens: np.ndarray     # [B] int32
     tokens: np.ndarray         # [B, U] int32 (EOS-terminated, PAD-padded)
     token_lens: np.ndarray     # [B] int32 (incl. EOS)

@@ -43,11 +43,9 @@ import jax.numpy as jnp
 
 from semi_supervised_asr_tpu.config import ModelConfig
 from semi_supervised_asr_tpu.models import listener as L
-from semi_supervised_asr_tpu.models.transformer_listener import _layer_norm
-
-
-def _glorot(key, shape, dtype):
-    return jax.nn.initializers.glorot_uniform()(key, shape, dtype)
+from semi_supervised_asr_tpu.models.transformer_listener import (
+    _glorot, _layer_norm,
+)
 
 
 def _ln_params(d, dtype):
@@ -70,21 +68,14 @@ def init_conformer_listener(
     assert d % cfg.enc_heads == 0, (
         f"d_model {d} (=2*enc_hidden) must divide enc_heads {cfg.enc_heads}"
     )
-    assert d % 2 == 0, "RoPE needs an even head dim"
+    assert (d // cfg.enc_heads) % 2 == 0, (
+        f"RoPE rotates pairs: head dim {d // cfg.enc_heads} must be even"
+    )
     keys = jax.random.split(key, 2 + cfg.enc_blocks)
     params: dict = {}
     in_dim = cfg.n_mels
     if cfg.conv_subsample > 0:
-        glorot = jax.nn.initializers.glorot_uniform()
-        params["conv"] = []
-        c_in = 1
-        ck = jax.random.split(keys[0], cfg.conv_subsample)
-        for i in range(cfg.conv_subsample):
-            params["conv"].append({
-                "w": glorot(ck[i], (3, 3, c_in, cfg.conv_channels), dtype),
-                "b": jnp.zeros((cfg.conv_channels,), dtype),
-            })
-            c_in = cfg.conv_channels
+        params["conv"] = L.conv_stem_init(keys[0], cfg, dtype)
         in_dim = L.conv_stem_dims(cfg)
     params["proj"] = {
         "w": _glorot(keys[1], (in_dim, d), dtype),
@@ -123,12 +114,12 @@ def init_conformer_listener(
     return params
 
 
-def _rope_angles(t: int, hd: int) -> tuple[np.ndarray, np.ndarray]:
-    """(cos, sin) [t, hd//2] — host-computed once per compiled shape."""
+def _rope_angles(t: int, hd: int) -> np.ndarray:
+    """Rotation angles [t, hd//2] — host-computed once per compiled
+    shape; callers take cos/sin."""
     pos = np.arange(t, dtype=np.float64)[:, None]
     i = np.arange(hd // 2, dtype=np.float64)[None, :]
-    ang = pos / np.power(10000.0, 2.0 * i / hd)
-    return ang.astype(np.float32), ang.astype(np.float32)
+    return (pos / np.power(10000.0, 2.0 * i / hd)).astype(np.float32)
 
 
 def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -153,9 +144,9 @@ def _mhsa_rope(
         return (xc @ w.astype(compute) + bias.astype(compute)).reshape(
             b, t, n_heads, hd)
 
-    ang = _rope_angles(t, hd)
-    cos = jnp.cos(jnp.asarray(ang[0]))
-    sin = jnp.sin(jnp.asarray(ang[1]))
+    ang = jnp.asarray(_rope_angles(t, hd))
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
     q = _rope(proj(p["wq"], p["bq"]).astype(jnp.float32), cos, sin)
     k = _rope(proj(p["wk"], p["bk"]).astype(jnp.float32), cos, sin)
     v = proj(p["wv"], p["bv"])

@@ -28,6 +28,23 @@ def conv_stem_dims(cfg: ModelConfig) -> int:
     return f * cfg.conv_channels
 
 
+def conv_stem_init(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
+    """Stride-2 3x3 conv-stem params (shared by the transformer and
+    conformer listeners; the blstm listener keeps its historical key
+    derivation so seeded inits stay reproducible)."""
+    glorot = jax.nn.initializers.glorot_uniform()
+    ck = jax.random.split(key, cfg.conv_subsample)
+    out: list = []
+    c_in = 1
+    for i in range(cfg.conv_subsample):
+        out.append({
+            "w": glorot(ck[i], (3, 3, c_in, cfg.conv_channels), dtype),
+            "b": jnp.zeros((cfg.conv_channels,), dtype),
+        })
+        c_in = cfg.conv_channels
+    return out
+
+
 def init_listener(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
     n = cfg.enc_base_layers + cfg.enc_layers + cfg.conv_subsample
     keys = jax.random.split(key, max(n, 2))

@@ -52,16 +52,7 @@ def init_transformer_listener(
     params: dict = {}
     in_dim = cfg.n_mels
     if cfg.conv_subsample > 0:
-        glorot = jax.nn.initializers.glorot_uniform()
-        params["conv"] = []
-        c_in = 1
-        ck = jax.random.split(keys[0], cfg.conv_subsample)
-        for i in range(cfg.conv_subsample):
-            params["conv"].append({
-                "w": glorot(ck[i], (3, 3, c_in, cfg.conv_channels), dtype),
-                "b": jnp.zeros((cfg.conv_channels,), dtype),
-            })
-            c_in = cfg.conv_channels
+        params["conv"] = L.conv_stem_init(keys[0], cfg, dtype)
         in_dim = L.conv_stem_dims(cfg)
     params["proj"] = {
         "w": _glorot(keys[1], (in_dim, d), dtype),

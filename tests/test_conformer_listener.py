@@ -116,6 +116,12 @@ class TestContract:
         with pytest.raises(AssertionError):
             CL.init_conformer_listener(jax.random.PRNGKey(0), bad)
 
+    def test_rope_needs_even_head_dim(self):
+        # d=48, heads=16 -> head dim 3: divides, but RoPE pairs can't
+        bad = dc.replace(MCFG, enc_hidden=24, enc_heads=16)
+        with pytest.raises(AssertionError, match="RoPE"):
+            CL.init_conformer_listener(jax.random.PRNGKey(0), bad)
+
     def test_dropout_train_only(self):
         cfg = _cfg(dc.replace(MCFG, enc_dropout=0.5))
         params = M.init_model(jax.random.PRNGKey(4), cfg.model)
@@ -140,13 +146,13 @@ class TestContract:
         k = rng.standard_normal((1, 1, 1, hd)).astype(np.float32)
 
         def score(shift):
-            ang = CL._rope_angles(12, hd)
-            cos = jnp.cos(jnp.asarray(ang[0]))[shift:shift + 1]
-            sin = jnp.sin(jnp.asarray(ang[1]))[shift:shift + 1]
-            cos2 = jnp.cos(jnp.asarray(ang[0]))[shift + 3:shift + 4]
-            sin2 = jnp.sin(jnp.asarray(ang[1]))[shift + 3:shift + 4]
-            qr = CL._rope(jnp.asarray(q), cos, sin)
-            kr = CL._rope(jnp.asarray(k), cos2, sin2)
+            ang = jnp.asarray(CL._rope_angles(12, hd))
+            qr = CL._rope(jnp.asarray(q),
+                          jnp.cos(ang)[shift:shift + 1],
+                          jnp.sin(ang)[shift:shift + 1])
+            kr = CL._rope(jnp.asarray(k),
+                          jnp.cos(ang)[shift + 3:shift + 4],
+                          jnp.sin(ang)[shift + 3:shift + 4])
             return float(jnp.sum(qr * kr))
 
         assert abs(score(0) - score(5)) < 1e-5
