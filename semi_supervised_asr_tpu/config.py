@@ -95,6 +95,17 @@ class ModelConfig:
     attn_conv_channels: int = 10  # location-feature conv channels
     attn_conv_width: int = 100    # conv kernel width over previous alignment
     attn_sharpening: float = 1.0  # softmax temperature (1/gamma)
+    # Model family: "las" = attention seq2seq (reference parity) —
+    # listener + location-aware speller; "transducer" = RNN-T (Graves
+    # 2012, models/transducer.py) — same listener, frame-synchronous
+    # blank/emit decode, no attention.  Supervised CE-equivalent loss is
+    # the transducer NLL; LAS-only objectives (text-AE, pseudo-label,
+    # MWER, CTC aux, LM fusion, scheduled sampling) do not apply.
+    family: str = "las"
+    # Transducer: prediction network + joint dims
+    pred_hidden: int = 512
+    pred_layers: int = 1
+    joint_dim: int = 256
     # Speller
     dec_hidden: int = 512
     dec_layers: int = 1

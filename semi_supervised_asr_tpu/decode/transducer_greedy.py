@@ -1,0 +1,84 @@
+"""Batched jit RNN-T greedy decode.
+
+Frame-synchronous: walk encoder frames in ONE ``lax.scan``; at each
+frame take up to ``max_symbols`` argmax emissions (a small unrolled
+inner loop — every iteration is a [B]-vectorized masked update, no
+per-utterance Python).  An utterance stops emitting at a blank, at its
+encoder length, or when the output buffer fills; rows finish
+independently via masks, so one compile serves the whole batch.
+
+Output slots never written stay PAD (= blank = 0), which the scoring
+path already trims (utils/metrics.hyp_len) — transducer hypotheses
+score through the same PER/CER/WER machinery as LAS beams.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semi_supervised_asr_tpu.config import ModelConfig
+from semi_supervised_asr_tpu.data.vocab import PAD, SOS
+from semi_supervised_asr_tpu.models import transducer as TD
+
+
+def transducer_greedy_from_enc(
+    params: dict,
+    cfg: ModelConfig,
+    enc: jax.Array,          # [B, T', 2H]
+    enc_mask: jax.Array,     # [B, T']
+    max_u: int,
+    max_symbols: int = 4,
+    blank: int = PAD,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (tokens [B, max_u] PAD-padded, total log-prob [B])."""
+    b, t, _ = enc.shape
+    pred0, state0 = TD.predictor_step(
+        params["predictor"], jnp.full((b,), SOS, jnp.int32),
+        TD.predictor_init_state(cfg, b), cfg,
+    )
+    out0 = jnp.full((b, max_u), blank, jnp.int32)
+    count0 = jnp.zeros((b,), jnp.int32)
+    score0 = jnp.zeros((b,), jnp.float32)
+
+    def frame(carry, inp):
+        pred, state, out, count, score = carry
+        enc_t, valid_t = inp                       # [B, 2H], [B]
+        emitting = valid_t                         # [B] may still emit
+        for _ in range(max_symbols):
+            logits = TD.joint_row(params["joint"], enc_t, pred, cfg)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emit = emitting & (tok != blank) & (count < max_u)
+            # blank consumed where not emitting; add its log-prob once
+            # per frame exit below — scores accumulate the chosen path
+            score = score + jnp.where(
+                emitting,
+                jnp.take_along_axis(
+                    lp, jnp.where(emit, tok, blank)[:, None], axis=1
+                )[:, 0],
+                0.0,
+            )
+            out = jnp.where(
+                (jnp.arange(max_u)[None, :] == count[:, None])
+                & emit[:, None],
+                tok[:, None], out,
+            )
+            new_pred, new_state = TD.predictor_step(
+                params["predictor"], tok, state, cfg
+            )
+            pred = jnp.where(emit[:, None], new_pred, pred)
+            state = tuple(
+                (jnp.where(emit[:, None], nh, h),
+                 jnp.where(emit[:, None], nc, c))
+                for (nh, nc), (h, c) in zip(new_state, state)
+            )
+            count = count + emit.astype(jnp.int32)
+            emitting = emitting & emit
+        return (pred, state, out, count, score), None
+
+    (_, _, out, count, score), _ = jax.lax.scan(
+        frame, (pred0, state0, out0, count0, score0),
+        (enc.swapaxes(0, 1), enc_mask.swapaxes(0, 1)),
+    )
+    return out, score

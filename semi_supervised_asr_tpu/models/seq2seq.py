@@ -34,8 +34,13 @@ def _listener_fns(cfg: ModelConfig):
 
 
 def init_model(key: jax.Array, cfg: ModelConfig):
-    k_enc, k_dec, k_ctc = jax.random.split(key, 3)
     dtype = jnp.dtype(cfg.param_dtype)
+    if cfg.family == "transducer":
+        from semi_supervised_asr_tpu.models import transducer as TD
+
+        return TD.init_transducer(key, cfg, dtype)
+    assert cfg.family == "las", cfg.family
+    k_enc, k_dec, k_ctc = jax.random.split(key, 3)
     enc_init, _ = _listener_fns(cfg)
     params = {
         "listener": enc_init(k_enc, cfg, dtype),

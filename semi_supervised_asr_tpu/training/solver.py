@@ -530,15 +530,30 @@ class Solver:
                 feats, flens = feat_fn(
                     cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
                 )
-                enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
-                max_u = max(1, min(
+                max_u_of = lambda t: max(1, min(
                     cfg.data.token_buckets[-1],
                     cfg.decode.max_decode_len,
-                    int(cfg.decode.max_decode_ratio * enc.shape[1])
+                    int(cfg.decode.max_decode_ratio * t)
                     if cfg.decode.max_decode_ratio > 0 else 10**9,
                 ))
+                if cfg.model.family == "transducer":
+                    from semi_supervised_asr_tpu.decode.transducer_greedy \
+                        import transducer_greedy_from_enc
+                    from semi_supervised_asr_tpu.models import (
+                        transducer as TD,
+                    )
+
+                    enc, enc_mask = TD.encode(
+                        params, feats, flens, cfg.model
+                    )
+                    return transducer_greedy_from_enc(
+                        params, cfg.model, enc, enc_mask,
+                        max_u_of(enc.shape[1]),
+                    )
+                enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
                 return greedy_decode_from_enc(
-                    params["speller"], cfg.model, enc, enc_mask, keys, max_u
+                    params["speller"], cfg.model, enc, enc_mask, keys,
+                    max_u_of(enc.shape[1]),
                 )
 
             self._decode_fns["greedy"] = self._jit_decode(fn)
@@ -655,6 +670,12 @@ class Solver:
         hypotheses.  Multi-host TP keeps the global mesh: all hosts feed
         identical batches and no shard split happens (_decode_mesh).
         """
+        if self.cfg.model.family == "transducer" and mode != "greedy":
+            self.log.info(
+                f"decode mode {mode!r} is LAS-only — transducer decodes "
+                "frame-synchronous greedy"
+            )
+            mode = "greedy"
         fn = {"greedy": self._greedy_fn, "ctc": self._ctc_fn}.get(
             mode, self._beam_fn)()
         if self.mesh is not None:
@@ -745,6 +766,8 @@ class Solver:
         plots'). Best-effort; skipped when tensorboard is unavailable."""
         if self.log._tb is None:
             return
+        if self.cfg.model.family != "las":
+            return     # no attention alignments in the transducer family
         try:
             batch = next(iter(
                 pipe.epoch_feature_batches(
@@ -808,6 +831,8 @@ class Solver:
     ) -> dict:
         params = self.eval_params() if restore_best else self.state.params
         eval_ds = self.bundle.test if self.bundle.test is not None else self.bundle.dev
+        if self.cfg.model.family == "transducer" and mode != "greedy":
+            mode = "greedy"    # reported mode matches what actually ran
         rate, records, wrate = self._score_batches(eval_ds, params, mode)
         n_utts = len(records)
         sharded_eval = (

@@ -188,6 +188,46 @@ def supervised_step_fn(
         unlab_text = mb.get("unlab_text")
         k_feat, k_tf, k_pl_feat, k_pl = jax.random.split(key, 4)
         feats, flens = feat_fn(cfg, audio, audio_lens, cmvn, k_feat, True)
+
+        if cfg.model.family == "transducer":
+            # RNN-T supervised NLL (models/transducer.py) — same
+            # listener/frontend/mesh infrastructure, no speller.
+            from semi_supervised_asr_tpu.data.vocab import PAD
+            from semi_supervised_asr_tpu.models import transducer as TD
+            from semi_supervised_asr_tpu.objectives.transducer_loss import (
+                transducer_loss,
+            )
+
+            real_mb = mb["real"]
+            enc, enc_mask = TD.encode(
+                params, feats, flens, cfg.model, train=True,
+                dropout_rng=k_tf, remat=cfg.train.remat_encoder,
+            )
+            # tokens are EOS-terminated: labels exclude the EOS (blank
+            # terminates transducer paths, matching CTC's convention)
+            label_lens = jnp.maximum(
+                jnp.sum(tokens != PAD, axis=1) - 1, 0
+            ).astype(jnp.int32)
+            pred = TD.predictor_train(params["predictor"], tokens,
+                                      cfg.model)
+            logits = TD.joint_logits(params["joint"], enc, pred, cfg.model)
+            enc_lens = jnp.maximum(
+                jnp.sum(enc_mask, axis=1), 1
+            ).astype(jnp.int32)
+            loss, nll = transducer_loss(
+                logits, enc_lens, tokens, label_lens, blank=PAD,
+                real=real_mb,
+            )
+            # per-label NLL: comparable across batches/lengths
+            denom = jnp.maximum(
+                jnp.sum((label_lens + 1) * real_mb.astype(jnp.int32)), 1
+            )
+            metrics = {
+                "nll_per_label": jnp.sum(
+                    nll * real_mb.astype(jnp.float32)) / denom,
+            }
+            return loss, metrics
+
         loss, aux, enc, enc_mask = LO.supervised_loss(
             params, cfg.model, obj, feats, flens, tokens, tf_rate, k_tf,
             remat=cfg.train.remat_encoder, return_enc=True,
@@ -254,7 +294,8 @@ def supervised_step_fn(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     accum = max(int(cfg.train.grad_accum), 1)
-    batch = {"audio": audio, "audio_lens": audio_lens, "tokens": tokens}
+    batch = {"audio": audio, "audio_lens": audio_lens, "tokens": tokens,
+             "real": real}
     if unlab_text is not None:
         batch["unlab_text"] = unlab_text
     if unlab_audio is not None:
@@ -356,6 +397,28 @@ def make_train_step(
     in place.
     """
     opt = schedules.make_optimizer(cfg.train)
+
+    if cfg.model.family == "transducer":
+        o = cfg.objective
+        unsupported = {
+            "objective.lambda_text_ae": o.lambda_text_ae,
+            "objective.lambda_pseudo": o.lambda_pseudo,
+            "objective.lambda_mwer": o.lambda_mwer,
+            "objective.lambda_ctc": o.lambda_ctc,
+        }
+        bad = [k for k, v in unsupported.items() if v]
+        assert not bad and not semi_supervised, (
+            "model.family=transducer supports the supervised NLL only; "
+            f"disable {bad or ['the semi-supervised streams']} "
+            "(LAS-only objectives need the speller)"
+        )
+        assert cfg.model.lm_fusion == "none", (
+            "model.family=transducer has no LM fusion yet"
+        )
+        assert cfg.parallel.model_parallel == 1, (
+            "transducer + tensor parallelism: not wired (the TP layout "
+            "rules target the LAS speller's vocab-adjacent params)"
+        )
 
     if not semi_supervised:
 
