@@ -204,6 +204,39 @@ class TestTraining:
             TS.make_train_step(cfg, semi_supervised=True)
 
 
+class TestMesh:
+    def test_gspmd_mesh_matches_single_device(self):
+        """Transducer step under the 8-virtual-device data mesh equals
+        the single-device step (lattice scan + joint grid partition)."""
+        from semi_supervised_asr_tpu.parallel import mesh as MESH
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = _cfg(learning_rate=1e-3)
+        rng = np.random.default_rng(3)
+        audio, alens, tokens, real, cmvn = _toy_batch(cfg, rng, b=8)
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(0))
+        s1, m1 = TS.make_train_step(cfg)(
+            state, audio, alens, tokens, real, *cmvn
+        )
+        mesh = MESH.make_mesh(cfg.parallel, jax.devices()[:8])
+        state2 = TS.init_train_state(cfg, jax.random.PRNGKey(0))
+        args = MESH.shard_batch_arrays(
+            mesh, cfg.parallel, audio, alens, tokens, real
+        )
+        s2, m2 = TS.make_train_step(cfg, mesh=mesh)(
+            state2, *args, cmvn[0], cmvn[1]
+        )
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+        for a, b_ in zip(jax.tree.leaves(s1.params),
+                         jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4
+            )
+
+
 class TestSolver:
     def test_train_validate_test(self, tmp_path):
         """Solver drives the transducer end-to-end: train falls, dev
