@@ -101,6 +101,18 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
             fl += 2 * 2 * ti * b * (2 * in_dim * 4 * h + h * 4 * h)
             in_dim = 2 * h
     t_enc = ti
+    if m.family == "transducer":
+        # predictor LSTM over U+1 + the [T', U+1] joint grid
+        u1 = u + 1
+        pin = m.embed_dim
+        for _ in range(m.pred_layers):
+            fl += 2 * u1 * b * (pin * 4 * m.pred_hidden
+                                + m.pred_hidden * 4 * m.pred_hidden)
+            pin = m.pred_hidden
+        fl += 2 * b * t_enc * (2 * h) * m.joint_dim        # enc proj
+        fl += 2 * b * u1 * m.pred_hidden * m.joint_dim     # pred proj
+        fl += 2 * b * t_enc * u1 * m.joint_dim * m.vocab_size  # grid out
+        return fl_front + 3.0 * fl
     # attention: key projection once; per decode step query/energy/context
     fl += 2 * b * t_enc * (2 * h) * m.attn_dim
     per_step = (
