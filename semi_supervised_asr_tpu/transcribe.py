@@ -57,6 +57,13 @@ def transcribe(solver, files: list[Path], mode: str,
             f"--nbest needs beam decoding (got mode={mode!r}); drop "
             "--beam 0/1 or --nbest"
         )
+    if solver.cfg.model.family == "transducer":
+        if nbest > 1:
+            raise SystemExit(
+                "--nbest is LAS-only; the transducer decodes "
+                "frame-synchronous greedy"
+            )
+        mode = "greedy"   # _greedy_fn dispatches to the transducer decode
     use_nbest = nbest > 1
     spec = solver.spec
     if use_nbest:
