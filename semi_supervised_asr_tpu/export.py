@@ -64,6 +64,18 @@ def build_decode_fn(cfg, params, mode: str = "beam",
         feats, flens = featurize(
             cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
         )
+        if cfg.model.family == "transducer":
+            from semi_supervised_asr_tpu.decode.transducer_greedy import (
+                transducer_greedy_from_enc,
+            )
+            from semi_supervised_asr_tpu.models import transducer as TD
+
+            enc, enc_mask = TD.encode(params, feats, flens, cfg.model)
+            max_u = max(1, min(cfg.data.token_buckets[-1],
+                               cfg.decode.max_decode_len))
+            return transducer_greedy_from_enc(
+                params, cfg.model, enc, enc_mask, max_u
+            )
         enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
         max_u = max(1, min(
             cfg.data.token_buckets[-1],
@@ -182,6 +194,8 @@ def main(argv=None) -> int:
     params["__cmvn_mean"], params["__cmvn_std"] = solver.cmvn
 
     mode = "greedy" if args.greedy else "beam"
+    if cfg.model.family == "transducer":
+        mode = "greedy"   # the family's decode; manifest records reality
     lm_params, lm_step = solver._lm()   # shallow fusion, like live decode
     frames = ([int(f) for f in str(args.frames).split(",")]
               if args.frames else list(solver.spec.frame_buckets))
