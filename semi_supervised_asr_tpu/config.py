@@ -259,6 +259,8 @@ class DecodeConfig:
     coverage_weight: float = 0.0
     ctc_weight: float = 0.0           # joint CTC-attention rescoring of the
                                       # final beams (needs a CTC head)
+    max_symbols: int = 4              # transducer: max label emissions per
+                                      # encoder frame (greedy + beam)
     average_ckpts: int = 0            # >1: decode with the mean of the last
                                       # k retained checkpoints' params
 

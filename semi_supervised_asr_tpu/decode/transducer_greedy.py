@@ -75,6 +75,13 @@ def transducer_greedy_from_enc(
             )
             count = count + emit.astype(jnp.int32)
             emitting = emitting & emit
+        # a path consumes the frame with a blank; rows that spent all
+        # max_symbols iterations emitting still owe it (score parity
+        # with the beam: every complete path has exactly T' blanks)
+        lp = jax.nn.log_softmax(
+            TD.joint_row(params["joint"], enc_t, pred, cfg), axis=-1
+        )
+        score = score + jnp.where(emitting, lp[..., blank], 0.0)
         return (pred, state, out, count, score), None
 
     (_, _, out, count, score), _ = jax.lax.scan(

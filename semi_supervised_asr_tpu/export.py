@@ -65,16 +65,29 @@ def build_decode_fn(cfg, params, mode: str = "beam",
             cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None, False
         )
         if cfg.model.family == "transducer":
-            from semi_supervised_asr_tpu.decode.transducer_greedy import (
-                transducer_greedy_from_enc,
-            )
             from semi_supervised_asr_tpu.models import transducer as TD
 
             enc, enc_mask = TD.encode(params, feats, flens, cfg.model)
             max_u = max(1, min(cfg.data.token_buckets[-1],
                                cfg.decode.max_decode_len))
-            return transducer_greedy_from_enc(
-                params, cfg.model, enc, enc_mask, max_u
+            if mode == "greedy":
+                from semi_supervised_asr_tpu.decode.transducer_greedy \
+                    import transducer_greedy_from_enc
+
+                return transducer_greedy_from_enc(
+                    params, cfg.model, enc, enc_mask, max_u,
+                    max_symbols=cfg.decode.max_symbols,
+                )
+            from semi_supervised_asr_tpu.decode.transducer_beam import (
+                transducer_beam_from_enc,
+            )
+
+            return transducer_beam_from_enc(
+                params, cfg.model, enc, enc_mask, max_u,
+                beam_size=cfg.decode.beam_size,
+                max_symbols=cfg.decode.max_symbols,
+                lm_params=lm_params, lm_step_fn=lm_step_fn,
+                lm_weight=cfg.decode.lm_weight,
             )
         enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
         max_u = max(1, min(
@@ -194,9 +207,13 @@ def main(argv=None) -> int:
     params["__cmvn_mean"], params["__cmvn_std"] = solver.cmvn
 
     mode = "greedy" if args.greedy else "beam"
-    if cfg.model.family == "transducer":
-        mode = "greedy"   # the family's decode; manifest records reality
     lm_params, lm_step = solver._lm()   # shallow fusion, like live decode
+    if (cfg.model.family == "transducer" and mode == "beam"
+            and lm_params is not None and "blocks" in lm_params):
+        raise SystemExit(
+            "transducer beam LM fusion needs an LSTM LM (lm.arch=lstm) — "
+            "the transformer LM's KV cache assumes uniform positions"
+        )
     frames = ([int(f) for f in str(args.frames).split(",")]
               if args.frames else list(solver.spec.frame_buckets))
     out = Path(args.out)

@@ -20,7 +20,8 @@ only emitted labels; the joint consumes one encoder frame at a time).
   (documented non-goal for now).
 
 Loss: objectives/transducer_loss.py (anti-diagonal scan DP).
-Greedy decode: decode/transducer_greedy.py.
+Greedy decode: decode/transducer_greedy.py; beam (optional shallow
+LSTM-LM fusion, n-best): decode/transducer_beam.py.
 Reference counterpart: none — the reference is attention-LAS only
 (SURVEY.md §3); capability extension, ``las`` stays the default.
 """

@@ -549,6 +549,7 @@ class Solver:
                     return transducer_greedy_from_enc(
                         params, cfg.model, enc, enc_mask,
                         max_u_of(enc.shape[1]),
+                        max_symbols=cfg.decode.max_symbols,
                     )
                 enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
                 return greedy_decode_from_enc(
@@ -622,6 +623,51 @@ class Solver:
             feat_fn = (TS.featurize_precomputed if self.from_features
                        else TS.featurize)
 
+            if cfg.model.family == "transducer":
+                from semi_supervised_asr_tpu.decode.transducer_beam import (
+                    transducer_beam_from_enc,
+                )
+                from semi_supervised_asr_tpu.models import transducer as TD
+
+                if cfg.decode.ctc_weight > 0.0:
+                    self.log.info(
+                        "WARNING: decode.ctc_weight > 0 is LAS-only — "
+                        "ignored for the transducer beam"
+                    )
+                if lm_params is not None and "blocks" in lm_params:
+                    raise SystemExit(
+                        "transducer beam LM fusion needs an LSTM LM "
+                        "(lm.arch=lstm): per-hypothesis emission counts "
+                        "diverge, which the transformer LM's uniform-"
+                        "position KV cache cannot represent"
+                    )
+
+                def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
+                    feats, flens = feat_fn(
+                        cfg, audio, audio_lens, (cmvn_mean, cmvn_std),
+                        None, False,
+                    )
+                    enc, enc_mask = TD.encode(
+                        params, feats, flens, cfg.model
+                    )
+                    max_u = max(1, min(
+                        cfg.data.token_buckets[-1],
+                        cfg.decode.max_decode_len,
+                        int(cfg.decode.max_decode_ratio * enc.shape[1])
+                        if cfg.decode.max_decode_ratio > 0 else 10**9,
+                    ))
+                    return transducer_beam_from_enc(
+                        params, cfg.model, enc, enc_mask, max_u,
+                        beam_size=cfg.decode.beam_size,
+                        max_symbols=cfg.decode.max_symbols,
+                        lm_params=lm_params, lm_step_fn=lm_step,
+                        lm_weight=cfg.decode.lm_weight,
+                        return_nbest=nbest,
+                    )
+
+                self._decode_fns[key] = self._jit_decode(fn)
+                return self._decode_fns[key]
+
             use_ctc = cfg.decode.ctc_weight > 0.0
             if use_ctc and "ctc" not in self.state.params:
                 self.log.info(
@@ -670,9 +716,9 @@ class Solver:
         hypotheses.  Multi-host TP keeps the global mesh: all hosts feed
         identical batches and no shard split happens (_decode_mesh).
         """
-        if self.cfg.model.family == "transducer" and mode != "greedy":
+        if self.cfg.model.family == "transducer" and mode == "ctc":
             self.log.info(
-                f"decode mode {mode!r} is LAS-only — transducer decodes "
+                "decode mode 'ctc' is LAS-only — transducer decodes "
                 "frame-synchronous greedy"
             )
             mode = "greedy"
@@ -831,7 +877,7 @@ class Solver:
     ) -> dict:
         params = self.eval_params() if restore_best else self.state.params
         eval_ds = self.bundle.test if self.bundle.test is not None else self.bundle.dev
-        if self.cfg.model.family == "transducer" and mode != "greedy":
+        if self.cfg.model.family == "transducer" and mode == "ctc":
             mode = "greedy"    # reported mode matches what actually ran
         rate, records, wrate = self._score_batches(eval_ds, params, mode)
         n_utts = len(records)

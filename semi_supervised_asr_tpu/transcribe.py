@@ -57,13 +57,11 @@ def transcribe(solver, files: list[Path], mode: str,
             f"--nbest needs beam decoding (got mode={mode!r}); drop "
             "--beam 0/1 or --nbest"
         )
-    if solver.cfg.model.family == "transducer":
-        if nbest > 1:
-            raise SystemExit(
-                "--nbest is LAS-only; the transducer decodes "
-                "frame-synchronous greedy"
-            )
-        mode = "greedy"   # _greedy_fn dispatches to the transducer decode
+    if solver.cfg.model.family == "transducer" and mode == "ctc":
+        raise SystemExit(
+            "--beam 0 (CTC greedy) is LAS-only; the transducer decodes "
+            "greedy (--beam 1) or alignment-synchronous beam (--beam K)"
+        )
     use_nbest = nbest > 1
     spec = solver.spec
     if use_nbest:

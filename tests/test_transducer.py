@@ -240,7 +240,8 @@ class TestMesh:
 class TestSolver:
     def test_train_validate_test(self, tmp_path):
         """Solver drives the transducer end-to-end: train falls, dev
-        greedy-scores, --test's beam request falls back to greedy."""
+        scores through the alignment-synchronous beam (mode "beam"
+        dispatches to decode/transducer_beam.py)."""
         from semi_supervised_asr_tpu.config import load_config
         from semi_supervised_asr_tpu.training.solver import Solver
 
@@ -259,3 +260,70 @@ class TestSolver:
         )
         assert 0.0 <= per <= 1.5
         assert records
+
+
+@pytest.fixture(scope="module")
+def trained_td(tmp_path_factory):
+    """Tiny trained transducer Solver for artifact/transcribe parity
+    (no quality gate — parity tests only need a deterministic model)."""
+    from semi_supervised_asr_tpu.config import load_config
+    from semi_supervised_asr_tpu.training.solver import Solver
+
+    wd = tmp_path_factory.mktemp("td_train")
+    cfg = load_config("configs/synthetic_smoke.yaml", [
+        "model.family=transducer",
+        "model.pred_hidden=64", "model.joint_dim=64", "model.embed_dim=32",
+        "data.num_synthetic_utts=8", "train.batch_size=4",
+        "train.total_steps=4", "train.eval_every=0", "train.ckpt_every=4",
+        "train.log_every=2", "decode.beam_size=3",
+    ])
+    solver = Solver(cfg, wd, use_mesh=False)
+    solver.train()
+    return solver, wd
+
+
+class TestServingSurfaces:
+    def test_export_beam_artifact_matches_live(self, trained_td, tmp_path):
+        from semi_supervised_asr_tpu import export as EX
+
+        solver, _ = trained_td
+        params = dict(solver.state.params)
+        params["__cmvn_mean"], params["__cmvn_std"] = solver.cmvn
+        frames, batch = 96, 4
+        blob = EX.export_decode(solver.cfg, dict(params), batch, frames,
+                                mode="beam")
+        path = tmp_path / "td_beam.shlo"
+        path.write_bytes(blob)
+
+        s = (frames - 1) * solver.cfg.frontend.hop_length
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal((batch, s)) * 0.1).astype(np.float32)
+        lens = np.full((batch,), s, np.int32)
+        live = EX.build_decode_fn(solver.cfg, dict(params), "beam")
+        want_toks, want_scores = jax.jit(live)(audio, lens)
+        got_toks, got_scores = EX.run_artifact(path, audio, lens)
+        np.testing.assert_array_equal(np.asarray(got_toks),
+                                      np.asarray(want_toks))
+        np.testing.assert_allclose(np.asarray(got_scores),
+                                   np.asarray(want_scores), rtol=1e-5)
+
+    def test_transcribe_beam_and_nbest(self, trained_td, tmp_path):
+        from semi_supervised_asr_tpu.transcribe import transcribe
+        from tests.test_transcribe import write_utt_wavs
+
+        solver, _ = trained_td
+        paths, _ = write_utt_wavs(solver, tmp_path, n=3)
+        results = transcribe(solver, paths, "beam", nbest=3)
+        assert len(results) == 3
+        for r in results:
+            assert "nbest" in r and len(r["nbest"]) == 3
+            sc = [c["score"] for c in r["nbest"]]
+            assert sc == sorted(sc, reverse=True)
+            assert r["text"] == r["nbest"][0]["text"]
+
+    def test_transcribe_rejects_ctc_mode(self, trained_td):
+        from semi_supervised_asr_tpu.transcribe import transcribe
+
+        solver, _ = trained_td
+        with pytest.raises(SystemExit, match="LAS-only"):
+            transcribe(solver, [], "ctc")
