@@ -226,6 +226,42 @@ def supervised_step_fn(
                 "nll_per_label": jnp.sum(
                     nll * real_mb.astype(jnp.float32)) / denom,
             }
+
+            from semi_supervised_asr_tpu.objectives import (
+                transducer_semi as TSEMI,
+            )
+
+            if obj.lambda_text_ae > 0.0 and unlab_text is not None:
+                # internal-LM CE on unlabeled text — the transducer's
+                # analog of the LAS text autoencoder (transducer_semi.py)
+                ilm = TSEMI.ilm_text_loss(params, cfg.model, unlab_text)
+                loss = loss + obj.lambda_text_ae * ilm
+                metrics["text_ilm"] = ilm
+
+            if obj.lambda_pseudo > 0.0 and unlab_audio is not None:
+                teacher = (state.ema_params if obj.use_ema_teacher
+                           else params)
+                if cfg.train.bf16_weight_stream and obj.use_ema_teacher:
+                    teacher = _bf16_floats(teacher)  # decode-only
+                clean, clens = feat_fn(
+                    cfg, unlab_audio, unlab_audio_lens, cmvn, None, False
+                )
+                augmented, _ = feat_fn(
+                    cfg, unlab_audio, unlab_audio_lens, cmvn, k_pl_feat,
+                    True,
+                )
+                max_u = min(cfg.decode.max_decode_len, tokens.shape[1])
+                pl = TSEMI.pseudo_label_loss(
+                    params, teacher, cfg.model, obj, clean, augmented,
+                    clens, k_pl, max_u, row_mask=unlab_real,
+                    max_symbols=cfg.decode.max_symbols,
+                )
+                gate = (state.step >= obj.pseudo_warmup_steps).astype(
+                    jnp.float32
+                )
+                loss = loss + obj.lambda_pseudo * gate * pl
+                metrics["pseudo"] = pl
+                metrics["pseudo_gate"] = gate
             return loss, metrics
 
         loss, aux, enc, enc_mask = LO.supervised_loss(
@@ -401,16 +437,15 @@ def make_train_step(
     if cfg.model.family == "transducer":
         o = cfg.objective
         unsupported = {
-            "objective.lambda_text_ae": o.lambda_text_ae,
-            "objective.lambda_pseudo": o.lambda_pseudo,
             "objective.lambda_mwer": o.lambda_mwer,
             "objective.lambda_ctc": o.lambda_ctc,
         }
         bad = [k for k, v in unsupported.items() if v]
-        assert not bad and not semi_supervised, (
-            "model.family=transducer supports the supervised NLL only; "
-            f"disable {bad or ['the semi-supervised streams']} "
-            "(LAS-only objectives need the speller)"
+        assert not bad, (
+            f"model.family=transducer: disable {bad} (LAS-only — MWER "
+            "rescoring and the CTC aux head target the attention stack); "
+            "the semi-supervised terms (lambda_pseudo / lambda_text_ae) "
+            "ARE supported (objectives/transducer_semi.py)"
         )
         assert cfg.model.lm_fusion == "none", (
             "model.family=transducer has no LM fusion yet"
