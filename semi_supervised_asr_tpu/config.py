@@ -98,14 +98,19 @@ class ModelConfig:
     # Model family: "las" = attention seq2seq (reference parity) —
     # listener + location-aware speller; "transducer" = RNN-T (Graves
     # 2012, models/transducer.py) — same listener, frame-synchronous
-    # blank/emit decode, no attention.  Supervised CE-equivalent loss is
-    # the transducer NLL; LAS-only objectives (text-AE, pseudo-label,
-    # MWER, CTC aux, LM fusion, scheduled sampling) do not apply.
+    # blank/emit decode, no attention.  Supervised loss is the
+    # transducer NLL; pseudo-label + internal-LM text terms via
+    # objectives/transducer_semi.py; MWER/CTC-aux/scheduled sampling
+    # are LAS-only.
     family: str = "las"
     # Transducer: prediction network + joint dims
     pred_hidden: int = 512
     pred_layers: int = 1
     joint_dim: int = 256
+    # >0: compute the loss's lattice terms this many encoder frames at a
+    # time instead of materializing the [B, T', U+1, V] joint grid —
+    # required at BPE-scale vocabs (models/transducer.joint_lattice_terms)
+    joint_chunk_frames: int = 0
     # Speller
     dec_hidden: int = 512
     dec_layers: int = 1

@@ -16,8 +16,10 @@ only emitted labels; the joint consumes one encoder frame at a time).
   the [T', U+1] grid -> logits [B, T', U+1, V].  Blank id = PAD (0),
   matching the CTC convention.  The grid tensor is the memory cost of
   the family: B*T'*(U+1)*max(joint_dim, V) floats — fine at char vocabs
-  (default joint_dim 256); large-vocab BPE needs lattice chunking
-  (documented non-goal for now).
+  (default joint_dim 256); at BPE-scale vocabs set
+  ``model.joint_chunk_frames`` to compute the loss's V-free lattice
+  terms a few frames at a time with rematerialization
+  (joint_lattice_terms below — bitwise-equal loss/grads).
 
 Loss: objectives/transducer_loss.py (anti-diagonal scan DP).
 Greedy decode: decode/transducer_greedy.py; beam (optional shallow
@@ -152,6 +154,53 @@ def joint_logits(
         params["w_out"].astype(compute),
         preferred_element_type=jnp.float32,
     ) + params["b_out"].astype(jnp.float32)
+
+
+def joint_lattice_terms(
+    params: dict,
+    enc: jax.Array,          # [B, T, 2H]
+    pred: jax.Array,         # [B, U+1, P]
+    labels: jax.Array,       # [B, U]
+    cfg: ModelConfig,
+    blank: int = 0,
+    chunk_frames: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Chunked (blank_lp, emit_lp) [B, T, U+1] — the large-vocab path.
+
+    The full [B, T, U+1, V] joint grid is the transducer family's memory
+    cost; the lattice DP only ever consumes two V-free [B, T, U+1]
+    tensors (objectives/transducer_loss.lattice_terms).  This computes
+    them ``chunk_frames`` encoder frames at a time, so peak live logits
+    are [B, chunk, U+1, V]; ``jax.checkpoint`` on the chunk recomputes
+    its logits in the backward instead of storing them.  At BPE-scale V
+    this turns O(T*V) grid memory into O(chunk*V) — e.g. B=32 T=100
+    U=128 V=1024: 13.5 GB -> 1.1 GB at chunk 8.  Enabled by
+    ``model.joint_chunk_frames`` (0 = full grid); bitwise-equal losses
+    and gradients vs the full grid (tests/test_transducer_loss.py).
+    """
+    from semi_supervised_asr_tpu.objectives.transducer_loss import (
+        lattice_terms,
+    )
+
+    b, t, e = enc.shape
+    c = max(1, min(int(chunk_frames), t))
+
+    @jax.checkpoint
+    def chunk(enc_c):                             # [B, c, 2H]
+        logits = joint_logits(params, enc_c, pred, cfg)
+        return lattice_terms(logits, labels, blank)
+
+    n = -(-t // c)
+    pad = n * c - t
+    enc_p = jnp.pad(enc, ((0, 0), (0, pad), (0, 0)))
+    chunks = enc_p.reshape(b, n, c, e).swapaxes(0, 1)  # [n, B, c, 2H]
+    blank_lp, emit_lp = jax.lax.map(chunk, chunks)     # [n, B, c, U+1]
+    u1 = pred.shape[1]
+
+    def unstack(x):
+        return x.swapaxes(0, 1).reshape(b, n * c, u1)[:, :t]
+
+    return unstack(blank_lp), unstack(emit_lp)
 
 
 def joint_row(

@@ -45,6 +45,24 @@ def transducer_loss(
     b, t, u1, v = logits.shape
     u = u1 - 1
     assert labels.shape == (b, u), (labels.shape, (b, u))
+    blank_lp, emit_lp = lattice_terms(logits, labels, blank)
+    return transducer_loss_from_parts(
+        blank_lp, emit_lp, enc_lens, label_lens, real=real
+    )
+
+
+def lattice_terms(
+    logits: jax.Array,       # [B, T, U+1, V]
+    labels: jax.Array,       # [B, U]
+    blank: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Reduce joint logits to the two [B, T, U+1] tensors the DP needs.
+
+    The V axis dies here — everything downstream is V-free, which is
+    what makes the chunked large-vocab path possible
+    (models/transducer.joint_lattice_terms)."""
+    b, t, u1, _ = logits.shape
+    u = u1 - 1
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     blank_lp = lp[..., blank]                                   # [B, T, U+1]
     emit_lp = jnp.take_along_axis(
@@ -54,6 +72,19 @@ def transducer_loss(
     emit_lp = jnp.concatenate(
         [emit_lp, jnp.full((b, t, 1), NEG_INF)], axis=2
     )                                                           # [B, T, U+1]
+    return blank_lp, emit_lp
+
+
+def transducer_loss_from_parts(
+    blank_lp: jax.Array,     # [B, T, U+1] log P(blank | t, u)
+    emit_lp: jax.Array,      # [B, T, U+1] log P(y_{u+1} | t, u), last col -inf
+    enc_lens: jax.Array,
+    label_lens: jax.Array,
+    real: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """The anti-diagonal DP on precomputed lattice terms (see module
+    docstring) -> (mean -ll over real rows, per-utt -ll [B])."""
+    b, t, u1 = blank_lp.shape
 
     # skew to diagonals: skew[b, d, u] = X[b, d-u, u] (else -inf).
     d_count = t + u1 - 1                    # diagonals 0 .. (T-1)+(U)

@@ -79,11 +79,24 @@ def pseudo_label_loss(
         dropout_rng=dropout_rng,
     )
     pred = TD.predictor_train(params["predictor"], hyps, model_cfg)
-    logits = TD.joint_logits(params["joint"], enc_s, pred, model_cfg)
     enc_lens = jnp.maximum(jnp.sum(mask_s, axis=1), 1).astype(jnp.int32)
-    _, nll = transducer_loss(
-        logits, enc_lens, hyps, label_lens, blank=PAD
-    )
+    if model_cfg.joint_chunk_frames > 0:
+        from semi_supervised_asr_tpu.objectives.transducer_loss import (
+            transducer_loss_from_parts,
+        )
+
+        blank_lp, emit_lp = TD.joint_lattice_terms(
+            params["joint"], enc_s, pred, hyps, model_cfg, blank=PAD,
+            chunk_frames=model_cfg.joint_chunk_frames,
+        )
+        _, nll = transducer_loss_from_parts(
+            blank_lp, emit_lp, enc_lens, label_lens
+        )
+    else:
+        logits = TD.joint_logits(params["joint"], enc_s, pred, model_cfg)
+        _, nll = transducer_loss(
+            logits, enc_lens, hyps, label_lens, blank=PAD
+        )
 
     # confidence filter: mean per-step teacher path probability
     t_lens = jnp.sum(mask_t, axis=1).astype(jnp.float32)

@@ -210,14 +210,32 @@ def supervised_step_fn(
             ).astype(jnp.int32)
             pred = TD.predictor_train(params["predictor"], tokens,
                                       cfg.model)
-            logits = TD.joint_logits(params["joint"], enc, pred, cfg.model)
             enc_lens = jnp.maximum(
                 jnp.sum(enc_mask, axis=1), 1
             ).astype(jnp.int32)
-            loss, nll = transducer_loss(
-                logits, enc_lens, tokens, label_lens, blank=PAD,
-                real=real_mb,
-            )
+            if cfg.model.joint_chunk_frames > 0:
+                # large-vocab path: V-free lattice terms, chunked +
+                # rematerialized joint (models/transducer.py)
+                from semi_supervised_asr_tpu.objectives.transducer_loss \
+                    import transducer_loss_from_parts
+
+                blank_lp, emit_lp = TD.joint_lattice_terms(
+                    params["joint"], enc, pred, tokens, cfg.model,
+                    blank=PAD,
+                    chunk_frames=cfg.model.joint_chunk_frames,
+                )
+                loss, nll = transducer_loss_from_parts(
+                    blank_lp, emit_lp, enc_lens, label_lens,
+                    real=real_mb,
+                )
+            else:
+                logits = TD.joint_logits(
+                    params["joint"], enc, pred, cfg.model
+                )
+                loss, nll = transducer_loss(
+                    logits, enc_lens, tokens, label_lens, blank=PAD,
+                    real=real_mb,
+                )
             # per-label NLL: comparable across batches/lengths
             denom = jnp.maximum(
                 jnp.sum((label_lens + 1) * real_mb.astype(jnp.int32)), 1

@@ -173,3 +173,119 @@ class TestGradient:
                 assert np.abs(g[i, tb:]).max() == 0.0
             if ub + 1 < g.shape[2]:
                 assert np.abs(g[i, :, ub + 1:]).max() == 0.0
+
+
+class TestChunkedLatticeTerms:
+    """models/transducer.joint_lattice_terms: the chunked large-vocab
+    path must equal the full-grid path — loss values AND gradients wrt
+    enc/pred/joint params — for dividing and non-dividing chunk sizes."""
+
+    def _setup(self, seed=0, b=2, t=7, u=4):
+        from semi_supervised_asr_tpu.config import ModelConfig
+        from semi_supervised_asr_tpu.models import seq2seq as M
+
+        cfg = ModelConfig(
+            n_mels=20, vocab_size=12, family="transducer",
+            enc_hidden=8, enc_layers=1, pred_hidden=8, pred_layers=1,
+            joint_dim=8, embed_dim=8, attn_dim=8, attn_conv_channels=2,
+            attn_conv_width=5, dec_hidden=8, compute_dtype="float32",
+        )
+        params = M.init_model(jax.random.PRNGKey(seed), cfg)
+        rng = np.random.default_rng(seed)
+        enc = jnp.asarray(
+            rng.standard_normal((b, t, cfg.enc_out_dim)), jnp.float32
+        )
+        pred = jnp.asarray(
+            rng.standard_normal((b, u + 1, cfg.pred_hidden)), jnp.float32
+        )
+        labels = jnp.asarray(
+            rng.integers(1, cfg.vocab_size, (b, u)), jnp.int32
+        )
+        enc_lens = jnp.asarray([t, t - 3], jnp.int32)
+        label_lens = jnp.asarray([u, u - 2], jnp.int32)
+        return cfg, params, enc, pred, labels, enc_lens, label_lens
+
+    @pytest.mark.parametrize("chunk", [1, 3, 7, 16])
+    def test_matches_full_grid(self, chunk):
+        from semi_supervised_asr_tpu.models import transducer as TD
+        from semi_supervised_asr_tpu.objectives.transducer_loss import (
+            transducer_loss_from_parts,
+        )
+
+        (cfg, params, enc, pred, labels, enc_lens,
+         label_lens) = self._setup()
+
+        def full(j, enc, pred):
+            logits = TD.joint_logits(j, enc, pred, cfg)
+            return transducer_loss(
+                logits, enc_lens, labels, label_lens
+            )[0]
+
+        def chunked(j, enc, pred):
+            bl, em = TD.joint_lattice_terms(
+                j, enc, pred, labels, cfg, chunk_frames=chunk
+            )
+            return transducer_loss_from_parts(
+                bl, em, enc_lens, label_lens
+            )[0]
+
+        j = params["joint"]
+        v1, g1 = jax.value_and_grad(full, argnums=(0, 1, 2))(j, enc, pred)
+        v2, g2 = jax.value_and_grad(chunked, argnums=(0, 1, 2))(
+            j, enc, pred
+        )
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
+
+    def test_fused_step_parity(self):
+        """model.joint_chunk_frames=4 produces the same first-step loss
+        and updated params as the full-grid step."""
+        import dataclasses as dc
+
+        from semi_supervised_asr_tpu.config import (
+            Config, FrontendConfig, ModelConfig, ObjectiveConfig,
+            TrainConfig,
+        )
+        from semi_supervised_asr_tpu.training import train_step as TS
+
+        mcfg = ModelConfig(
+            n_mels=80, vocab_size=16, family="transducer",
+            enc_hidden=16, enc_layers=2, enc_base_layers=1,
+            pred_hidden=16, pred_layers=1, joint_dim=16, embed_dim=8,
+            attn_dim=8, attn_conv_channels=4, attn_conv_width=5,
+            dec_hidden=8, compute_dtype="float32",
+        )
+        cfg = Config(
+            frontend=FrontendConfig(spec_augment=False, cmvn="global"),
+            model=mcfg, objective=ObjectiveConfig(),
+            train=TrainConfig(learning_rate=3e-3, grad_clip_norm=5.0,
+                              batch_size=2),
+        )
+        rng = np.random.default_rng(0)
+        audio = rng.standard_normal((2, 3040)).astype(np.float32) * 0.1
+        alens = np.full((2,), 3040, np.int32)
+        tokens = np.zeros((2, 6), np.int32)
+        tokens[:, :5] = rng.integers(4, 16, (2, 5))
+        tokens[:, 5] = 2
+        real = np.ones((2,), bool)
+        cmvn = (np.zeros(80, np.float32), np.ones(80, np.float32))
+
+        outs = []
+        for chunk in (0, 4):
+            c = cfg.replace(model=dc.replace(
+                mcfg, joint_chunk_frames=chunk
+            ))
+            state = TS.init_train_state(c, jax.random.PRNGKey(0))
+            state, m = TS.make_train_step(c)(
+                state, audio, alens, tokens, real, *cmvn
+            )
+            outs.append((float(m["loss"]), state.params))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+        for a, b_ in zip(jax.tree.leaves(outs[0][1]),
+                         jax.tree.leaves(outs[1][1])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
