@@ -121,6 +121,11 @@ class ModelConfig:
     # (faster at small batch), False = two scans (faster at large batch) —
     # see ops/recurrent.bilstm for measurements
     fuse_bilstm: bool = False
+    # False: forward-only LSTM listener (enc_out_dim = enc_hidden) — the
+    # STREAMING encoder (pair with family=transducer; per-frame lookahead
+    # = the pyramid fold's pairing + 1 frame per conv_subsample block).
+    # blstm arch only; the attention listeners are inherently full-context
+    enc_bidirectional: bool = True
     scan_unroll: int = 1          # lax.scan unroll factor for encoder scans
     speller_unroll: int = 1       # unroll factor for the teacher-forced
                                   # decoder scans (train/AE; decode loops
@@ -171,7 +176,7 @@ class ModelConfig:
 
     @property
     def enc_out_dim(self) -> int:
-        return 2 * self.enc_hidden
+        return (2 if self.enc_bidirectional else 1) * self.enc_hidden
 
 
 @dataclass(frozen=True)

@@ -66,18 +66,22 @@ def init_listener(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
             })
             c_in = cfg.conv_channels
         in_dim = conv_stem_dims(cfg)
+    # streaming variant: forward-only cells, enc_out_dim = enc_hidden
+    cell_init = (R.bilstm_init if cfg.enc_bidirectional
+                 else R.lstm_init)
+    out_dim = cfg.enc_out_dim
     for i in range(cfg.enc_base_layers):
         params["layers"].append(
-            R.bilstm_init(keys[i], in_dim, cfg.enc_hidden, dtype)
+            cell_init(keys[i], in_dim, cfg.enc_hidden, dtype)
         )
-        in_dim = 2 * cfg.enc_hidden
+        in_dim = out_dim
     for j in range(cfg.enc_layers):
         k = keys[cfg.enc_base_layers + j]
-        # pyramid fold doubles the feature dim before the BiLSTM
+        # pyramid fold doubles the feature dim before the (Bi)LSTM
         params["layers"].append(
-            R.bilstm_init(k, 2 * in_dim, cfg.enc_hidden, dtype)
+            cell_init(k, 2 * in_dim, cfg.enc_hidden, dtype)
         )
-        in_dim = 2 * cfg.enc_hidden
+        in_dim = out_dim
     return params
 
 
@@ -131,16 +135,27 @@ def listener_apply(
         return h
 
     if cfg.lstm_backend == "pallas":
-        from semi_supervised_asr_tpu.ops.pallas_lstm import bilstm_pallas
+        from semi_supervised_asr_tpu.ops.pallas_lstm import (
+            bilstm_pallas, lstm_pallas,
+        )
 
-        def run_bilstm(p, h, l):
-            return bilstm_pallas(p, h, l, compute,
-                                 block_t=cfg.lstm_block_t,
-                                 fuse_directions=cfg.fuse_bilstm)
-    else:
+        if cfg.enc_bidirectional:
+            def run_bilstm(p, h, l):
+                return bilstm_pallas(p, h, l, compute,
+                                     block_t=cfg.lstm_block_t,
+                                     fuse_directions=cfg.fuse_bilstm)
+        else:
+            def run_bilstm(p, h, l):
+                return lstm_pallas(p, h, l, False, compute,
+                                   block_t=cfg.lstm_block_t)
+    elif cfg.enc_bidirectional:
         def run_bilstm(p, h, l):
             return R.bilstm(p, h, l, compute, cfg.fuse_bilstm,
                             cfg.scan_unroll)
+    else:
+        def run_bilstm(p, h, l):
+            return R.lstm(p, h, l, False, compute,
+                          unroll=cfg.scan_unroll)
 
     if cfg.conv_subsample > 0:
         x, lens = conv_stem_apply(params["conv"], x, lens, cfg)

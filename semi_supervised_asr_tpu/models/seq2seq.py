@@ -21,6 +21,11 @@ from semi_supervised_asr_tpu.models import attention as A
 
 def _listener_fns(cfg: ModelConfig):
     """(init, apply) for the configured encoder architecture."""
+    assert cfg.enc_bidirectional or cfg.encoder_arch == "blstm", (
+        "model.enc_bidirectional=false (streaming encoder) is only "
+        "meaningful for encoder_arch=blstm — the attention listeners "
+        f"are inherently full-context (got {cfg.encoder_arch!r})"
+    )
     if cfg.encoder_arch == "transformer":
         from semi_supervised_asr_tpu.models import transformer_listener as TL
 
