@@ -17,6 +17,10 @@ What is sharded (everything else stays replicated):
 * ``speller/w_out      [D, V]``  -> ``P(None, model)`` (vocab cols)
 * ``speller/b_out      [V]``     -> ``P(model)``
 * ``ctc/w              [E2, V]`` -> ``P(None, model)``; ``ctc/b`` likewise
+* transducer: ``predictor/embed [V, E]`` -> ``P(model, None)``;
+  ``joint/w_out [J, V]`` / ``b_out [V]`` shard via the same last-key
+  rules — the joint grid's [*, V] logits are where a BPE transducer's
+  FLOPs and memory live, so vocab-column TP shards exactly that einsum
 
 The LSTM gate matrices are deliberately NOT sharded: the recurrent scans
 are latency-bound on the serial h->h dependency (measured — DESIGN.md
@@ -52,7 +56,8 @@ def _spec_for_path(path, shape, pcfg: ParallelConfig, axis_size: int) -> P:
         # odd leaf — TIMIT's 65-entry table isn't where TP wins anyway)
         return len(shape) > dim and shape[dim] % axis_size == 0
 
-    if last == "embedding":
+    if last in ("embedding", "embed"):
+        # speller/LM embedding [V, E]; transducer predictor "embed"
         return P(axis, None) if ok(0) else P()
     if last == "w_out":
         return P(None, axis) if ok(1) else P()

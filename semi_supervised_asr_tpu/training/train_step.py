@@ -468,10 +468,8 @@ def make_train_step(
         assert cfg.model.lm_fusion == "none", (
             "model.family=transducer has no LM fusion yet"
         )
-        assert cfg.parallel.model_parallel == 1, (
-            "transducer + tensor parallelism: not wired (the TP layout "
-            "rules target the LAS speller's vocab-adjacent params)"
-        )
+        # TP: predictor/embed + joint/w_out/b_out shard over the model
+        # axis via the same vocab-adjacent path rules (parallel/tp.py)
 
     if not semi_supervised:
 

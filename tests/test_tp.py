@@ -7,6 +7,8 @@ CTC head) live sharded over `model`, GSPMD inserts the gathers, and the
 numbers don't move beyond float associativity.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -215,3 +217,65 @@ class TestGuards:
         )
         with pytest.raises(AssertionError, match="lstm_backend"):
             TS.make_train_step(cfg, mesh=mesh42)
+
+
+class TestTransducerTP:
+    """TP for the transducer family: predictor/embed rows + joint
+    w_out/b_out vocab columns shard over `model`; the 4x2 layout matches
+    the single-device trajectory (train_step no longer asserts)."""
+
+    TCFG = CFG.replace(
+        model=dataclasses.replace(
+            CFG.model, family="transducer", ctc_head=False,
+            pred_hidden=8, pred_layers=1, joint_dim=8, embed_dim=8,
+        ),
+        objective=ObjectiveConfig(),
+    )
+
+    def test_specs(self):
+        state = TS.init_train_state(self.TCFG, jax.random.PRNGKey(0))
+        specs = tp.state_partition_specs(
+            state, self.TCFG.parallel, axis_size=2
+        )
+        p = specs.params
+        assert p["predictor"]["embed"] == P("model", None)
+        assert p["joint"]["w_out"] == P(None, "model")
+        assert p["joint"]["b_out"] == P("model")
+        assert p["joint"]["w_enc"] == P()
+        assert p["predictor"]["layers"][0]["w_hh"] == P()
+
+    def test_tp_matches_single_device(self, mesh42):
+        audio, alens, tokens, real, cmvn = make_batch()
+        ref_state = TS.init_train_state(self.TCFG, jax.random.PRNGKey(0))
+        ref_step = TS.make_train_step(self.TCFG)
+        tp_state = tp.shard_state(
+            mesh42, self.TCFG.parallel,
+            TS.init_train_state(self.TCFG, jax.random.PRNGKey(0)),
+        )
+        tp_step = TS.make_train_step(self.TCFG, mesh=mesh42)
+        for i in range(2):
+            a, al, t, r, _ = make_batch(seed=i)
+            ref_state, ref_m = ref_step(ref_state, a, al, t, r, *cmvn)
+            sh = MESH.shard_batch_arrays(
+                mesh42, self.TCFG.parallel, a, al, t, r
+            )
+            tp_state, tp_m = tp_step(tp_state, *sh, *cmvn)
+            np.testing.assert_allclose(
+                float(tp_m["loss"]), float(ref_m["loss"]),
+                rtol=2e-4, atol=1e-6,
+            )
+        ref_leaves = jax.tree_util.tree_flatten_with_path(
+            ref_state.params
+        )[0]
+        tp_leaves = jax.tree_util.tree_flatten_with_path(
+            tp_state.params
+        )[0]
+        for (pr, lr), (pt, lt) in zip(ref_leaves, tp_leaves):
+            assert pr == pt
+            np.testing.assert_allclose(
+                np.asarray(lt), np.asarray(lr), rtol=5e-4, atol=2e-5,
+                err_msg=jax.tree_util.keystr(pr),
+            )
+        assert tp_state.params["joint"]["w_out"].sharding.spec == P(
+            None, "model"
+        )
