@@ -1,0 +1,192 @@
+"""Exact chunked streaming inference for the streaming transducer.
+
+The deployment story the causal stack exists for: feed raw audio in
+arbitrary pieces, get tokens out incrementally, and the result is THE
+SAME computation as the full-utterance decode — not an approximation.
+Requirements (asserted): ``model.family=transducer``,
+``model.enc_bidirectional=false``, ``model.conv_subsample=0``,
+``frontend.center=false`` (VALID framing: frame t covers samples
+[t*hop, t*hop + n_fft) — reflect-padded center framing is inherently
+non-causal), ``frontend.cmvn=global`` (per-frame, precomputed stats).
+
+How exactness falls out (tested in tests/test_streaming_decode.py):
+
+* frontend: with VALID framing every feature frame is a pure function of
+  its own n_fft-sample window, so chunking the audio with an
+  (n_fft - hop)-sample overlap carry reproduces the full-utterance
+  frames bit-for-bit;
+* listener: forward-only ``lax.scan`` LSTMs resume from carried (h, c)
+  (ops/recurrent.lstm ``return_state``); chunks are
+  ``time_reduction``-aligned so the pyramid folds produce whole output
+  frames per chunk (models/listener.listener_apply_stream);
+* decode: the frame-synchronous greedy carries (predictor state, output
+  buffer, score) across chunks (decode/transducer_greedy.py ``carry``) —
+  the concatenated chunk scans ARE the full-utterance scan.
+
+Host-side Python drives the chunk loop; the per-chunk work is two jit
+functions (steady-state chunk + final partial chunk) compiled once for
+the configured chunk size.  Latency per emitted frame is bounded by
+``chunk_frames`` (default: one pyramid output frame's worth).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semi_supervised_asr_tpu.config import Config
+from semi_supervised_asr_tpu.decode.transducer_greedy import (
+    transducer_greedy_from_enc, transducer_greedy_init,
+)
+from semi_supervised_asr_tpu.models import listener as L
+from semi_supervised_asr_tpu.ops import frontend as F
+
+
+class StreamingTranscriber:
+    """Incremental decoder over one utterance (batch 1).
+
+    >>> st = StreamingTranscriber(params, cfg, cmvn, max_u=256)
+    >>> for piece in audio_pieces:
+    ...     st.feed(piece)           # emits into st.tokens as it goes
+    >>> tokens, score = st.finalize()
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: Config,
+        cmvn: tuple,
+        max_u: int,
+        chunk_frames: int | None = None,
+        max_symbols: int = 4,
+    ):
+        m, f = cfg.model, cfg.frontend
+        assert m.family == "transducer", "streaming decode is RNN-T-only"
+        assert not m.enc_bidirectional, (
+            "streaming needs model.enc_bidirectional=false"
+        )
+        assert m.conv_subsample == 0, "streaming needs conv_subsample=0"
+        assert not f.center, (
+            "streaming needs frontend.center=false (reflect-padded "
+            "center framing reads future samples)"
+        )
+        assert f.cmvn == "global", (
+            "streaming needs frontend.cmvn=global (utterance CMVN reads "
+            "the full utterance)"
+        )
+        red = m.time_reduction
+        self.chunk_frames = chunk_frames or red
+        assert self.chunk_frames % red == 0, (self.chunk_frames, red)
+        self.params = params
+        self.cfg = cfg
+        self.max_u = max_u
+        self.max_symbols = max_symbols
+        self._hop, self._n_fft = f.hop_length, f.n_fft
+        self._chunk_samples = (self.chunk_frames - 1) * self._hop \
+            + self._n_fft
+        self._audio = np.zeros((0,), np.float32)
+        self._enc_state = L.listener_stream_init(m, 1)
+        self._dec_carry = transducer_greedy_init(params, m, 1, max_u)
+        mean, inv_std = cmvn
+
+        def chunk_step(enc_state, dec_carry, audio):
+            feats, _ = F.log_mel_features(
+                audio[None], jnp.asarray([audio.shape[0]]), f,
+                mean, inv_std,
+            )
+            feats = feats[:, : self.chunk_frames]
+            enc, enc_state = L.listener_apply_stream(
+                params["listener"], feats, m, enc_state
+            )
+            mask = jnp.ones((1, enc.shape[1]), bool)
+            _, _, dec_carry = transducer_greedy_from_enc(
+                params, m, enc, mask, max_u, max_symbols=max_symbols,
+                carry=dec_carry, return_carry=True,
+            )
+            return enc_state, dec_carry
+
+        def final_step(enc_state, dec_carry, audio, n_samples):
+            feats, flens = F.log_mel_features(
+                audio[None], n_samples[None], f, mean, inv_std,
+            )
+            enc, _ = L.listener_apply_stream(
+                params["listener"], feats, m, enc_state,
+                frame_lens=flens,
+            )
+            enc_valid = flens
+            for _ in range(m.enc_layers):
+                enc_valid = (enc_valid + 1) // 2
+            mask = jnp.arange(enc.shape[1])[None, :] < enc_valid[:, None]
+            _, _, dec_carry = transducer_greedy_from_enc(
+                params, m, enc, mask, max_u, max_symbols=max_symbols,
+                carry=dec_carry, return_carry=True,
+            )
+            return dec_carry
+
+        self._chunk_step = jax.jit(chunk_step)
+        self._final_step = jax.jit(final_step)
+
+    def feed(self, samples: np.ndarray) -> None:
+        """Append audio; run every complete chunk that becomes available."""
+        self._audio = np.concatenate(
+            [self._audio, np.asarray(samples, np.float32)]
+        )
+        while len(self._audio) >= self._chunk_samples:
+            chunk = jnp.asarray(self._audio[: self._chunk_samples])
+            self._enc_state, self._dec_carry = self._chunk_step(
+                self._enc_state, self._dec_carry, chunk
+            )
+            # keep the n_fft - hop overlap the next frame window needs
+            self._audio = self._audio[self.chunk_frames * self._hop:]
+
+    @property
+    def tokens(self) -> list[int]:
+        """Tokens emitted so far (monotone-growing between feeds)."""
+        _, _, out, count, _ = self._dec_carry
+        return [int(x) for x in np.asarray(out[0])[: int(count[0])]]
+
+    def finalize(self) -> tuple[list[int], float]:
+        """Flush the remainder (padded to a reduction-aligned chunk with
+        the same length masking the batch path uses) -> (tokens, score)."""
+        m = self.cfg.model
+        rem = len(self._audio)
+        n_frames = (
+            1 + (rem - self._n_fft) // self._hop
+            if rem >= self._n_fft else 0
+        )
+        if n_frames > 0:
+            red = m.time_reduction
+            pad_frames = -(-n_frames // red) * red
+            need = (pad_frames - 1) * self._hop + self._n_fft
+            audio = np.zeros((need,), np.float32)
+            audio[:rem] = self._audio
+            self._dec_carry = self._final_step(
+                self._enc_state, self._dec_carry, jnp.asarray(audio),
+                jnp.asarray(rem, jnp.int32),
+            )
+        _, _, out, count, score = self._dec_carry
+        toks = [int(x) for x in np.asarray(out[0])[: int(count[0])]]
+        self._audio = np.zeros((0,), np.float32)
+        return toks, float(score[0])
+
+
+def stream_decode(
+    params: dict,
+    cfg: Config,
+    cmvn: tuple,
+    audio: np.ndarray,
+    max_u: int,
+    chunk_frames: int | None = None,
+    piece_samples: int | None = None,
+    max_symbols: int = 4,
+) -> tuple[list[int], float]:
+    """Decode ``audio`` by streaming it in ``piece_samples`` pieces."""
+    st = StreamingTranscriber(
+        params, cfg, cmvn, max_u, chunk_frames, max_symbols
+    )
+    n = piece_samples or len(audio)
+    for s in range(0, len(audio), n):
+        st.feed(audio[s: s + n])
+    return st.finalize()

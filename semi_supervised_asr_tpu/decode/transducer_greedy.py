@@ -22,6 +22,23 @@ from semi_supervised_asr_tpu.data.vocab import PAD, SOS
 from semi_supervised_asr_tpu.models import transducer as TD
 
 
+def transducer_greedy_init(
+    params: dict, cfg: ModelConfig, b: int, max_u: int, blank: int = PAD
+) -> tuple:
+    """Fresh greedy carry (pred, predictor state, out, count, score) —
+    pass as ``carry`` for chunked streaming decode (decode/streaming.py)."""
+    pred0, state0 = TD.predictor_step(
+        params["predictor"], jnp.full((b,), SOS, jnp.int32),
+        TD.predictor_init_state(cfg, b), cfg,
+    )
+    return (
+        pred0, state0,
+        jnp.full((b, max_u), blank, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.float32),
+    )
+
+
 def transducer_greedy_from_enc(
     params: dict,
     cfg: ModelConfig,
@@ -30,16 +47,19 @@ def transducer_greedy_from_enc(
     max_u: int,
     max_symbols: int = 4,
     blank: int = PAD,
+    carry: tuple | None = None,
+    return_carry: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (tokens [B, max_u] PAD-padded, total log-prob [B])."""
+    """-> (tokens [B, max_u] PAD-padded, total log-prob [B]).
+
+    ``carry``/``return_carry``: resume/export the frame-scan state so
+    chunked streaming decode (feed encoder frames as they arrive) is the
+    SAME computation as the full-utterance scan — exactness tested in
+    tests/test_streaming_decode.py."""
     b, t, _ = enc.shape
-    pred0, state0 = TD.predictor_step(
-        params["predictor"], jnp.full((b,), SOS, jnp.int32),
-        TD.predictor_init_state(cfg, b), cfg,
-    )
-    out0 = jnp.full((b, max_u), blank, jnp.int32)
-    count0 = jnp.zeros((b,), jnp.int32)
-    score0 = jnp.zeros((b,), jnp.float32)
+    if carry is None:
+        carry = transducer_greedy_init(params, cfg, b, max_u, blank)
+    pred0, state0, out0, count0, score0 = carry
 
     def frame(carry, inp):
         pred, state, out, count, score = carry
@@ -84,8 +104,11 @@ def transducer_greedy_from_enc(
         score = score + jnp.where(emitting, lp[..., blank], 0.0)
         return (pred, state, out, count, score), None
 
-    (_, _, out, count, score), _ = jax.lax.scan(
+    final, _ = jax.lax.scan(
         frame, (pred0, state0, out0, count0, score0),
         (enc.swapaxes(0, 1), enc_mask.swapaxes(0, 1)),
     )
+    _, _, out, count, score = final
+    if return_carry:
+        return out, score, final
     return out, score

@@ -173,6 +173,58 @@ def listener_apply(
     return x, lens
 
 
+def listener_stream_init(cfg: ModelConfig, b: int) -> tuple:
+    """Zero LSTM carries for chunked streaming (enc_bidirectional=false):
+    ((h, c) per layer), the state ``listener_apply_stream`` resumes from."""
+    assert not cfg.enc_bidirectional, "streaming needs a causal listener"
+    z = jnp.zeros((b, cfg.enc_hidden), jnp.float32)
+    n = cfg.enc_base_layers + cfg.enc_layers
+    return tuple((z, z) for _ in range(n))
+
+
+def listener_apply_stream(
+    params: dict,
+    feats: jax.Array,          # [B, Tc, n_mels], Tc % time_reduction == 0
+    cfg: ModelConfig,
+    state: tuple,              # from listener_stream_init / previous chunk
+    frame_lens: jax.Array | None = None,   # last-chunk remainder lengths
+) -> tuple[jax.Array, tuple]:
+    """One streaming chunk -> (enc [B, Tc/red, H], new state).
+
+    Chunk-exactness contract (tests/test_streaming_decode.py): feeding an
+    utterance in any chunking whose pieces are ``time_reduction``-aligned
+    reproduces the full-utterance ``listener_apply`` outputs — the scans
+    resume from the carried (h, c) and the pyramid folds stay aligned
+    because every chunk folds to whole output frames.  ``frame_lens``
+    handles the final partial chunk exactly like the batch path's length
+    masking (invalid steps pass the carry through and emit zeros).
+    """
+    assert not cfg.enc_bidirectional, "streaming needs a causal listener"
+    assert cfg.conv_subsample == 0, (
+        "streaming chunk path supports conv_subsample=0 (the conv stem "
+        "spans chunk boundaries)"
+    )
+    compute = jnp.dtype(cfg.compute_dtype)
+    x = feats.astype(jnp.float32)
+    lens = frame_lens
+    new_state = []
+    li = 0
+    for _ in range(cfg.enc_base_layers):
+        h0, c0 = state[li]
+        x, st = R.lstm(params["layers"][li], x, lens, False, compute,
+                       h0=h0, c0=c0, return_state=True)
+        new_state.append(st)
+        li += 1
+    for _ in range(cfg.enc_layers):
+        x, lens = R.pyramid_fold(x, lens)
+        h0, c0 = state[li]
+        x, st = R.lstm(params["layers"][li], x, lens, False, compute,
+                       h0=h0, c0=c0, return_state=True)
+        new_state.append(st)
+        li += 1
+    return x, tuple(new_state)
+
+
 def output_frames(t_in: int, cfg: ModelConfig) -> int:
     assert t_in % cfg.time_reduction == 0, (
         f"bucket length {t_in} not divisible by time reduction "

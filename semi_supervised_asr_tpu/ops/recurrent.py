@@ -116,6 +116,7 @@ def lstm(
     h0: jax.Array | None = None,
     c0: jax.Array | None = None,
     unroll: int = 1,
+    return_state: bool = False,
 ) -> jax.Array:
     """Unidirectional LSTM over [B, T, I] -> [B, T, H] (float32 outputs).
 
@@ -154,10 +155,16 @@ def lstm(
         out = jnp.where(v, out, 0.0)
         return (h_keep, c_keep), out
 
-    _, ys = lax.scan(
+    final, ys = lax.scan(
         step, (h, c), (gates_x, valid), reverse=reverse, unroll=unroll
     )
-    return jnp.transpose(ys, (1, 0, 2))  # [B, T, H]
+    ys = jnp.transpose(ys, (1, 0, 2))  # [B, T, H]
+    if return_state:
+        # final (h, c) — the carry a later chunk resumes from (streaming;
+        # invalid steps passed the carry through, so it is the state at
+        # each row's last valid frame)
+        return ys, final
+    return ys
 
 
 def bilstm_init(key: jax.Array, in_dim: int, hidden: int, dtype=jnp.float32):

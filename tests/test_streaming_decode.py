@@ -1,0 +1,128 @@
+"""Exact chunked streaming inference (decode/streaming.py).
+
+The headline claim: streaming an utterance through
+``StreamingTranscriber`` in ANY piece sizes produces the SAME tokens
+(and score to fp tolerance) as the full-utterance featurize -> encode ->
+greedy path.  Also: incremental token emission is monotone, and the
+constructor rejects non-streamable configs.
+"""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_supervised_asr_tpu.config import (
+    Config, FrontendConfig, ModelConfig, ObjectiveConfig, TrainConfig,
+)
+from semi_supervised_asr_tpu.decode.streaming import (
+    StreamingTranscriber, stream_decode,
+)
+from semi_supervised_asr_tpu.decode.transducer_greedy import (
+    transducer_greedy_from_enc,
+)
+from semi_supervised_asr_tpu.models import seq2seq as M
+from semi_supervised_asr_tpu.models import transducer as TD
+from semi_supervised_asr_tpu.ops import frontend as F
+
+pytestmark = pytest.mark.quick
+
+FCFG = FrontendConfig(center=False, cmvn="global", spec_augment=False)
+MCFG = ModelConfig(
+    n_mels=80, vocab_size=16, family="transducer",
+    enc_hidden=16, enc_layers=2, enc_base_layers=1,
+    enc_bidirectional=False, conv_subsample=0,
+    pred_hidden=16, pred_layers=1, joint_dim=16, embed_dim=8,
+    attn_dim=8, attn_conv_channels=4, attn_conv_width=5,
+    dec_hidden=8, compute_dtype="float32",
+)
+CFG = Config(frontend=FCFG, model=MCFG, objective=ObjectiveConfig(),
+             train=TrainConfig())
+CMVN = (np.zeros(80, np.float32), np.ones(80, np.float32))
+MAX_U = 12
+
+
+def _full_decode(params, audio):
+    """The non-streaming reference: one featurize + encode + greedy."""
+    hop, n_fft = FCFG.hop_length, FCFG.n_fft
+    red = MCFG.time_reduction
+    n_frames = 1 + (len(audio) - n_fft) // hop
+    pad_frames = -(-n_frames // red) * red
+    need = (pad_frames - 1) * hop + n_fft
+    padded = np.zeros((need,), np.float32)
+    padded[: len(audio)] = audio
+    feats, flens = F.log_mel_features(
+        jnp.asarray(padded)[None], jnp.asarray([len(audio)]), FCFG,
+        jnp.asarray(CMVN[0]), jnp.asarray(CMVN[1]),
+    )
+    enc, mask = TD.encode(params, feats, flens, MCFG)
+    toks, score = transducer_greedy_from_enc(
+        params, MCFG, enc, mask, MAX_U
+    )
+    count = int((np.asarray(toks)[0] != 0).sum())
+    return ([int(x) for x in np.asarray(toks)[0][:count]],
+            float(score[0]))
+
+
+class TestExactness:
+    @pytest.mark.parametrize("piece", [400, 1000, 2560, 10**9])
+    def test_any_piece_size_matches_full_decode(self, piece):
+        params = M.init_model(jax.random.PRNGKey(0), MCFG)
+        rng = np.random.default_rng(0)
+        # 39 frames of audio: several full chunks + a partial remainder
+        audio = (rng.standard_normal(
+            38 * FCFG.hop_length + FCFG.n_fft + 57
+        ) * 0.5).astype(np.float32)
+        want_toks, want_score = _full_decode(params, audio)
+        got_toks, got_score = stream_decode(
+            params, CFG, CMVN, audio, MAX_U, piece_samples=piece
+        )
+        assert got_toks == want_toks, (piece, got_toks, want_toks)
+        np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
+
+    def test_chunk_frames_choice_is_irrelevant(self):
+        params = M.init_model(jax.random.PRNGKey(1), MCFG)
+        rng = np.random.default_rng(1)
+        audio = (rng.standard_normal(
+            30 * FCFG.hop_length + FCFG.n_fft
+        ) * 0.5).astype(np.float32)
+        outs = [
+            stream_decode(params, CFG, CMVN, audio, MAX_U,
+                          chunk_frames=cfr, piece_samples=1234)
+            for cfr in (4, 8, 16)
+        ]
+        for toks, score in outs[1:]:
+            assert toks == outs[0][0]
+            np.testing.assert_allclose(score, outs[0][1], rtol=1e-4)
+
+    def test_incremental_tokens_monotone(self):
+        params = M.init_model(jax.random.PRNGKey(2), MCFG)
+        rng = np.random.default_rng(2)
+        audio = (rng.standard_normal(
+            30 * FCFG.hop_length + FCFG.n_fft
+        ) * 0.5).astype(np.float32)
+        st = StreamingTranscriber(params, CFG, CMVN, MAX_U)
+        seen = []
+        for s in range(0, len(audio), 800):
+            st.feed(audio[s: s + 800])
+            cur = st.tokens
+            assert cur[: len(seen)] == seen, "emitted tokens mutated"
+            seen = cur
+        toks, _ = st.finalize()
+        assert toks[: len(seen)] == seen
+
+
+class TestGuards:
+    def test_rejects_non_streamable_configs(self):
+        params = M.init_model(jax.random.PRNGKey(0), MCFG)
+        bad = [
+            CFG.replace(frontend=dc.replace(FCFG, center=True)),
+            CFG.replace(frontend=dc.replace(FCFG, cmvn="utterance")),
+            CFG.replace(model=dc.replace(MCFG, enc_bidirectional=True)),
+        ]
+        for cfg in bad:
+            with pytest.raises(AssertionError):
+                StreamingTranscriber(params, cfg, CMVN, MAX_U)
