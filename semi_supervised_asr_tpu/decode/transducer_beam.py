@@ -14,9 +14,9 @@ Shallow LM fusion (``lm_weight`` > 0): label emissions additionally
 score ``lm_weight * log P_lm(token | prefix)``; blank transitions carry
 no LM term (the LM models the label sequence, not the alignment) — the
 standard RNN-T fusion rule.  Per-hypothesis LM state reorders with the
-beam.  LSTM LMs only: hypotheses emit different label counts per frame,
-and the transformer LM's KV-cache step assumes one uniform write
-position across rows (models/lm.py transformer_lm_step).
+beam; both LM archs work (the transformer LM's KV cache tracks PER-ROW
+positions — models/lm.py transformer_lm_step — because hypotheses emit
+different label counts per frame).
 
 Known (documented) simplification vs. lattice-exact search: equal-prefix
 hypotheses reached along different alignments are NOT merged — the
@@ -62,11 +62,11 @@ def transducer_beam_from_enc(
     v = cfg.vocab_size
     use_lm = lm_params is not None and lm_step_fn is not None and lm_weight > 0.0
     if use_lm and "blocks" in lm_params:
-        raise ValueError(
-            "transducer beam LM fusion needs an LSTM LM (lm.arch=lstm): "
-            "the transformer LM's KV-cache step writes one uniform "
-            "position across rows, but transducer hypotheses emit "
-            "different label counts per frame"
+        t_cache = lm_params["pos"].shape[0]
+        assert max_u < t_cache, (
+            f"transducer beam with a transformer LM: max_u {max_u} "
+            f"must stay below lm.max_len {t_cache} (KV-cache depth; "
+            "hypotheses advance the LM once per emitted label)"
         )
 
     def flat(x):                       # [B, K, ...] -> [B*K, ...]

@@ -208,12 +208,6 @@ def main(argv=None) -> int:
 
     mode = "greedy" if args.greedy else "beam"
     lm_params, lm_step = solver._lm()   # shallow fusion, like live decode
-    if (cfg.model.family == "transducer" and mode == "beam"
-            and lm_params is not None and "blocks" in lm_params):
-        raise SystemExit(
-            "transducer beam LM fusion needs an LSTM LM (lm.arch=lstm) — "
-            "the transformer LM's KV cache assumes uniform positions"
-        )
     frames = ([int(f) for f in str(args.frames).split(",")]
               if args.frames else list(solver.spec.frame_buckets))
     out = Path(args.out)

@@ -227,7 +227,12 @@ def transformer_lm_step(
     tokens: jax.Array | None,
     init_batch: int | None = None,
 ) -> tuple[dict, jax.Array | None]:
-    """Beam-compatible incremental step with a [L, B, T, D] KV cache."""
+    """Beam-compatible incremental step with a [L, B, T, D] KV cache.
+
+    Positions are PER ROW (``tpos`` [1, B]): label-synchronous callers
+    (the LAS beam) advance every row each step, alignment-synchronous
+    ones (the transducer beam) advance only emitting hypotheses — the
+    KV write and causal mask follow each row's own depth."""
     layers = len(params["blocks"])
     d_model = params["blocks"][0]["wq"].shape[0]
     t_max = params["pos"].shape[0]
@@ -242,24 +247,26 @@ def transformer_lm_step(
         }, None
 
     b = tokens.shape[0]
-    pos = state["tpos"][0, 0]                       # uniform across rows
+    # PER-ROW positions: rows may sit at different depths (the transducer
+    # beam's hypotheses emit different label counts per frame); the LAS
+    # beam's uniform positions are the special case where all rows match
+    pos = state["tpos"][0]                          # [B]
+    write = (jnp.arange(t_max)[None, :] == pos[:, None])      # [B, T]
     x = params["embedding"][tokens].astype(jnp.float32)
-    x = x + jax.lax.dynamic_index_in_dim(
-        params["pos"].astype(jnp.float32), pos, keepdims=False
-    )
+    x = x + params["pos"].astype(jnp.float32)[pos]            # [B, D]
     kcs, vcs = [], []
-    live = jnp.arange(t_max) <= pos                 # causal: 0..pos
+    live = jnp.arange(t_max)[None, :] <= pos[:, None]         # [B, T]
     for li, blk in enumerate(params["blocks"]):
         n_heads = blk["wq"].shape[1]
         h = _ln(x, blk["ln1_g"], blk["ln1_b"])
         q = jnp.einsum("bd,dhe->bhe", h, blk["wq"])     # [B, H, Dh]
         k_new = jnp.einsum("bd,dhe->bhe", h, blk["wk"]).reshape(b, -1)
         v_new = jnp.einsum("bd,dhe->bhe", h, blk["wv"]).reshape(b, -1)
-        kc = jax.lax.dynamic_update_slice(
-            state["kc"][li], k_new[:, None, :], (0, pos, 0)
+        kc = jnp.where(
+            write[..., None], k_new[:, None, :], state["kc"][li]
         )
-        vc = jax.lax.dynamic_update_slice(
-            state["vc"][li], v_new[:, None, :], (0, pos, 0)
+        vc = jnp.where(
+            write[..., None], v_new[:, None, :], state["vc"][li]
         )
         kcs.append(kc)
         vcs.append(vc)
@@ -267,7 +274,7 @@ def transformer_lm_step(
         v = _heads(vc, n_heads)
         scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
         scores = jnp.einsum("bhd,bkhd->bhk", q, kk) * scale
-        scores = jnp.where(live[None, None], scores, NEG_INF)
+        scores = jnp.where(live[:, None, :], scores, NEG_INF)
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhk,bkhd->bhd", attn, v)
         x = x + out.reshape(b, -1) @ blk["wo"]

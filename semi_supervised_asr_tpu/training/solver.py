@@ -634,14 +634,6 @@ class Solver:
                         "WARNING: decode.ctc_weight > 0 is LAS-only — "
                         "ignored for the transducer beam"
                     )
-                if lm_params is not None and "blocks" in lm_params:
-                    raise SystemExit(
-                        "transducer beam LM fusion needs an LSTM LM "
-                        "(lm.arch=lstm): per-hypothesis emission counts "
-                        "diverge, which the transformer LM's uniform-"
-                        "position KV cache cannot represent"
-                    )
-
                 def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
                     feats, flens = feat_fn(
                         cfg, audio, audio_lens, (cmvn_mean, cmvn_std),

@@ -190,19 +190,47 @@ class TestBeam:
             np.testing.assert_allclose(float(scores[i]), want_sc,
                                        rtol=1e-4, atol=1e-4)
 
-    def test_lm_fusion_rejects_transformer_lm(self):
+    def test_transformer_lm_fusion_matches_oracle(self):
+        """Per-row KV-cache positions (models/lm.py): hypotheses at
+        different emission depths keep independent LM prefixes."""
+        from semi_supervised_asr_tpu.models import lm as LMM
+
+        params = M.init_model(jax.random.PRNGKey(6), CFG)
+        lm_params = LMM.init_transformer_lm(
+            jax.random.PRNGKey(7), CFG.vocab_size, d_model=8, heads=2,
+            d_ff=8, layers=1, max_len=16,
+        )
+        rng = np.random.default_rng(6)
+        enc, mask, lens = _enc_batch(rng, b=2, t=4)
+        max_u, k, w = 6, 3, 0.4
+        toks, scores = transducer_beam_from_enc(
+            params, CFG, enc, mask, max_u, beam_size=k,
+            lm_params=lm_params, lm_step_fn=LMM.lm_step, lm_weight=w,
+        )
+        toks = np.asarray(toks)
+        for i in range(enc.shape[0]):
+            want_toks, want_sc = _oracle_beam(
+                params, CFG, enc[i], int(lens[i]), max_u, k,
+                lm_params=lm_params, lm_weight=w,
+            )
+            got = [int(x) for x in toks[i] if x != 0]
+            assert got == want_toks, (i, got, want_toks)
+            np.testing.assert_allclose(float(scores[i]), want_sc,
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_transformer_lm_fusion_rejects_overdeep_cache(self):
         from semi_supervised_asr_tpu.models import lm as LMM
 
         params = M.init_model(jax.random.PRNGKey(0), CFG)
         lm_params = LMM.init_transformer_lm(
             jax.random.PRNGKey(0), CFG.vocab_size, d_model=8, heads=2,
-            d_ff=8, layers=1, max_len=16,
+            d_ff=8, layers=1, max_len=4,
         )
         rng = np.random.default_rng(0)
         enc, mask, _ = _enc_batch(rng, b=2, t=3)
-        with pytest.raises(ValueError, match="LSTM"):
+        with pytest.raises(AssertionError, match="lm.max_len"):
             transducer_beam_from_enc(
-                params, CFG, enc, mask, 4, beam_size=2,
+                params, CFG, enc, mask, 8, beam_size=2,
                 lm_params=lm_params, lm_step_fn=LMM.lm_step,
                 lm_weight=0.3,
             )
