@@ -92,15 +92,18 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
             )
         fl += m.enc_blocks * per_blk
     else:
-        # BiLSTM stack: per direction 2*T*B*(I*4H + H*4H)
+        # (Bi)LSTM stack: per direction 2*T*B*(I*4H + H*4H); streaming
+        # configs (enc_bidirectional=false) run one direction
+        ndir = 2 if m.enc_bidirectional else 1
         for _ in range(m.enc_base_layers):
-            fl += 2 * 2 * ti * b * (in_dim * 4 * h + h * 4 * h)
-            in_dim = 2 * h
+            fl += ndir * 2 * ti * b * (in_dim * 4 * h + h * 4 * h)
+            in_dim = ndir * h
         for _ in range(m.enc_layers):
             ti //= 2
-            fl += 2 * 2 * ti * b * (2 * in_dim * 4 * h + h * 4 * h)
-            in_dim = 2 * h
+            fl += ndir * 2 * ti * b * (2 * in_dim * 4 * h + h * 4 * h)
+            in_dim = ndir * h
     t_enc = ti
+    e_out = m.enc_out_dim
     if m.family == "transducer":
         # predictor LSTM over U+1 + the [T', U+1] joint grid
         u1 = u + 1
@@ -109,22 +112,22 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
             fl += 2 * u1 * b * (pin * 4 * m.pred_hidden
                                 + m.pred_hidden * 4 * m.pred_hidden)
             pin = m.pred_hidden
-        fl += 2 * b * t_enc * (2 * h) * m.joint_dim        # enc proj
+        fl += 2 * b * t_enc * e_out * m.joint_dim          # enc proj
         fl += 2 * b * u1 * m.pred_hidden * m.joint_dim     # pred proj
         fl += 2 * b * t_enc * u1 * m.joint_dim * m.vocab_size  # grid out
         return fl_front + 3.0 * fl
     # attention: key projection once; per decode step query/energy/context
-    fl += 2 * b * t_enc * (2 * h) * m.attn_dim
+    fl += 2 * b * t_enc * e_out * m.attn_dim
     per_step = (
         2 * b * m.dec_hidden * m.attn_dim            # query proj
         + 2 * b * t_enc * m.attn_conv_width * m.attn_conv_channels
         + 2 * b * t_enc * m.attn_conv_channels * m.attn_dim
         + 2 * b * t_enc * m.attn_dim                 # energies (v·tanh)
-        + 2 * b * t_enc * 2 * h                      # context
+        + 2 * b * t_enc * e_out                      # context
     )
     # speller LSTM + output projection
     dh = m.dec_hidden
-    dec_in = m.embed_dim + 2 * h
+    dec_in = m.embed_dim + e_out
     for layer in range(m.dec_layers):
         per_step += 2 * b * (dec_in * 4 * dh + dh * 4 * dh)
         dec_in = dh
