@@ -19,9 +19,11 @@ How exactness falls out (tested in tests/test_streaming_decode.py):
   (ops/recurrent.lstm ``return_state``); chunks are
   ``time_reduction``-aligned so the pyramid folds produce whole output
   frames per chunk (models/listener.listener_apply_stream);
-* decode: the frame-synchronous greedy carries (predictor state, output
-  buffer, score) across chunks (decode/transducer_greedy.py ``carry``) —
-  the concatenated chunk scans ARE the full-utterance scan.
+* decode: the frame-synchronous greedy (``beam_size=1``) or the
+  alignment-synchronous beam (``beam_size>1``, incl. shallow LM fusion)
+  carries its frame-scan state across chunks
+  (decode/transducer_greedy.py / transducer_beam.py ``carry``) — the
+  concatenated chunk scans ARE the full-utterance scan.
 
 Host-side Python drives the chunk loop; the per-chunk work is two jit
 functions (steady-state chunk + final partial chunk) compiled once for
@@ -61,6 +63,10 @@ class StreamingTranscriber:
         max_u: int,
         chunk_frames: int | None = None,
         max_symbols: int = 4,
+        beam_size: int = 1,
+        lm_params: dict | None = None,
+        lm_step_fn=None,
+        lm_weight: float = 0.0,
     ):
         m, f = cfg.model, cfg.frontend
         assert m.family == "transducer", "streaming decode is RNN-T-only"
@@ -86,9 +92,35 @@ class StreamingTranscriber:
         self._hop, self._n_fft = f.hop_length, f.n_fft
         self._chunk_samples = (self.chunk_frames - 1) * self._hop \
             + self._n_fft
+        self.beam_size = beam_size
         self._audio = np.zeros((0,), np.float32)
         self._enc_state = L.listener_stream_init(m, 1)
-        self._dec_carry = transducer_greedy_init(params, m, 1, max_u)
+        if beam_size > 1:
+            from semi_supervised_asr_tpu.decode.transducer_beam import (
+                transducer_beam_from_enc,
+            )
+
+            self._dec_carry = None    # the beam builds its own on chunk 1
+
+            def decode_chunk(enc, mask, dec_carry):
+                _, _, dec_carry = transducer_beam_from_enc(
+                    params, m, enc, mask, max_u, beam_size=beam_size,
+                    max_symbols=max_symbols, lm_params=lm_params,
+                    lm_step_fn=lm_step_fn, lm_weight=lm_weight,
+                    carry=dec_carry, return_carry=True,
+                )
+                return dec_carry
+        else:
+            self._dec_carry = transducer_greedy_init(params, m, 1, max_u)
+
+            def decode_chunk(enc, mask, dec_carry):
+                _, _, dec_carry = transducer_greedy_from_enc(
+                    params, m, enc, mask, max_u,
+                    max_symbols=max_symbols,
+                    carry=dec_carry, return_carry=True,
+                )
+                return dec_carry
+
         mean, inv_std = cmvn
 
         def chunk_step(enc_state, dec_carry, audio):
@@ -101,11 +133,7 @@ class StreamingTranscriber:
                 params["listener"], feats, m, enc_state
             )
             mask = jnp.ones((1, enc.shape[1]), bool)
-            _, _, dec_carry = transducer_greedy_from_enc(
-                params, m, enc, mask, max_u, max_symbols=max_symbols,
-                carry=dec_carry, return_carry=True,
-            )
-            return enc_state, dec_carry
+            return enc_state, decode_chunk(enc, mask, dec_carry)
 
         def final_step(enc_state, dec_carry, audio, n_samples):
             feats, flens = F.log_mel_features(
@@ -119,11 +147,7 @@ class StreamingTranscriber:
             for _ in range(m.enc_layers):
                 enc_valid = (enc_valid + 1) // 2
             mask = jnp.arange(enc.shape[1])[None, :] < enc_valid[:, None]
-            _, _, dec_carry = transducer_greedy_from_enc(
-                params, m, enc, mask, max_u, max_symbols=max_symbols,
-                carry=dec_carry, return_carry=True,
-            )
-            return dec_carry
+            return decode_chunk(enc, mask, dec_carry)
 
         self._chunk_step = jax.jit(chunk_step)
         self._final_step = jax.jit(final_step)
@@ -141,11 +165,24 @@ class StreamingTranscriber:
             # keep the n_fft - hop overlap the next frame window needs
             self._audio = self._audio[self.chunk_frames * self._hop:]
 
+    def _best(self) -> tuple[list[int], float]:
+        if self.beam_size > 1:
+            if self._dec_carry is None:
+                return [], 0.0
+            _, _, toks, count, scores, _, _ = self._dec_carry
+            k = int(np.argmax(np.asarray(scores)[0]))
+            out = np.asarray(toks)[0, k][: int(count[0, k])]
+            return [int(x) for x in out], float(scores[0, k])
+        _, _, out, count, score = self._dec_carry
+        return ([int(x) for x in np.asarray(out[0])[: int(count[0])]],
+                float(score[0]))
+
     @property
     def tokens(self) -> list[int]:
-        """Tokens emitted so far (monotone-growing between feeds)."""
-        _, _, out, count, _ = self._dec_carry
-        return [int(x) for x in np.asarray(out[0])[: int(count[0])]]
+        """Best tokens so far.  Greedy (beam_size 1): monotone-growing
+        between feeds.  Beam: the leading hypothesis, which may CHANGE
+        between feeds — only ``finalize``'s result is stable."""
+        return self._best()[0]
 
     def finalize(self) -> tuple[list[int], float]:
         """Flush the remainder (padded to a reduction-aligned chunk with
@@ -166,10 +203,9 @@ class StreamingTranscriber:
                 self._enc_state, self._dec_carry, jnp.asarray(audio),
                 jnp.asarray(rem, jnp.int32),
             )
-        _, _, out, count, score = self._dec_carry
-        toks = [int(x) for x in np.asarray(out[0])[: int(count[0])]]
+        toks, score = self._best()
         self._audio = np.zeros((0,), np.float32)
-        return toks, float(score[0])
+        return toks, score
 
 
 def stream_decode(
@@ -181,10 +217,16 @@ def stream_decode(
     chunk_frames: int | None = None,
     piece_samples: int | None = None,
     max_symbols: int = 4,
+    beam_size: int = 1,
+    lm_params: dict | None = None,
+    lm_step_fn=None,
+    lm_weight: float = 0.0,
 ) -> tuple[list[int], float]:
     """Decode ``audio`` by streaming it in ``piece_samples`` pieces."""
     st = StreamingTranscriber(
-        params, cfg, cmvn, max_u, chunk_frames, max_symbols
+        params, cfg, cmvn, max_u, chunk_frames, max_symbols,
+        beam_size=beam_size, lm_params=lm_params, lm_step_fn=lm_step_fn,
+        lm_weight=lm_weight,
     )
     n = piece_samples or len(audio)
     for s in range(0, len(audio), n):

@@ -53,10 +53,18 @@ def transducer_beam_from_enc(
     lm_step_fn=None,
     lm_weight: float = 0.0,
     return_nbest: bool = False,
+    carry: tuple | None = None,
+    return_carry: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """-> (tokens [B, max_u] PAD-padded best hypothesis, score [B]);
     ``return_nbest``: ([B, K, max_u], [B, K]) all hypotheses sorted by
-    score, best first."""
+    score, best first.
+
+    ``carry``/``return_carry``: resume/export the frame-scan state
+    (hypothesis lattice + predictor/LM states) so chunked streaming
+    beam decode is the SAME computation as the full-utterance scan
+    (decode/streaming.py; exactness tested).  Note the best hypothesis
+    may change between chunks — only the final result is stable."""
     b, t, _ = enc.shape
     k = beam_size
     v = cfg.vocab_size
@@ -75,30 +83,35 @@ def transducer_beam_from_enc(
     def unflat(x):
         return x.reshape((b, k) + x.shape[1:])
 
-    pred0, state0 = TD.predictor_step(
-        params["predictor"], jnp.full((b * k,), SOS, jnp.int32),
-        TD.predictor_init_state(cfg, b * k), cfg,
-    )
-    pred = unflat(pred0)                                   # [B, K, P]
-    state = tuple((unflat(h), unflat(c)) for h, c in state0)
-    toks = jnp.full((b, k, max_u), blank, jnp.int32)
-    count = jnp.zeros((b, k), jnp.int32)
-    # only hyp 0 is live at the start — K copies of the empty prefix
-    # would fill the beam with duplicates
-    scores = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
-
-    if use_lm:
-        # LM state leaves carry the row axis at dim 1 ([L, B*K, H] /
-        # [1, B*K]) — the models/lm.py beam contract (decode/beam.py)
-        lm_state = lm_step_fn(lm_params, None, None, init_batch=b * k)[0]
-        lm_state, lm_logits = lm_step_fn(
-            lm_params, lm_state, jnp.full((b * k,), SOS, jnp.int32)
-        )
-        lm_lp = unflat(jax.nn.log_softmax(
-            lm_logits.astype(jnp.float32), axis=-1
-        ))                                                 # [B, K, V]
+    if carry is not None:
+        pred, state, toks, count, scores, lm_state, lm_lp = carry
     else:
-        lm_state, lm_lp = None, None
+        pred0, state0 = TD.predictor_step(
+            params["predictor"], jnp.full((b * k,), SOS, jnp.int32),
+            TD.predictor_init_state(cfg, b * k), cfg,
+        )
+        pred = unflat(pred0)                               # [B, K, P]
+        state = tuple((unflat(h), unflat(c)) for h, c in state0)
+        toks = jnp.full((b, k, max_u), blank, jnp.int32)
+        count = jnp.zeros((b, k), jnp.int32)
+        # only hyp 0 is live at the start — K copies of the empty prefix
+        # would fill the beam with duplicates
+        scores = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
+
+        if use_lm:
+            # LM state leaves carry the row axis at dim 1 ([L, B*K, H] /
+            # [1, B*K]) — the models/lm.py beam contract (decode/beam.py)
+            lm_state = lm_step_fn(
+                lm_params, None, None, init_batch=b * k
+            )[0]
+            lm_state, lm_logits = lm_step_fn(
+                lm_params, lm_state, jnp.full((b * k,), SOS, jnp.int32)
+            )
+            lm_lp = unflat(jax.nn.log_softmax(
+                lm_logits.astype(jnp.float32), axis=-1
+            ))                                             # [B, K, V]
+        else:
+            lm_state, lm_lp = None, None
 
     def gather_k(x, idx):
         """Reorder [B, K, ...] by per-batch source indices [B, K]."""
@@ -234,10 +247,21 @@ def transducer_beam_from_enc(
         )
         return (pred, state, toks, count, scores, lm_state, lm_lp), None
 
-    (_, _, toks, count, scores, _, _), _ = jax.lax.scan(
+    final, _ = jax.lax.scan(
         frame, (pred, state, toks, count, scores, lm_state, lm_lp),
         (enc.swapaxes(0, 1), enc_mask.swapaxes(0, 1)),
     )
+    _, _, toks, count, scores, _, _ = final
+    if return_carry:
+        assert not return_nbest
+        best = jnp.argmax(scores, axis=1)
+        best_toks = jnp.take_along_axis(
+            toks, best[:, None, None], axis=1
+        )[:, 0]
+        best_score = jnp.take_along_axis(
+            scores, best[:, None], axis=1
+        )[:, 0]
+        return best_toks, best_score, final
     if return_nbest:
         order_scores, order = jax.lax.top_k(scores, k)     # [B, K] desc
         return gather_k(toks, order), order_scores

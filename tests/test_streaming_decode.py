@@ -115,6 +115,69 @@ class TestExactness:
         assert toks[: len(seen)] == seen
 
 
+class TestStreamingBeam:
+    def _full_beam(self, params, audio, k, lm_params=None, lm_w=0.0):
+        from semi_supervised_asr_tpu.decode.transducer_beam import (
+            transducer_beam_from_enc,
+        )
+        from semi_supervised_asr_tpu.models import lm as LMM
+
+        hop, n_fft = FCFG.hop_length, FCFG.n_fft
+        red = MCFG.time_reduction
+        n_frames = 1 + (len(audio) - n_fft) // hop
+        pad_frames = -(-n_frames // red) * red
+        need = (pad_frames - 1) * hop + n_fft
+        padded = np.zeros((need,), np.float32)
+        padded[: len(audio)] = audio
+        feats, flens = F.log_mel_features(
+            jnp.asarray(padded)[None], jnp.asarray([len(audio)]), FCFG,
+            jnp.asarray(CMVN[0]), jnp.asarray(CMVN[1]),
+        )
+        enc, mask = TD.encode(params, feats, flens, MCFG)
+        toks, score = transducer_beam_from_enc(
+            params, MCFG, enc, mask, MAX_U, beam_size=k,
+            lm_params=lm_params, lm_step_fn=LMM.lm_step if lm_params
+            else None, lm_weight=lm_w,
+        )
+        count = int((np.asarray(toks)[0] != 0).sum())
+        return ([int(x) for x in np.asarray(toks)[0][:count]],
+                float(score[0]))
+
+    @pytest.mark.parametrize("piece", [900, 10**9])
+    def test_streaming_beam_matches_full_beam(self, piece):
+        params = M.init_model(jax.random.PRNGKey(3), MCFG)
+        rng = np.random.default_rng(3)
+        audio = (rng.standard_normal(
+            30 * FCFG.hop_length + FCFG.n_fft + 31
+        ) * 0.5).astype(np.float32)
+        want = self._full_beam(params, audio, k=3)
+        got = stream_decode(params, CFG, CMVN, audio, MAX_U,
+                            piece_samples=piece, beam_size=3)
+        assert got[0] == want[0], (piece, got, want)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-4)
+
+    def test_streaming_beam_with_lm_fusion(self):
+        from semi_supervised_asr_tpu.models import lm as LMM
+
+        params = M.init_model(jax.random.PRNGKey(4), MCFG)
+        lm_params = LMM.init_lm(
+            jax.random.PRNGKey(5), MCFG.vocab_size, embed_dim=8,
+            hidden=8, layers=1,
+        )
+        rng = np.random.default_rng(4)
+        audio = (rng.standard_normal(
+            22 * FCFG.hop_length + FCFG.n_fft
+        ) * 0.5).astype(np.float32)
+        want = self._full_beam(params, audio, k=3,
+                               lm_params=lm_params, lm_w=0.4)
+        got = stream_decode(params, CFG, CMVN, audio, MAX_U,
+                            piece_samples=777, beam_size=3,
+                            lm_params=lm_params,
+                            lm_step_fn=LMM.lm_step, lm_weight=0.4)
+        assert got[0] == want[0], (got, want)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-4)
+
+
 class TestGuards:
     def test_rejects_non_streamable_configs(self):
         params = M.init_model(jax.random.PRNGKey(0), MCFG)
