@@ -245,6 +245,33 @@ def supervised_step_fn(
                     nll * real_mb.astype(jnp.float32)) / denom,
             }
 
+            if obj.lambda_mwer > 0.0:
+                from semi_supervised_asr_tpu.objectives import (
+                    transducer_mwer as TMWER,
+                )
+
+                def td_mwer_branch(_):
+                    return TMWER.mwer_loss_from_enc(
+                        params, cfg.model, obj, enc, enc_mask, tokens,
+                        max_symbols=cfg.decode.max_symbols,
+                    )
+
+                if obj.mwer_warmup_steps > 0:
+                    # same lax.cond gate as the LAS branch: the beam +
+                    # B*K lattice graph compiles once but does not
+                    # execute during warmup steps
+                    mwer, mean_risk = jax.lax.cond(
+                        state.step >= obj.mwer_warmup_steps,
+                        td_mwer_branch,
+                        lambda _: (jnp.zeros(()), jnp.zeros(())),
+                        operand=None,
+                    )
+                else:
+                    mwer, mean_risk = td_mwer_branch(None)
+                loss = loss + obj.lambda_mwer * mwer
+                metrics["mwer"] = mwer
+                metrics["mwer_risk"] = mean_risk
+
             from semi_supervised_asr_tpu.objectives import (
                 transducer_semi as TSEMI,
             )
@@ -454,16 +481,11 @@ def make_train_step(
 
     if cfg.model.family == "transducer":
         o = cfg.objective
-        unsupported = {
-            "objective.lambda_mwer": o.lambda_mwer,
-            "objective.lambda_ctc": o.lambda_ctc,
-        }
-        bad = [k for k, v in unsupported.items() if v]
-        assert not bad, (
-            f"model.family=transducer: disable {bad} (LAS-only — MWER "
-            "rescoring and the CTC aux head target the attention stack); "
-            "the semi-supervised terms (lambda_pseudo / lambda_text_ae) "
-            "ARE supported (objectives/transducer_semi.py)"
+        assert not o.lambda_ctc, (
+            "model.family=transducer: disable objective.lambda_ctc (the "
+            "CTC aux head targets the attention stack); the semi terms "
+            "(transducer_semi.py) and MWER (transducer_mwer.py) ARE "
+            "supported"
         )
         assert cfg.model.lm_fusion == "none", (
             "model.family=transducer has no LM fusion yet"

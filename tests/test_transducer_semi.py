@@ -7,7 +7,9 @@ The LAS semi-supervised contract, re-checked for the RNN-T family:
 * pseudo-label: stop-gradient through the teacher (zero teacher grads),
   the confidence filter can mask everything to an exact 0 loss;
 * the fused semi step runs end-to-end with both terms and learns;
-* MWER / CTC-aux stay rejected for the family.
+* MWER/MBR sequence training (objectives/transducer_mwer.py): beam
+  n-best + differentiable lattice rescoring + jit risks, warmup-gated;
+* CTC-aux stays rejected for the family.
 """
 
 import dataclasses as dc
@@ -207,12 +209,13 @@ class TestFusedSemiStep:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
 
-    def test_mwer_still_rejected(self):
+    def test_ctc_aux_still_rejected(self):
         cfg = CFG.replace(
-            objective=dc.replace(CFG.objective, lambda_mwer=0.1)
+            objective=dc.replace(CFG.objective, lambda_ctc=0.1)
         )
-        with pytest.raises(AssertionError, match="LAS-only"):
+        with pytest.raises(AssertionError, match="lambda_ctc"):
             TS.make_train_step(cfg)
+
 
     def test_gspmd_mesh_matches_single_device(self):
         """Semi-supervised transducer step under the 8-virtual-device
@@ -254,3 +257,86 @@ class TestFusedSemiStep:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4
             )
+
+
+class TestTransducerMWER:
+    """MBR sequence training for RNN-T (objectives/transducer_mwer.py):
+    beam n-best + differentiable lattice rescoring + jit edit-distance
+    risks, behind the LAS knobs."""
+
+    def test_loss_and_grads(self):
+        from semi_supervised_asr_tpu.models import transducer as TD
+        from semi_supervised_asr_tpu.objectives import (
+            transducer_mwer as TMWER,
+        )
+
+        obj = dc.replace(CFG.objective, lambda_mwer=1.0, mwer_beam=3)
+        tokens = _text([[5, 6, 7, 2], [8, 9, 2, 0]])
+        loss_grad = None
+
+        def loss(p, feats, lens):
+            enc, mask = TD.encode(p, feats, lens, MCFG)
+            l, risk = TMWER.mwer_loss_from_enc(
+                p, MCFG, obj, enc, mask, tokens
+            )
+            return l, risk
+
+        # a random model's n-best can tie in risk (expected risk is then
+        # EXACTLY zero by the variance-reduction baseline — correct, but
+        # gradient-free); scan seeds for a risk-diverse n-best
+        for seed in range(6):
+            params = M.init_model(jax.random.PRNGKey(seed), MCFG)
+            rng = np.random.default_rng(seed)
+            feats, lens = _feats(rng, t=32)
+            (val, risk), g = jax.value_and_grad(
+                loss, has_aux=True)(params, feats, lens)
+            assert np.isfinite(float(val)) and np.isfinite(float(risk))
+            assert float(risk) >= 0.0
+            if float(jnp.abs(g["joint"]["w_out"]).max()) > 0.0:
+                loss_grad = g
+                break
+        assert loss_grad is not None, (
+            "no seed produced a risk-diverse n-best"
+        )
+        assert any(
+            float(jnp.abs(x).max()) > 0.0
+            for x in jax.tree.leaves(loss_grad["listener"])
+        )
+
+    def test_train_step_with_mwer(self):
+        cfg = CFG.replace(objective=dc.replace(
+            ObjectiveConfig(), lambda_mwer=0.3, mwer_beam=2,
+        ))
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(1))
+        step = TS.make_train_step(cfg)
+        rng = np.random.default_rng(1)
+        audio = rng.standard_normal((2, 3040)).astype(np.float32) * 0.1
+        alens = np.full((2,), 3040, np.int32)
+        tokens = np.zeros((2, 6), np.int32)
+        tokens[:, :5] = rng.integers(4, 16, (2, 5))
+        tokens[:, 5] = 2
+        real = np.ones((2,), bool)
+        cmvn = (np.zeros(80, np.float32), np.ones(80, np.float32))
+        state, m = step(state, audio, alens, tokens, real, *cmvn)
+        assert "mwer" in m and "mwer_risk" in m
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["mwer_risk"]))
+
+    def test_warmup_gate(self):
+        cfg = CFG.replace(objective=dc.replace(
+            ObjectiveConfig(), lambda_mwer=0.3, mwer_beam=2,
+            mwer_warmup_steps=5,
+        ))
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(2))
+        step = TS.make_train_step(cfg)
+        rng = np.random.default_rng(2)
+        audio = rng.standard_normal((2, 3040)).astype(np.float32) * 0.1
+        alens = np.full((2,), 3040, np.int32)
+        tokens = np.zeros((2, 6), np.int32)
+        tokens[:, :5] = rng.integers(4, 16, (2, 5))
+        tokens[:, 5] = 2
+        real = np.ones((2,), bool)
+        cmvn = (np.zeros(80, np.float32), np.ones(80, np.float32))
+        state, m = step(state, audio, alens, tokens, real, *cmvn)
+        # step 0 < warmup: the gated branch contributes exactly zero
+        assert float(m["mwer"]) == 0.0 and float(m["mwer_risk"]) == 0.0
