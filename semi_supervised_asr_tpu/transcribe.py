@@ -154,6 +154,49 @@ def transcribe(solver, files: list[Path], mode: str,
     return results
 
 
+def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
+                         chunk_ms: int = 320) -> list[dict]:
+    """Decode each file through the EXACT streaming path — the audio is
+    fed in ``chunk_ms`` pieces to decode.streaming.StreamingTranscriber
+    (one utterance at a time; live-microphone shape, not the batched
+    bucket path).  LM fusion follows decode.lm_weight/lm_ckpt like the
+    offline beam."""
+    import numpy as np
+
+    from semi_supervised_asr_tpu.data.corpus import load_audio
+    from semi_supervised_asr_tpu.decode.streaming import (
+        StreamingTranscriber,
+    )
+
+    assert not solver.from_features, (
+        "streaming decodes raw audio; data.use_feature_store must be off"
+    )
+    cfg = solver.cfg
+    lm_params, lm_step = solver._lm()
+    params = solver.eval_params(require_ckpt=True)
+    sr = cfg.frontend.sample_rate
+    piece = max(int(sr * chunk_ms / 1000), 1)
+    results = []
+    for f in files:
+        audio = np.asarray(load_audio(f), np.float32)
+        st = StreamingTranscriber(
+            params, cfg, solver.cmvn, max_u=cfg.decode.max_decode_len,
+            max_symbols=cfg.decode.max_symbols, beam_size=beam_size,
+            lm_params=lm_params, lm_step_fn=lm_step,
+            lm_weight=cfg.decode.lm_weight,
+        )
+        for s in range(0, len(audio), piece):
+            st.feed(audio[s: s + piece])
+        toks, score = st.finalize()
+        results.append({
+            "audio": str(f),
+            "text": solver.vocab.decode_text(np.asarray(toks, np.int32)),
+            "score": score,
+            "streaming": True,
+        })
+    return results
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="semi_supervised_asr_tpu.transcribe")
     p.add_argument("--config", required=True)
@@ -165,6 +208,13 @@ def main(argv=None) -> int:
                    help="(beam) emit the top-N hypotheses per file")
     p.add_argument("--out", default=None, help="write jsonl here too")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--streaming", action="store_true",
+                   help="decode through the exact streaming path "
+                        "(StreamingTranscriber) in --stream-chunk-ms "
+                        "pieces — needs a causal transducer config "
+                        "(enc_bidirectional=false, frontend.center=false)")
+    p.add_argument("--stream-chunk-ms", type=int, default=320,
+                   help="simulated audio feed granularity (--streaming)")
     p.add_argument("inputs", nargs="+",
                    help="audio files (wav/npy/flac) and/or directories")
     args, overrides = p.parse_known_args(argv)
@@ -200,7 +250,17 @@ def main(argv=None) -> int:
     if not files:
         raise SystemExit("no audio files found")
     solver = Solver(cfg, args.load_dir, use_mesh=False)
-    results = transcribe(solver, files, mode, nbest=args.nbest)
+    if args.streaming:
+        if args.nbest > 1:
+            raise SystemExit("--streaming emits the single best path; "
+                             "drop --nbest")
+        results = transcribe_streaming(
+            solver, files, beam_size=cfg.decode.beam_size
+            if mode == "beam" else 1,
+            chunk_ms=args.stream_chunk_ms,
+        )
+    else:
+        results = transcribe(solver, files, mode, nbest=args.nbest)
     out_f = open(args.out, "w") if args.out else None
     for rec in results:
         line = json.dumps(rec)

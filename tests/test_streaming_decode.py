@@ -178,6 +178,58 @@ class TestStreamingBeam:
         np.testing.assert_allclose(got[1], want[1], rtol=1e-4)
 
 
+class TestTranscribeStreaming:
+    def test_cli_streaming_matches_offline(self, tmp_path):
+        """transcribe --streaming on a causal transducer produces the
+        same text as the offline greedy path (exactness through the
+        public CLI)."""
+        import json
+        import subprocess
+        import sys
+
+        from scipy.io import wavfile
+
+        from semi_supervised_asr_tpu.config import load_config
+        from semi_supervised_asr_tpu.training.solver import Solver
+
+        ovr = [
+            "model.family=transducer", "model.enc_bidirectional=false",
+            "frontend.center=false",
+            "model.pred_hidden=32", "model.joint_dim=32",
+            "model.embed_dim=16",
+            "data.num_synthetic_utts=8", "train.batch_size=4",
+            "train.total_steps=4", "train.eval_every=0",
+            "train.ckpt_every=4", "train.log_every=2",
+        ]
+        wd = tmp_path / "wd"
+        cfg = load_config("configs/synthetic_smoke.yaml", ovr)
+        solver = Solver(cfg, wd, use_mesh=False)
+        solver.train()
+        utt = solver.bundle.train[0]
+        wav = tmp_path / "a.wav"
+        wavfile.write(
+            wav, cfg.frontend.sample_rate,
+            np.clip(utt.audio * 32767, -32768, 32767).astype(np.int16),
+        )
+
+        def run(extra):
+            out = subprocess.run(
+                [sys.executable, "-m", "semi_supervised_asr_tpu.transcribe",
+                 "--config", "configs/synthetic_smoke.yaml",
+                 "--load-dir", str(wd), "--platform", "cpu",
+                 *extra, str(wav), *ovr],
+                capture_output=True, text=True,
+            )
+            assert out.returncode == 0, out.stderr[-2000:]
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        offline = run(["--beam", "1"])
+        streaming = run(["--beam", "1", "--streaming",
+                         "--stream-chunk-ms", "200"])
+        assert streaming["streaming"] is True
+        assert streaming["text"] == offline["text"], (streaming, offline)
+
+
 class TestGuards:
     def test_rejects_non_streamable_configs(self):
         params = M.init_model(jax.random.PRNGKey(0), MCFG)
