@@ -223,3 +223,64 @@ class TestLibriSpeechRunbook:
         res = json.loads(r.stdout.strip().splitlines()[-1])
         assert "wer" in res          # word-level WER beside CER for chars
         assert res["cer"] <= 0.35, res
+
+
+class TestTransducerRunbook:
+    def test_streaming_transducer_runbook(self, tmp_path):
+        """The RNN-T + streaming workflow exactly as documented
+        (docs/RECIPES.md "RNN-T transducer family"): preprocess ->
+        train a CAUSAL transducer -> --test (alignment-synchronous
+        beam) -> transcribe offline and --streaming (texts must agree:
+        the streaming path is exact) -> serving export of the beam."""
+        root, out = tmp_path / "LibriSpeech", tmp_path / "data"
+        wd = tmp_path / "runs"
+        build_ls_tree(root)
+
+        run(["semi_supervised_asr_tpu.data.preprocess", "librispeech",
+             "--root", str(root), "--out", str(out)])
+
+        ov = TINY + [
+            f"data.data_dir={out}", "train.total_steps=250",
+            "data.frame_buckets=[208]", "data.token_buckets=[16]",
+            "decode.max_decode_len=16", "frontend.spec_augment=false",
+            # the family + the streaming contract
+            "model.family=transducer", "model.enc_bidirectional=false",
+            "frontend.center=false",
+            "model.pred_hidden=64", "model.joint_dim=64",
+            "model.embed_dim=32", "decode.beam_size=3",
+        ]
+        run(["semi_supervised_asr_tpu.main", "--config",
+             "configs/ls100.yaml", "--train", "--workdir", str(wd),
+             "--platform", "cpu", "--"] + ov)
+
+        # beam-decode CER gate on the train split
+        r = run(["semi_supervised_asr_tpu.main", "--config",
+                 "configs/ls100.yaml", "--test", "--load-dir", str(wd),
+                 "--platform", "cpu", "--"] + ov +
+                ["data.test_split=train-clean-100"])
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        assert res["mode"] == "beam"
+        assert res["cer"] <= 0.5, res
+
+        # offline vs streaming transcribe agree on a real corpus file
+        flac = next((root / "train-clean-100").rglob("*.flac"))
+        r1 = run(["semi_supervised_asr_tpu.transcribe", "--config",
+                  "configs/ls100.yaml", "--load-dir", str(wd),
+                  "--platform", "cpu", "--beam", "1", str(flac)] + ov)
+        off = json.loads(r1.stdout.strip().splitlines()[-1])
+        r2 = run(["semi_supervised_asr_tpu.transcribe", "--config",
+                  "configs/ls100.yaml", "--load-dir", str(wd),
+                  "--platform", "cpu", "--beam", "1", "--streaming",
+                  "--stream-chunk-ms", "250", str(flac)] + ov)
+        stream = json.loads(r2.stdout.strip().splitlines()[-1])
+        assert stream["streaming"] is True
+        assert stream["text"] == off["text"], (stream, off)
+
+        # serving export bakes the transducer beam
+        exp = tmp_path / "exp"
+        run(["semi_supervised_asr_tpu.export", "--config",
+             "configs/ls100.yaml", "--load-dir", str(wd), "--out",
+             str(exp), "--batch", "2", "--frames", "208",
+             "--platform", "cpu"] + ov)
+        man = json.loads((exp / "manifest.json").read_text())
+        assert man["artifacts"][0]["mode"] == "beam"
