@@ -28,7 +28,7 @@ from semi_supervised_asr_tpu.models import seq2seq as M
 from semi_supervised_asr_tpu.models import transducer as TD
 from semi_supervised_asr_tpu.ops import frontend as F
 
-pytestmark = pytest.mark.quick
+# full-suite only: multi-minute fused-step / jit-heavy tests
 
 FCFG = FrontendConfig(center=False, cmvn="global", spec_augment=False)
 MCFG = ModelConfig(

@@ -23,7 +23,7 @@ from semi_supervised_asr_tpu.models import listener as L
 from semi_supervised_asr_tpu.models import seq2seq as M
 from semi_supervised_asr_tpu.training import train_step as TS
 
-pytestmark = pytest.mark.quick
+# full-suite only: multi-minute fused-step / jit-heavy tests
 
 MCFG = ModelConfig(
     n_mels=20, vocab_size=16, family="transducer",

@@ -28,7 +28,7 @@ from semi_supervised_asr_tpu.models import transducer as TD
 from semi_supervised_asr_tpu.objectives import transducer_semi as TSEMI
 from semi_supervised_asr_tpu.training import train_step as TS
 
-pytestmark = pytest.mark.quick
+# full-suite only: multi-minute fused-step / jit-heavy tests
 
 MCFG = ModelConfig(
     n_mels=80, vocab_size=16, family="transducer",
