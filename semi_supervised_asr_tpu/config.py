@@ -266,6 +266,8 @@ class DecodeConfig:
     length_penalty: float = 1.0       # score / len**penalty
     lm_weight: float = 0.0            # shallow-fusion LM weight
     lm_ckpt: str = ""                 # workdir of a trained LM (lm_trainer)
+    ilm_weight: float = 0.0           # transducer fusion: SUBTRACT the
+                                      # internal LM (HAT density ratio)
     coverage_weight: float = 0.0
     ctc_weight: float = 0.0           # joint CTC-attention rescoring of the
                                       # final beams (needs a CTC head)

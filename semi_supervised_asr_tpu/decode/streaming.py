@@ -67,6 +67,7 @@ class StreamingTranscriber:
         lm_params: dict | None = None,
         lm_step_fn=None,
         lm_weight: float = 0.0,
+        ilm_weight: float = 0.0,
     ):
         m, f = cfg.model, cfg.frontend
         assert m.family == "transducer", "streaming decode is RNN-T-only"
@@ -107,6 +108,7 @@ class StreamingTranscriber:
                     params, m, enc, mask, max_u, beam_size=beam_size,
                     max_symbols=max_symbols, lm_params=lm_params,
                     lm_step_fn=lm_step_fn, lm_weight=lm_weight,
+                    ilm_weight=ilm_weight,
                     carry=dec_carry, return_carry=True,
                 )
                 return dec_carry

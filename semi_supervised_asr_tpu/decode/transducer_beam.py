@@ -16,7 +16,11 @@ no LM term (the LM models the label sequence, not the alignment) — the
 standard RNN-T fusion rule.  Per-hypothesis LM state reorders with the
 beam; both LM archs work (the transformer LM's KV cache tracks PER-ROW
 positions — models/lm.py transformer_lm_step — because hypotheses emit
-different label counts per frame).
+different label counts per frame).  ``ilm_weight`` > 0 additionally
+SUBTRACTS the model's internal LM (predictor + zeroed-acoustics joint,
+objectives/transducer_semi.ilm_logits) from label emissions — the
+HAT/density-ratio correction (arXiv:2003.07705): the external LM should
+replace, not stack on, the prior the predictor already encodes.
 
 Known (documented) simplification vs. lattice-exact search: equal-prefix
 hypotheses reached along different alignments are NOT merged — the
@@ -52,6 +56,7 @@ def transducer_beam_from_enc(
     lm_params: dict | None = None,
     lm_step_fn=None,
     lm_weight: float = 0.0,
+    ilm_weight: float = 0.0,
     return_nbest: bool = False,
     carry: tuple | None = None,
     return_carry: bool = False,
@@ -160,6 +165,14 @@ def transducer_beam_from_enc(
             emit_cand = scores[..., None] + lp             # [B, K, V]
             if use_lm:
                 emit_cand = emit_cand + lm_weight * lm_lp
+            if ilm_weight > 0.0:
+                from semi_supervised_asr_tpu.objectives.transducer_semi \
+                    import ilm_logits
+
+                il = ilm_logits(params["joint"], flat(pred)[:, None, :])
+                il = il[:, 0].at[..., blank].set(-1e30)
+                ilm_lp = unflat(jax.nn.log_softmax(il, axis=-1))
+                emit_cand = emit_cand - ilm_weight * ilm_lp
             emit_cand = jnp.where(
                 can_emit[..., None] & (count[..., None] < max_u),
                 emit_cand, NEG_INF,

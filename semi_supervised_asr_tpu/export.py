@@ -88,6 +88,7 @@ def build_decode_fn(cfg, params, mode: str = "beam",
                 max_symbols=cfg.decode.max_symbols,
                 lm_params=lm_params, lm_step_fn=lm_step_fn,
                 lm_weight=cfg.decode.lm_weight,
+                ilm_weight=cfg.decode.ilm_weight,
             )
         enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
         max_u = max(1, min(

@@ -654,6 +654,7 @@ class Solver:
                         max_symbols=cfg.decode.max_symbols,
                         lm_params=lm_params, lm_step_fn=lm_step,
                         lm_weight=cfg.decode.lm_weight,
+                        ilm_weight=cfg.decode.ilm_weight,
                         return_nbest=nbest,
                     )
 

@@ -184,6 +184,7 @@ def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
             max_symbols=cfg.decode.max_symbols, beam_size=beam_size,
             lm_params=lm_params, lm_step_fn=lm_step,
             lm_weight=cfg.decode.lm_weight,
+            ilm_weight=cfg.decode.ilm_weight,
         )
         for s in range(0, len(audio), piece):
             st.feed(audio[s: s + piece])

@@ -47,9 +47,13 @@ def _enc_batch(rng, b=4, t=7):
 
 
 def _oracle_beam(params, cfg, enc_b, t_len, max_u, k, max_symbols=4,
-                 blank=0, lm_params=None, lm_weight=0.0):
+                 blank=0, lm_params=None, lm_weight=0.0,
+                 ilm_weight=0.0):
     """Explicit-list replay of the vectorized policy for ONE utterance."""
     from semi_supervised_asr_tpu.models import lm as LMM
+    from semi_supervised_asr_tpu.objectives.transducer_semi import (
+        ilm_logits,
+    )
 
     pred, state = TD.predictor_step(
         params["predictor"], jnp.array([1], jnp.int32),
@@ -83,12 +87,21 @@ def _oracle_beam(params, cfg, enc_b, t_len, max_u, k, max_symbols=4,
             for i, h in enumerate(hyps):          # emit candidates
                 if not h["can_emit"] or len(h["toks"]) >= max_u:
                     continue
+                if ilm_weight > 0.0:
+                    il = np.array(ilm_logits(
+                        params["joint"], h["pred"][:, None, :]
+                    ))[0, 0]
+                    il[blank] = -1e30
+                    ilm_lp = il - np.log(np.exp(il - il.max()).sum()) \
+                        - il.max()
                 for tok in range(v):
                     if tok == blank:
                         continue
                     s = h["score"] + h["_lp"][tok]
                     if lm_params is not None:
                         s += lm_weight * float(h["lm_lp"][tok])
+                    if ilm_weight > 0.0:
+                        s -= ilm_weight * float(ilm_lp[tok])
                     cands.append((s, i, tok))
             # stable top-k: score desc, pool order (freeze block first,
             # then emits by (hyp, token)) mirrors lax.top_k tie-breaking
@@ -212,6 +225,35 @@ class TestBeam:
             want_toks, want_sc = _oracle_beam(
                 params, CFG, enc[i], int(lens[i]), max_u, k,
                 lm_params=lm_params, lm_weight=w,
+            )
+            got = [int(x) for x in toks[i] if x != 0]
+            assert got == want_toks, (i, got, want_toks)
+            np.testing.assert_allclose(float(scores[i]), want_sc,
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_ilm_subtraction_matches_oracle(self):
+        """HAT density-ratio fusion: external LM added, internal LM
+        subtracted on label emissions only."""
+        from semi_supervised_asr_tpu.models import lm as LMM
+
+        params = M.init_model(jax.random.PRNGKey(8), CFG)
+        lm_params = LMM.init_lm(
+            jax.random.PRNGKey(9), CFG.vocab_size, embed_dim=8,
+            hidden=8, layers=1,
+        )
+        rng = np.random.default_rng(8)
+        enc, mask, lens = _enc_batch(rng, b=2, t=4)
+        max_u, k, w, iw = 6, 3, 0.4, 0.25
+        toks, scores = transducer_beam_from_enc(
+            params, CFG, enc, mask, max_u, beam_size=k,
+            lm_params=lm_params, lm_step_fn=LMM.lm_step, lm_weight=w,
+            ilm_weight=iw,
+        )
+        toks = np.asarray(toks)
+        for i in range(enc.shape[0]):
+            want_toks, want_sc = _oracle_beam(
+                params, CFG, enc[i], int(lens[i]), max_u, k,
+                lm_params=lm_params, lm_weight=w, ilm_weight=iw,
             )
             got = [int(x) for x in toks[i] if x != 0]
             assert got == want_toks, (i, got, want_toks)
