@@ -101,7 +101,12 @@ class ModelConfig:
     # blank/emit decode, no attention.  Supervised loss is the
     # transducer NLL; pseudo-label + internal-LM text terms via
     # objectives/transducer_semi.py; MWER/CTC-aux/scheduled sampling
-    # are LAS-only.
+    # are LAS-only.  "ctc" = encoder-only CTC (Graves 2006,
+    # models/ctc_model.py) — listener + one linear head, blank=PAD;
+    # best-path greedy + jit prefix beam search (decode/ctc_beam.py)
+    # with shallow LM fusion; pseudo-label term via
+    # objectives/ctc_semi.py (no text term: there is no decoder —
+    # unlabeled text goes into an external fusion LM instead).
     family: str = "las"
     # Transducer: prediction network + joint dims
     pred_hidden: int = 512

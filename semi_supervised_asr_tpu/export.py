@@ -90,6 +90,28 @@ def build_decode_fn(cfg, params, mode: str = "beam",
                 lm_weight=cfg.decode.lm_weight,
                 ilm_weight=cfg.decode.ilm_weight,
             )
+        if cfg.model.family == "ctc":
+            from semi_supervised_asr_tpu.models import ctc_model as CM
+
+            enc, enc_mask = CM.encode(params, feats, flens, cfg.model)
+            if mode == "greedy":
+                from semi_supervised_asr_tpu.decode.ctc import (
+                    ctc_greedy_from_enc,
+                )
+
+                return ctc_greedy_from_enc(params["ctc"], enc, enc_mask)
+            from semi_supervised_asr_tpu.decode.ctc_beam import (
+                ctc_beam_from_enc,
+            )
+
+            max_u = max(1, min(cfg.data.token_buckets[-1],
+                               cfg.decode.max_decode_len))
+            return ctc_beam_from_enc(
+                params["ctc"], enc, enc_mask, max_u,
+                beam_size=cfg.decode.beam_size,
+                lm_params=lm_params, lm_step_fn=lm_step_fn,
+                lm_weight=cfg.decode.lm_weight,
+            )
         enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
         max_u = max(1, min(
             cfg.data.token_buckets[-1],

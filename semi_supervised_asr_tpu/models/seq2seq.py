@@ -44,6 +44,10 @@ def init_model(key: jax.Array, cfg: ModelConfig):
         from semi_supervised_asr_tpu.models import transducer as TD
 
         return TD.init_transducer(key, cfg, dtype)
+    if cfg.family == "ctc":
+        from semi_supervised_asr_tpu.models import ctc_model as C
+
+        return C.init_ctc_model(key, cfg, dtype)
     assert cfg.family == "las", cfg.family
     k_enc, k_dec, k_ctc = jax.random.split(key, 3)
     enc_init, _ = _listener_fns(cfg)

@@ -53,18 +53,20 @@ def masked_ce(
     return jnp.sum(nll * mask) / denom, gold_lp
 
 
-def ctc_loss(
+def ctc_per_utt_nll(
     ctc_params: dict,
     enc: jax.Array,          # [B, T', 2H] encoder outputs
     enc_mask: jax.Array,     # [B, T'] bool
     tokens: jax.Array,       # [B, U] EOS-terminated, PAD-padded targets
-) -> jax.Array:
-    """CTC over the encoder (joint CTC-attention aux, Kim et al. 2017).
+) -> tuple[jax.Array, jax.Array]:
+    """Per-utterance CTC NLL -> (nll [B], n_labels [B] fp32).
 
     PAD (id 0) doubles as the CTC blank — labels never contain it (EOS is
-    stripped too: it is not an acoustic unit).  Token-normalized like the
-    attention CE; all-PAD rows (remainder duplicates) contribute nothing.
-    """
+    stripped too: it is not an acoustic unit).  Rows with zero labels
+    (all-PAD remainder duplicates) report n_labels == 0; callers weight
+    them out.  Shared by the joint CTC-attention aux (``ctc_loss``) and
+    the standalone CTC family's supervised/pseudo-label terms
+    (models/ctc_model.py, train_step family branch)."""
     import optax
 
     from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits
@@ -75,7 +77,20 @@ def ctc_loss(
     logit_pad = 1.0 - enc_mask.astype(jnp.float32)
     per_utt = optax.ctc_loss(logits, logit_pad, labels, label_pad,
                              blank_id=PAD)
-    n_labels = jnp.sum(1.0 - label_pad, axis=1)
+    return per_utt, jnp.sum(1.0 - label_pad, axis=1)
+
+
+def ctc_loss(
+    ctc_params: dict,
+    enc: jax.Array,          # [B, T', 2H] encoder outputs
+    enc_mask: jax.Array,     # [B, T'] bool
+    tokens: jax.Array,       # [B, U] EOS-terminated, PAD-padded targets
+) -> jax.Array:
+    """CTC over the encoder (joint CTC-attention aux, Kim et al. 2017).
+
+    Token-normalized like the attention CE; all-PAD rows (remainder
+    duplicates) contribute nothing."""
+    per_utt, n_labels = ctc_per_utt_nll(ctc_params, enc, enc_mask, tokens)
     live = (n_labels > 0).astype(jnp.float32)
     return jnp.sum(per_utt * live) / jnp.maximum(jnp.sum(n_labels), 1.0)
 

@@ -551,6 +551,20 @@ class Solver:
                         max_u_of(enc.shape[1]),
                         max_symbols=cfg.decode.max_symbols,
                     )
+                if cfg.model.family == "ctc":
+                    from semi_supervised_asr_tpu.decode.ctc import (
+                        ctc_greedy_from_enc,
+                    )
+                    from semi_supervised_asr_tpu.models import (
+                        ctc_model as CM,
+                    )
+
+                    enc, enc_mask = CM.encode(
+                        params, feats, flens, cfg.model
+                    )
+                    return ctc_greedy_from_enc(
+                        params["ctc"], enc, enc_mask
+                    )
                 enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
                 return greedy_decode_from_enc(
                     params["speller"], cfg.model, enc, enc_mask, keys,
@@ -561,6 +575,9 @@ class Solver:
         return self._decode_fns["greedy"]
 
     def _ctc_fn(self):
+        if self.cfg.model.family == "ctc":
+            # the family's greedy IS CTC best-path decode
+            return self._greedy_fn()
         if "ctc" not in self._decode_fns:
             cfg = self.cfg
             assert "ctc" in self.state.params, (
@@ -622,6 +639,43 @@ class Solver:
 
             feat_fn = (TS.featurize_precomputed if self.from_features
                        else TS.featurize)
+
+            if cfg.model.family == "ctc":
+                from semi_supervised_asr_tpu.decode.ctc_beam import (
+                    ctc_beam_from_enc,
+                )
+                from semi_supervised_asr_tpu.models import ctc_model as CM
+
+                if cfg.decode.ctc_weight > 0.0:
+                    self.log.info(
+                        "WARNING: decode.ctc_weight rescoring is LAS-only "
+                        "— the CTC family's beam IS the CTC score"
+                    )
+
+                def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
+                    feats, flens = feat_fn(
+                        cfg, audio, audio_lens, (cmvn_mean, cmvn_std),
+                        None, False,
+                    )
+                    enc, enc_mask = CM.encode(
+                        params, feats, flens, cfg.model
+                    )
+                    max_u = max(1, min(
+                        cfg.data.token_buckets[-1],
+                        cfg.decode.max_decode_len,
+                        int(cfg.decode.max_decode_ratio * enc.shape[1])
+                        if cfg.decode.max_decode_ratio > 0 else 10**9,
+                    ))
+                    return ctc_beam_from_enc(
+                        params["ctc"], enc, enc_mask, max_u,
+                        beam_size=cfg.decode.beam_size,
+                        lm_params=lm_params, lm_step_fn=lm_step,
+                        lm_weight=cfg.decode.lm_weight,
+                        return_nbest=nbest,
+                    )
+
+                self._decode_fns[key] = self._jit_decode(fn)
+                return self._decode_fns[key]
 
             if cfg.model.family == "transducer":
                 from semi_supervised_asr_tpu.decode.transducer_beam import (

@@ -189,6 +189,57 @@ def supervised_step_fn(
         k_feat, k_tf, k_pl_feat, k_pl = jax.random.split(key, 4)
         feats, flens = feat_fn(cfg, audio, audio_lens, cmvn, k_feat, True)
 
+        if cfg.model.family == "ctc":
+            # Encoder-only CTC NLL (models/ctc_model.py) — same
+            # listener/frontend/mesh infrastructure; the head IS the
+            # LAS family's aux head, so the loss code is shared too.
+            from semi_supervised_asr_tpu.models import ctc_model as CM
+            from semi_supervised_asr_tpu.objectives.losses import (
+                ctc_per_utt_nll,
+            )
+
+            real_mb = mb["real"]
+            enc, enc_mask = CM.encode(
+                params, feats, flens, cfg.model, train=True,
+                dropout_rng=k_tf, remat=cfg.train.remat_encoder,
+            )
+            nll, n_labels = ctc_per_utt_nll(
+                params["ctc"], enc, enc_mask, tokens
+            )
+            w = real_mb.astype(jnp.float32) * (n_labels > 0)
+            loss = jnp.sum(nll * w) / jnp.maximum(
+                jnp.sum(n_labels * w), 1.0
+            )
+            metrics = {"nll_per_label": loss}
+
+            if obj.lambda_pseudo > 0.0 and unlab_audio is not None:
+                from semi_supervised_asr_tpu.objectives.ctc_semi import (
+                    ctc_pseudo_label_loss,
+                )
+
+                teacher = (state.ema_params if obj.use_ema_teacher
+                           else params)
+                if cfg.train.bf16_weight_stream and obj.use_ema_teacher:
+                    teacher = _bf16_floats(teacher)  # decode-only
+                clean, clens = feat_fn(
+                    cfg, unlab_audio, unlab_audio_lens, cmvn, None, False
+                )
+                augmented, _ = feat_fn(
+                    cfg, unlab_audio, unlab_audio_lens, cmvn, k_pl_feat,
+                    True,
+                )
+                pl = ctc_pseudo_label_loss(
+                    params, teacher, cfg.model, obj, clean, augmented,
+                    clens, dropout_rng=k_pl, row_mask=mb.get("unlab_real"),
+                )
+                gate = (state.step >= obj.pseudo_warmup_steps).astype(
+                    jnp.float32
+                )
+                loss = loss + obj.lambda_pseudo * gate * pl
+                metrics["pseudo"] = pl
+                metrics["pseudo_gate"] = gate
+            return loss, metrics
+
         if cfg.model.family == "transducer":
             # RNN-T supervised NLL (models/transducer.py) — same
             # listener/frontend/mesh infrastructure, no speller.
@@ -478,6 +529,26 @@ def make_train_step(
     in place.
     """
     opt = schedules.make_optimizer(cfg.train)
+
+    if cfg.model.family == "ctc":
+        o = cfg.objective
+        assert not o.lambda_ctc, (
+            "model.family=ctc: the CTC head IS the model — leave "
+            "objective.lambda_ctc at 0 (it is the joint CTC-ATTENTION "
+            "aux weight for the LAS family)"
+        )
+        assert not o.lambda_text_ae, (
+            "model.family=ctc has no decoder to train on unlabeled text "
+            "— use lambda_pseudo for unlabeled audio, and unlabeled text "
+            "via an external LM (lm_trainer + decode.lm_weight fusion)"
+        )
+        assert not o.lambda_mwer, (
+            "model.family=ctc has no MWER term yet"
+        )
+        assert cfg.model.lm_fusion == "none", (
+            "deep/cold LM fusion is LAS-only; the CTC family fuses "
+            "SHALLOW at decode time (decode.lm_weight)"
+        )
 
     if cfg.model.family == "transducer":
         o = cfg.objective

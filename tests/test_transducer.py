@@ -194,14 +194,21 @@ class TestTraining:
             np.testing.assert_allclose(a, b_, atol=1e-4)
 
     def test_las_objectives_rejected(self):
+        """MWER and the semi terms are transducer-supported now
+        (objectives/transducer_{mwer,semi}.py); the remaining LAS-only
+        pieces — the CTC aux head and deep/cold LM fusion — must still
+        be refused."""
         cfg = _cfg()
         bad = dc.replace(
-            cfg, objective=dc.replace(cfg.objective, lambda_mwer=0.5)
+            cfg, objective=dc.replace(cfg.objective, lambda_ctc=0.5)
         )
-        with pytest.raises(AssertionError, match="supervised NLL only"):
+        with pytest.raises(AssertionError, match="lambda_ctc"):
             TS.make_train_step(bad)
-        with pytest.raises(AssertionError, match="supervised NLL only"):
-            TS.make_train_step(cfg, semi_supervised=True)
+        bad = dc.replace(
+            cfg, model=dc.replace(cfg.model, lm_fusion="deep")
+        )
+        with pytest.raises(AssertionError, match="no LM fusion"):
+            TS.make_train_step(bad)
 
 
 class TestMesh:
