@@ -63,3 +63,58 @@ def ctc_greedy_from_enc(
         jnp.arange(t + 1)[None, :] == n_out[:, None], EOS, widened
     )
     return out[:, : t], best_lp
+
+
+def ctc_greedy_stream_init(b: int, max_u: int) -> tuple:
+    """Carry for ``ctc_greedy_stream``: (prev path id, tokens, count,
+    score).  prev starts at PAD — the collapse never keeps a PAD frame,
+    so a real first token is never suppressed."""
+    return (
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b, max_u), PAD, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.float32),
+    )
+
+
+def ctc_greedy_stream(
+    ctc_params: dict,
+    enc: jax.Array,        # [B, T', enc_out_dim] (a chunk is fine)
+    enc_mask: jax.Array,   # [B, T'] bool
+    max_u: int,
+    carry: tuple,
+) -> tuple:
+    """Best-path greedy as a resumable frame scan -> new carry.
+
+    The same collapse as ``ctc_greedy_from_enc`` expressed as a scan
+    whose carry crosses chunk boundaries (the previous chunk's last
+    path id decides whether the next chunk's first frame is a repeat),
+    so chunked decoding IS the full-utterance decode
+    (decode/streaming.py; equality tested in tests/test_ctc_stream.py).
+    Emits at most ``max_u`` tokens (the batch variant is uncapped — its
+    output rows are frame-width)."""
+    logits = ctc_head_logits(ctc_params, enc)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    path = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T']
+    lp_max = jnp.max(logp, axis=-1)                       # [B, T']
+
+    def frame(c, inp):
+        prev, out, count, score = c
+        p, lp, valid = inp
+        emit = valid & (p != PAD) & (p != prev) & (count < max_u)
+        out = jnp.where(
+            (jnp.arange(out.shape[1])[None, :] == count[:, None])
+            & emit[:, None],
+            p[:, None], out,
+        )
+        count = count + emit.astype(jnp.int32)
+        prev = jnp.where(valid, p, prev)
+        score = score + jnp.where(valid, lp, 0.0)
+        return (prev, out, count, score), None
+
+    carry, _ = jax.lax.scan(
+        frame, carry,
+        (path.swapaxes(0, 1), lp_max.swapaxes(0, 1),
+         enc_mask.swapaxes(0, 1)),
+    )
+    return carry

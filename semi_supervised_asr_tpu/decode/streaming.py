@@ -1,10 +1,11 @@
-"""Exact chunked streaming inference for the streaming transducer.
+"""Exact chunked streaming inference (transducer and CTC families).
 
 The deployment story the causal stack exists for: feed raw audio in
 arbitrary pieces, get tokens out incrementally, and the result is THE
 SAME computation as the full-utterance decode — not an approximation.
-Requirements (asserted): ``model.family=transducer``,
-``model.enc_bidirectional=false``, ``model.conv_subsample=0``,
+Requirements (asserted): a frame-synchronous family
+(``model.family=transducer`` or ``ctc`` — LAS attention reads the full
+utterance), ``model.enc_bidirectional=false``, ``model.conv_subsample=0``,
 ``frontend.center=false`` (VALID framing: frame t covers samples
 [t*hop, t*hop + n_fft) — reflect-padded center framing is inherently
 non-causal), ``frontend.cmvn=global`` (per-frame, precomputed stats).
@@ -23,7 +24,10 @@ How exactness falls out (tested in tests/test_streaming_decode.py):
   alignment-synchronous beam (``beam_size>1``, incl. shallow LM fusion)
   carries its frame-scan state across chunks
   (decode/transducer_greedy.py / transducer_beam.py ``carry``) — the
-  concatenated chunk scans ARE the full-utterance scan.
+  concatenated chunk scans ARE the full-utterance scan.  The CTC family
+  streams the same way: best-path greedy via decode/ctc.ctc_greedy_stream
+  (the collapse's previous-path-id crosses the boundary in the carry)
+  and the prefix beam via decode/ctc_beam.py ``carry``.
 
 Host-side Python drives the chunk loop; the per-chunk work is two jit
 functions (steady-state chunk + final partial chunk) compiled once for
@@ -70,7 +74,13 @@ class StreamingTranscriber:
         ilm_weight: float = 0.0,
     ):
         m, f = cfg.model, cfg.frontend
-        assert m.family == "transducer", "streaming decode is RNN-T-only"
+        assert m.family in ("transducer", "ctc"), (
+            "streaming decode needs a frame-synchronous family "
+            "(transducer or ctc) — LAS attention reads the full utterance"
+        )
+        assert m.family == "transducer" or ilm_weight == 0.0, (
+            "ilm_weight is transducer-only (HAT internal-LM correction)"
+        )
         assert not m.enc_bidirectional, (
             "streaming needs model.enc_bidirectional=false"
         )
@@ -94,9 +104,36 @@ class StreamingTranscriber:
         self._chunk_samples = (self.chunk_frames - 1) * self._hop \
             + self._n_fft
         self.beam_size = beam_size
+        self._lm_weight = lm_weight
         self._audio = np.zeros((0,), np.float32)
         self._enc_state = L.listener_stream_init(m, 1)
-        if beam_size > 1:
+        if m.family == "ctc" and beam_size > 1:
+            from semi_supervised_asr_tpu.decode.ctc_beam import (
+                ctc_beam_from_enc,
+            )
+
+            self._dec_carry = None    # the beam builds its own on chunk 1
+
+            def decode_chunk(enc, mask, dec_carry):
+                _, _, dec_carry = ctc_beam_from_enc(
+                    params["ctc"], enc, mask, max_u, beam_size=beam_size,
+                    lm_params=lm_params, lm_step_fn=lm_step_fn,
+                    lm_weight=lm_weight,
+                    carry=dec_carry, return_carry=True,
+                )
+                return dec_carry
+        elif m.family == "ctc":
+            from semi_supervised_asr_tpu.decode.ctc import (
+                ctc_greedy_stream, ctc_greedy_stream_init,
+            )
+
+            self._dec_carry = ctc_greedy_stream_init(1, max_u)
+
+            def decode_chunk(enc, mask, dec_carry):
+                return ctc_greedy_stream(
+                    params["ctc"], enc, mask, max_u, dec_carry
+                )
+        elif beam_size > 1:
             from semi_supervised_asr_tpu.decode.transducer_beam import (
                 transducer_beam_from_enc,
             )
@@ -168,14 +205,23 @@ class StreamingTranscriber:
             self._audio = self._audio[self.chunk_frames * self._hop:]
 
     def _best(self) -> tuple[list[int], float]:
+        ctc = self.cfg.model.family == "ctc"
         if self.beam_size > 1:
             if self._dec_carry is None:
                 return [], 0.0
-            _, _, toks, count, scores, _, _ = self._dec_carry
+            if ctc:
+                toks, count, _, pb, pnb, lm_score, _, _ = self._dec_carry
+                scores = np.logaddexp(np.asarray(pb), np.asarray(pnb)) \
+                    + self._lm_weight * np.asarray(lm_score)
+            else:
+                _, _, toks, count, scores, _, _ = self._dec_carry
             k = int(np.argmax(np.asarray(scores)[0]))
             out = np.asarray(toks)[0, k][: int(count[0, k])]
-            return [int(x) for x in out], float(scores[0, k])
-        _, _, out, count, score = self._dec_carry
+            return [int(x) for x in out], float(np.asarray(scores)[0, k])
+        if ctc:
+            _, out, count, score = self._dec_carry
+        else:
+            _, _, out, count, score = self._dec_carry
         return ([int(x) for x in np.asarray(out[0])[: int(count[0])]],
                 float(score[0]))
 

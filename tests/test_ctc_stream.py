@@ -1,0 +1,188 @@
+"""Exact chunked streaming for the CTC family (decode/streaming.py).
+
+Mirrors tests/test_streaming_decode.py for model.family=ctc: streaming
+an utterance in ANY piece sizes produces the SAME tokens (and score to
+fp tolerance) as the full-utterance featurize -> encode -> decode path,
+for best-path greedy AND the prefix beam (with and without LM fusion).
+Plus the scan-form greedy's standalone equality with the batch collapse.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_supervised_asr_tpu.config import (
+    Config, FrontendConfig, ModelConfig, ObjectiveConfig, TrainConfig,
+)
+from semi_supervised_asr_tpu.decode.ctc import (
+    ctc_greedy_from_enc, ctc_greedy_stream, ctc_greedy_stream_init,
+)
+from semi_supervised_asr_tpu.decode.ctc_beam import ctc_beam_from_enc
+from semi_supervised_asr_tpu.decode.streaming import stream_decode
+from semi_supervised_asr_tpu.models import ctc_model as CM
+from semi_supervised_asr_tpu.models import seq2seq as M
+from semi_supervised_asr_tpu.ops import frontend as F
+
+# full-suite only (multi-minute jit-heavy cases live in TestStream);
+# the pure scan-vs-batch unit below is quick
+
+FCFG = FrontendConfig(center=False, cmvn="global", spec_augment=False)
+MCFG = ModelConfig(
+    n_mels=80, vocab_size=16, family="ctc",
+    enc_hidden=16, enc_layers=2, enc_base_layers=1,
+    enc_bidirectional=False, conv_subsample=0,
+    attn_dim=8, attn_conv_channels=4, attn_conv_width=5,
+    dec_hidden=8, compute_dtype="float32",
+)
+CFG = Config(frontend=FCFG, model=MCFG, objective=ObjectiveConfig(),
+             train=TrainConfig())
+CMVN = (np.zeros(80, np.float32), np.ones(80, np.float32))
+MAX_U = 24
+
+
+@pytest.mark.quick
+class TestScanForm:
+    def test_stream_scan_equals_batch_collapse(self, rng):
+        """One full-utterance pass of the scan form == the batch
+        argmax+collapse (same tokens, same score)."""
+        b, t, v = 4, 17, 9
+        enc = jnp.asarray(rng.standard_normal((b, t, v)), jnp.float32)
+        # keep class 2 (EOS) out of the argmax path: the batch variant
+        # terminates rows with EOS, which would be ambiguous with an
+        # emitted id-2 token (real models never emit it — untrained class)
+        enc = enc.at[..., 2].add(-100.0)
+        head = {"w": jnp.eye(v, dtype=jnp.float32),
+                "b": jnp.zeros((v,), jnp.float32)}
+        lens = np.array([17, 11, 5, 1])
+        mask = jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]
+        batch_out, batch_lp = ctc_greedy_from_enc(head, enc, mask)
+        carry = ctc_greedy_stream(
+            head, enc, mask, t, ctc_greedy_stream_init(b, t)
+        )
+        _, out, count, score = carry
+        for i in range(b):
+            want = [int(x) for x in np.asarray(batch_out)[i]
+                    if x not in (0, 2)]
+            got = [int(x) for x in np.asarray(out)[i][: int(count[i])]]
+            assert got == want, (i, got, want)
+        np.testing.assert_allclose(np.asarray(score), np.asarray(batch_lp),
+                                   rtol=1e-5)
+
+    def test_split_scan_equals_full_scan(self, rng):
+        """Chunked scan with carried state == one scan (the boundary
+        repeat-collapse is what the carry exists for)."""
+        b, t, v = 2, 20, 6
+        # low-entropy logits -> frequent repeats across the split point
+        enc = jnp.asarray(rng.standard_normal((b, t, v)) * 0.3, jnp.float32)
+        head = {"w": jnp.eye(v, dtype=jnp.float32),
+                "b": jnp.zeros((v,), jnp.float32)}
+        mask = jnp.ones((b, t), bool)
+        full = ctc_greedy_stream(
+            head, enc, mask, MAX_U, ctc_greedy_stream_init(b, MAX_U)
+        )
+        for cut in (1, 7, 13, 19):
+            c = ctc_greedy_stream(
+                head, enc[:, :cut], mask[:, :cut], MAX_U,
+                ctc_greedy_stream_init(b, MAX_U),
+            )
+            c = ctc_greedy_stream(head, enc[:, cut:], mask[:, cut:],
+                                  MAX_U, c)
+            for a, b_ in zip(jax.tree.leaves(full), jax.tree.leaves(c)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                           rtol=1e-6)
+
+
+def _full_decode(params, audio, beam=1, lm=None):
+    """The non-streaming reference: one featurize + encode + decode."""
+    hop, n_fft = FCFG.hop_length, FCFG.n_fft
+    red = MCFG.time_reduction
+    n_frames = 1 + (len(audio) - n_fft) // hop
+    pad_frames = -(-n_frames // red) * red
+    need = (pad_frames - 1) * hop + n_fft
+    padded = np.zeros((need,), np.float32)
+    padded[: len(audio)] = audio
+    feats, flens = F.log_mel_features(
+        jnp.asarray(padded)[None], jnp.asarray([len(audio)]), FCFG,
+        jnp.asarray(CMVN[0]), jnp.asarray(CMVN[1]),
+    )
+    enc, mask = CM.encode(params, feats, flens, MCFG)
+    if beam > 1:
+        lm_params, lm_step, lm_w = lm if lm else (None, None, 0.0)
+        toks, score = ctc_beam_from_enc(
+            params["ctc"], enc, mask, MAX_U, beam_size=beam,
+            lm_params=lm_params, lm_step_fn=lm_step, lm_weight=lm_w,
+        )
+        count = int((np.asarray(toks)[0] != 0).sum())
+        return ([int(x) for x in np.asarray(toks)[0][:count]],
+                float(score[0]))
+    toks, score = ctc_greedy_from_enc(params["ctc"], enc, mask)
+    return ([int(x) for x in np.asarray(toks)[0] if x not in (0, 2)],
+            float(score[0]))
+
+
+class TestStream:
+    @pytest.mark.parametrize("piece", [400, 2560, 10**9])
+    def test_greedy_any_piece_size_matches_full(self, piece):
+        params = M.init_model(jax.random.PRNGKey(0), MCFG)
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal(
+            38 * FCFG.hop_length + FCFG.n_fft + 57
+        ) * 0.5).astype(np.float32)
+        want_toks, want_score = _full_decode(params, audio)
+        got_toks, got_score = stream_decode(
+            params, CFG, CMVN, audio, MAX_U, piece_samples=piece
+        )
+        assert got_toks == want_toks, (piece, got_toks, want_toks)
+        np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
+
+    @pytest.mark.parametrize("piece", [1000, 10**9])
+    def test_beam_matches_full(self, piece):
+        params = M.init_model(jax.random.PRNGKey(1), MCFG)
+        rng = np.random.default_rng(1)
+        audio = (rng.standard_normal(
+            30 * FCFG.hop_length + FCFG.n_fft + 13
+        ) * 0.5).astype(np.float32)
+        want_toks, want_score = _full_decode(params, audio, beam=4)
+        got_toks, got_score = stream_decode(
+            params, CFG, CMVN, audio, MAX_U, piece_samples=piece,
+            beam_size=4,
+        )
+        assert got_toks == want_toks, (piece, got_toks, want_toks)
+        np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
+
+    def test_beam_with_lm_matches_full(self):
+        from semi_supervised_asr_tpu.models import lm as LMM
+
+        params = M.init_model(jax.random.PRNGKey(2), MCFG)
+        lm_params = LMM.init_lm(jax.random.PRNGKey(7), MCFG.vocab_size,
+                                embed_dim=8, hidden=16, layers=1)
+        rng = np.random.default_rng(2)
+        audio = (rng.standard_normal(
+            22 * FCFG.hop_length + FCFG.n_fft
+        ) * 0.5).astype(np.float32)
+        w = 0.5
+        want_toks, want_score = _full_decode(
+            params, audio, beam=3, lm=(lm_params, LMM.lm_step, w)
+        )
+        got_toks, got_score = stream_decode(
+            params, CFG, CMVN, audio, MAX_U, piece_samples=900,
+            beam_size=3, lm_params=lm_params, lm_step_fn=LMM.lm_step,
+            lm_weight=w,
+        )
+        assert got_toks == want_toks
+        np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
+
+    def test_las_rejected(self):
+        import dataclasses as dc
+
+        from semi_supervised_asr_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        las = dc.replace(CFG, model=dc.replace(MCFG, family="las",
+                                               enc_bidirectional=True))
+        params = M.init_model(jax.random.PRNGKey(0), MCFG)
+        with pytest.raises(AssertionError, match="frame-synchronous"):
+            StreamingTranscriber(params, las, CMVN, MAX_U)
