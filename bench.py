@@ -116,6 +116,10 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
         fl += 2 * b * u1 * m.pred_hidden * m.joint_dim     # pred proj
         fl += 2 * b * t_enc * u1 * m.joint_dim * m.vocab_size  # grid out
         return fl_front + 3.0 * fl
+    if m.family == "ctc":
+        # encoder-only: one linear head past the listener
+        fl += 2 * b * t_enc * e_out * m.vocab_size
+        return fl_front + 3.0 * fl
     # attention: key projection once; per decode step query/energy/context
     fl += 2 * b * t_enc * e_out * m.attn_dim
     per_step = (

@@ -212,6 +212,32 @@ def supervised_step_fn(
             )
             metrics = {"nll_per_label": loss}
 
+            if obj.lambda_mwer > 0.0:
+                from semi_supervised_asr_tpu.objectives import (
+                    ctc_mwer as CMWER,
+                )
+
+                def ctc_mwer_branch(_):
+                    return CMWER.mwer_loss_from_enc(
+                        params, cfg.model, obj, enc, enc_mask, tokens,
+                    )
+
+                if obj.mwer_warmup_steps > 0:
+                    # same lax.cond gate as the other families: the beam
+                    # + B*K rescoring graph compiles once but does not
+                    # execute during warmup steps
+                    mwer, mean_risk = jax.lax.cond(
+                        state.step >= obj.mwer_warmup_steps,
+                        ctc_mwer_branch,
+                        lambda _: (jnp.zeros(()), jnp.zeros(())),
+                        operand=None,
+                    )
+                else:
+                    mwer, mean_risk = ctc_mwer_branch(None)
+                loss = loss + obj.lambda_mwer * mwer
+                metrics["mwer"] = mwer
+                metrics["mwer_risk"] = mean_risk
+
             if obj.lambda_pseudo > 0.0 and unlab_audio is not None:
                 from semi_supervised_asr_tpu.objectives.ctc_semi import (
                     ctc_pseudo_label_loss,
@@ -541,9 +567,6 @@ def make_train_step(
             "model.family=ctc has no decoder to train on unlabeled text "
             "— use lambda_pseudo for unlabeled audio, and unlabeled text "
             "via an external LM (lm_trainer + decode.lm_weight fusion)"
-        )
-        assert not o.lambda_mwer, (
-            "model.family=ctc has no MWER term yet"
         )
         assert cfg.model.lm_fusion == "none", (
             "deep/cold LM fusion is LAS-only; the CTC family fuses "

@@ -140,7 +140,6 @@ class TestTraining:
         for field, msg in [
             ("lambda_ctc", "IS the model"),
             ("lambda_text_ae", "no decoder"),
-            ("lambda_mwer", "no MWER"),
         ]:
             bad = dc.replace(
                 cfg, objective=dc.replace(cfg.objective, **{field: 0.5})
@@ -152,6 +151,32 @@ class TestTraining:
         )
         with pytest.raises(AssertionError, match="SHALLOW"):
             TS.make_train_step(bad)
+
+
+class TestMWER:
+    def test_expected_risk_falls(self):
+        """CE warmup then the MWER term: the n-best expected edit
+        distance drops once the gate opens (objectives/ctc_mwer.py)."""
+        obj = ObjectiveConfig(lambda_mwer=0.3, mwer_beam=3,
+                              mwer_warmup_steps=120)
+        cfg = _cfg(obj=obj, learning_rate=3e-3)
+        rng = np.random.default_rng(6)
+        audio, alens, tokens, real, cmvn = _toy_batch(cfg, rng)
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(0))
+        step = TS.make_train_step(cfg)
+        first_risk = None
+        for i in range(200):
+            state, m = step(state, audio, alens, tokens, real, *cmvn)
+            if i == 120:
+                first_risk = float(m["mwer_risk"])
+        assert float(m["mwer_risk"]) <= first_risk, (
+            first_risk, float(m["mwer_risk"])
+        )
+        assert np.isfinite(float(m["mwer"]))
+        # gated steps really executed zero
+        state2 = TS.init_train_state(cfg, jax.random.PRNGKey(0))
+        _, m0 = step(state2, audio, alens, tokens, real, *cmvn)
+        assert float(m0["mwer"]) == 0.0 and float(m0["mwer_risk"]) == 0.0
 
 
 class TestSemi:
