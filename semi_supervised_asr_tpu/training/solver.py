@@ -403,10 +403,12 @@ class Solver:
                 scalars["frames_per_sec"] = frames_acc / max(dt, 1e-9)
                 scalars["steps_per_sec"] = cfg.train.log_every / max(dt, 1e-9)
                 self.log.log(step, scalars, "train")
+                acc = (f"acc {scalars['acc']:.3f} " if "acc" in scalars
+                       else "")  # the encoder-only families have no
+                                 # token-accuracy metric
                 self.log.info(
                     f"step {step} loss {scalars['loss']:.4f} "
-                    f"acc {scalars.get('acc', 0):.3f} "
-                    f"fps {scalars['frames_per_sec']:.0f}"
+                    f"{acc}fps {scalars['frames_per_sec']:.0f}"
                 )
                 t_last = time.perf_counter()
                 frames_acc = 0
