@@ -413,18 +413,31 @@ def main() -> int:
                     *cmvn,
                 )
                 _ = float(m["loss"])
+                # device-resident input prefetch (the Solver's
+                # data.device_prefetch, same rationale): start the NEXT
+                # batch's H2D while the current step computes — an
+                # implicit numpy->device transfer inside jit dispatch
+                # costs a blocking per-argument handshake through a
+                # tunneled chip (~75ms/step measured; DESIGN.md)
+                cmvn_dev = tuple(jax.device_put(c) for c in cmvn)
+
+                def dev(bt):
+                    return tuple(jax.device_put(x) for x in (
+                        bt.audio, bt.audio_lens, bt.tokens, bt.real))
+
+                nxt = next(it)
+                nxt_d = dev(nxt)
                 frames_done, steps_done = 0, 0
                 t0 = time.perf_counter()
                 deadline = t0 + args.sustained_secs
                 while time.perf_counter() < deadline:
-                    bt = next(it)
-                    state, m = step(
-                        state, bt.audio, bt.audio_lens, bt.tokens,
-                        bt.real, *cmvn,
-                    )
+                    bt, bt_d = nxt, nxt_d
+                    state, m = step(state, *bt_d, *cmvn_dev)
                     frames_done += int(bt.audio_lens[bt.real].sum()
                                        ) // cfg.frontend.hop_length
                     steps_done += 1
+                    nxt = next(it)          # host assembly
+                    nxt_d = dev(nxt)        # async H2D overlaps compute
                 _ = float(m["loss"])   # fence the tail
                 sdt = time.perf_counter() - t0
                 sustained = frames_done / sdt

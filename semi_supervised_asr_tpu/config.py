@@ -336,6 +336,11 @@ class DataConfig:
     # >0: assemble batches through grain with this many read-ahead threads
     # (host work overlaps device steps); 0 = plain in-line pipeline
     grain_threads: int = 0
+    # Input batches held in flight on the device: transfers for the next
+    # N batches start while the current step computes, hiding H2D time
+    # (and, through a tunneled chip, the per-dispatch transfer handshake
+    # — measured ~75ms/step hidden at ls100 shapes).  1 = no overlap.
+    device_prefetch: int = 2
     # Ship batch audio to the device as int16 (half the host->device
     # bytes; the train/eval step upcasts to f32*1/32768 on-device as its
     # first op).  LOSSLESS for 16-bit PCM sources (TIMIT/LibriSpeech —

@@ -185,18 +185,20 @@ class Solver:
         return jax.process_index(), jax.process_count(), None
 
     def _labeled_stream(self, start_epoch: int = 0, start_batch: int = 0):
-        """Endless labeled stream that mirrors its position into
-        ``self.data_pos`` so checkpoints record (epoch, batch-in-epoch);
-        resume continues the EXACT stream: the first epoch fast-forwards
-        past the ``start_batch`` already-consumed batches at plan cost
-        (nothing is assembled or decoded for skipped entries)."""
+        """Endless labeled stream yielding ``(epoch, batch_idx, batch)``;
+        the train loop mirrors the position into ``self.data_pos`` AT
+        CONSUME TIME (not here — the input prefetcher pulls ahead of the
+        steps, and checkpoints must record the last batch a step actually
+        consumed) so resume continues the EXACT stream: the first epoch
+        fast-forwards past the ``start_batch`` already-consumed batches
+        at plan cost (nothing is assembled or decoded for skipped
+        entries)."""
         shard, n_shards, row_range = self._stream_shard()
 
         def gen():
             epoch = start_epoch
             skip = start_batch
             while True:
-                self.data_pos["epoch"] = epoch
                 # SortaGrad warmup: ascending-length order for the first
                 # data.sortagrad_epochs epochs, shuffled after
                 sortagrad = epoch < self.cfg.data.sortagrad_epochs
@@ -233,8 +235,7 @@ class Solver:
                         row_range=row_range,
                     )
                 for k, b in enumerate(it, start=skip):
-                    self.data_pos["batch"] = k
-                    yield b
+                    yield epoch, k, b
                 epoch += 1
                 skip = 0
 
@@ -336,39 +337,62 @@ class Solver:
             except Exception:
                 pass
         host_step = int(self.state.step)  # host-side mirror of state.step
+        # Device-resident CMVN once, not a fresh transfer per step
+        cmvn_dev = (jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]))
+
+        def input_stream():
+            """(epoch, batch_idx, batch, full device-arg tuple) per step.
+
+            Device transfers START here (``_put``), so wrapping this
+            generator in ``_prefetch`` overlaps the NEXT step's H2D with
+            the current step's compute — through a tunneled chip an
+            implicit numpy->device transfer inside jit dispatch costs a
+            round-trip handshake per argument (measured ~75ms/step at
+            ls100 shapes vs ~3ms with device-resident args)."""
+            for epoch, k, batch in labeled:
+                args = self._put(*self._step_inputs(batch))
+                if self.semi:
+                    if ua_stream is not None:
+                        ub = next(ua_stream)
+                        ua_in = self._step_inputs(ub)
+                        ua = self._put(ua_in[0], ua_in[1], ua_in[3])
+                    else:  # text-AE only: feed zero-size-safe dummies
+                        b_in = self._step_inputs(batch)
+                        ua = self._put(
+                            np.zeros_like(b_in[0]),
+                            np.zeros_like(b_in[1]),
+                            np.zeros_like(b_in[3]),
+                        )
+                    if ut_stream is not None:
+                        toks, real = next(ut_stream)
+                        ut = self._put(toks, real)
+                    else:
+                        ut = self._put(
+                            np.zeros_like(batch.tokens),
+                            np.zeros_like(batch.real),
+                        )
+                    args = (*args, ua[0], ua[1], ua[2], ut[0], ut[1])
+                yield epoch, k, batch, args
+
+        def _prefetch(it, depth=int(cfg.data.device_prefetch)):
+            from collections import deque
+
+            q = deque()
+            for item in it:
+                q.append(item)
+                if len(q) >= max(depth, 1):
+                    yield q.popleft()
+            while q:
+                yield q.popleft()
+
+        inputs = _prefetch(input_stream())
         while host_step < cfg.train.total_steps:
-            batch = next(labeled)
-            args = self._put(*self._step_inputs(batch))
-            if self.semi:
-                if ua_stream is not None:
-                    ub = next(ua_stream)
-                    ua_in = self._step_inputs(ub)
-                    ua = self._put(ua_in[0], ua_in[1], ua_in[3])
-                else:  # text-AE only: feed zero-size-safe dummies
-                    b_in = self._step_inputs(batch)
-                    ua = self._put(
-                        np.zeros_like(b_in[0]),
-                        np.zeros_like(b_in[1]),
-                        np.zeros_like(b_in[3]),
-                    )
-                if ut_stream is not None:
-                    toks, real = next(ut_stream)
-                    ut = self._put(toks, real)
-                else:
-                    ut = self._put(
-                        np.zeros_like(batch.tokens),
-                        np.zeros_like(batch.real),
-                    )
-                self.state, m = self.step_fn(
-                    self.state, *args,
-                    ua[0], ua[1], ua[2], ut[0], ut[1],
-                    jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]),
-                )
-            else:
-                self.state, m = self.step_fn(
-                    self.state, *args,
-                    jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]),
-                )
+            epoch, k, batch, args = next(inputs)
+            # position mirrored at CONSUME time: a checkpoint after this
+            # step must record THIS batch, not the prefetched ones
+            self.data_pos["epoch"] = epoch
+            self.data_pos["batch"] = k
+            self.state, m = self.step_fn(self.state, *args, *cmvn_dev)
 
             # Never fetch device metrics per step: through the TPU tunnel a
             # scalar fetch costs ~2x the step itself.  Step and frame counts

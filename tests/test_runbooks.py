@@ -284,3 +284,63 @@ class TestTransducerRunbook:
              "--platform", "cpu"] + ov)
         man = json.loads((exp / "manifest.json").read_text())
         assert man["artifacts"][0]["mode"] == "beam"
+
+
+class TestCTCRunbook:
+    def test_streaming_ctc_runbook(self, tmp_path):
+        """The CTC workflow exactly as documented (docs/RECIPES.md "CTC
+        family"): preprocess -> train a CAUSAL CTC model -> --test
+        (prefix beam) -> transcribe offline and --streaming (texts must
+        agree: the streaming path is exact) -> serving export."""
+        root, out = tmp_path / "LibriSpeech", tmp_path / "data"
+        wd = tmp_path / "runs"
+        build_ls_tree(root)
+
+        run(["semi_supervised_asr_tpu.data.preprocess", "librispeech",
+             "--root", str(root), "--out", str(out)])
+
+        ov = TINY + [
+            f"data.data_dir={out}", "train.total_steps=250",
+            "data.frame_buckets=[208]", "data.token_buckets=[16]",
+            "decode.max_decode_len=16", "frontend.spec_augment=false",
+            # the family + the streaming contract
+            "model.family=ctc", "model.enc_bidirectional=false",
+            "frontend.center=false", "decode.beam_size=3",
+        ]
+        run(["semi_supervised_asr_tpu.main", "--config",
+             "configs/ls100_ctc.yaml", "--train", "--workdir", str(wd),
+             "--platform", "cpu", "--"] + ov)
+
+        # prefix-beam CER gate on the train split
+        r = run(["semi_supervised_asr_tpu.main", "--config",
+                 "configs/ls100_ctc.yaml", "--test", "--load-dir", str(wd),
+                 "--platform", "cpu", "--"] + ov +
+                ["data.test_split=train-clean-100"])
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        assert res["mode"] == "beam"
+        assert res["cer"] <= 0.5, res
+
+        # offline vs streaming transcribe agree on a real corpus file,
+        # greedy AND prefix beam
+        flac = next((root / "train-clean-100").rglob("*.flac"))
+        for beam in ("1", "3"):
+            r1 = run(["semi_supervised_asr_tpu.transcribe", "--config",
+                      "configs/ls100_ctc.yaml", "--load-dir", str(wd),
+                      "--platform", "cpu", "--beam", beam, str(flac)] + ov)
+            off = json.loads(r1.stdout.strip().splitlines()[-1])
+            r2 = run(["semi_supervised_asr_tpu.transcribe", "--config",
+                      "configs/ls100_ctc.yaml", "--load-dir", str(wd),
+                      "--platform", "cpu", "--beam", beam, "--streaming",
+                      "--stream-chunk-ms", "250", str(flac)] + ov)
+            stream = json.loads(r2.stdout.strip().splitlines()[-1])
+            assert stream["streaming"] is True
+            assert stream["text"] == off["text"], (beam, stream, off)
+
+        # serving export bakes the prefix beam
+        exp = tmp_path / "exp"
+        run(["semi_supervised_asr_tpu.export", "--config",
+             "configs/ls100_ctc.yaml", "--load-dir", str(wd), "--out",
+             str(exp), "--batch", "2", "--frames", "208",
+             "--platform", "cpu"] + ov)
+        man = json.loads((exp / "manifest.json").read_text())
+        assert man["artifacts"][0]["mode"] == "beam"
