@@ -322,6 +322,10 @@ def main() -> int:
     tr = cfg.model.time_reduction
     f = ((f + tr - 1) // tr) * tr   # bucket rule: divisible by reduction
     s = (f - 1) * cfg.frontend.hop_length
+    if not cfg.frontend.center:
+        # VALID framing (streaming recipes): a full first window, so the
+        # device sees exactly f frames (bucketing.BucketSpec contract)
+        s += cfg.frontend.n_fft
     audio = (rng.standard_normal((b, s)) * 0.1).astype(np.float32)
     audio_lens = np.full((b,), s, np.int32)
     tokens = np.zeros((b, u), np.int32)

@@ -26,13 +26,27 @@ class BucketSpec:
     # batches carry int16 audio (data.audio_i16_transfer): half the H2D
     # bytes; the device upcasts (train_step.featurize)
     audio_i16: bool = False
+    # framing mode (frontend.center / n_fft): decides the exact
+    # samples<->frames correspondence below
+    center: bool = True
+    n_fft: int = 512
 
     def samples_for_frames(self, frames: int) -> int:
-        """Audio samples that produce exactly ``frames`` centered frames."""
-        return (frames - 1) * self.hop_length
+        """Audio samples that produce exactly ``frames`` frames under the
+        ACTIVE framing.  Centered (reflect-pad) framing yields
+        ``1 + s//hop`` frames; VALID framing (frontend.center=false, the
+        streaming configs) yields ``1 + (s - n_fft)//hop`` — ignoring
+        the difference would make device T = bucket - ceil((n_fft-hop)/
+        hop), which breaks the fused Pallas frontend's T%8 tiling and
+        the pyramid's divisibility on real hardware."""
+        if self.center:
+            return (frames - 1) * self.hop_length
+        return (frames - 1) * self.hop_length + self.n_fft
 
     def frames_for_samples(self, n_samples: int) -> int:
-        return 1 + n_samples // self.hop_length
+        if self.center:
+            return 1 + n_samples // self.hop_length
+        return max(1, 1 + (n_samples - self.n_fft) // self.hop_length)
 
     def frame_bucket(self, frames: int) -> int | None:
         for b in self.frame_buckets:
@@ -73,6 +87,8 @@ def make_bucket_spec(
         hop_length=fcfg.hop_length,
         time_reduction=time_reduction,
         audio_i16=dcfg.audio_i16_transfer,
+        center=fcfg.center,
+        n_fft=fcfg.n_fft,
     )
 
 

@@ -165,6 +165,8 @@ def export_decode(cfg, params, batch: int, frames: int,
                      if lm_params is not None else None)
     fn = build_decode_fn(cfg, params, mode, lm_params, lm_step_fn)
     s = (frames - 1) * cfg.frontend.hop_length
+    if not cfg.frontend.center:
+        s += cfg.frontend.n_fft   # VALID framing needs a full first window
     specs = (
         jax.ShapeDtypeStruct((batch, s), np.float32),
         jax.ShapeDtypeStruct((batch,), np.int32),
@@ -248,7 +250,8 @@ def main(argv=None) -> int:
             "file": name, "mode": mode, "batch": args.batch,
             "param_dtype": "bfloat16" if args.bf16 else "float32",
             "frames": fcount, "bytes": len(blob),
-            "samples": (fcount - 1) * cfg.frontend.hop_length,
+            "samples": (fcount - 1) * cfg.frontend.hop_length
+            + (0 if cfg.frontend.center else cfg.frontend.n_fft),
         })
         print(f"exported {name} ({len(blob)/1e6:.1f} MB)")
     (out / "manifest.json").write_text(json.dumps({

@@ -279,3 +279,32 @@ class TestRowSlicing:
         r0, r1, n = MESH.host_data_rows(mesh, pcfg)
         # single process owns every data row -> full range
         assert (r0, r1, n) == (0, 4, 4)
+
+
+class TestValidFramingBuckets:
+    """frontend.center=false (VALID framing, the streaming configs):
+    bucketed audio must produce EXACTLY the bucket's frame count on
+    device — with the centered formula the device saw T = bucket -
+    ceil((n_fft-hop)/hop), which breaks the fused Pallas frontend's
+    T%8 tiling and the pyramid divisibility on real hardware (found by
+    bench --config ls100_transducer_streaming on the chip, r2)."""
+
+    def test_samples_frames_round_trip(self):
+        import jax.numpy as jnp
+
+        from semi_supervised_asr_tpu.ops import frontend as F
+
+        for center in (True, False):
+            fcfg = FrontendConfig(center=center, cmvn="global",
+                                  spec_augment=False)
+            dcfg = DataConfig(frame_buckets=(16, 32), token_buckets=(8,))
+            spec = make_bucket_spec(dcfg, fcfg, time_reduction=8)
+            for fb in spec.frame_buckets:
+                s = spec.samples_for_frames(fb)
+                assert spec.frames_for_samples(s) == fb, (center, fb)
+                feats, flens = F.log_mel_features(
+                    jnp.zeros((1, s)), jnp.asarray([s]), fcfg,
+                    jnp.zeros(fcfg.n_mels), jnp.ones(fcfg.n_mels),
+                )
+                assert feats.shape[1] == fb, (center, fb, feats.shape)
+                assert int(flens[0]) == fb, (center, fb, int(flens[0]))
