@@ -121,6 +121,21 @@ class ModelConfig:
     dec_layers: int = 1
     embed_dim: int = 256
     dec_dropout: float = 0.0
+    # Decoder architecture (LAS family): "lstm" = location-aware attention
+    # LSTM speller (reference parity, SURVEY.md §3 #10); "transformer" =
+    # pre-LN causal transformer decoder with per-layer cross-attention
+    # (models/transformer_speller.py) — teacher-forced training is ONE
+    # parallel MXU-dense pass (no serial scan), decode steps a KV cache
+    # the beam gather-reorders like any state leaf.  d_model = dec_hidden;
+    # requires teacher forcing (tf_rate 1.0) and lm_fusion none
+    # (shallow fusion at decode time works for both archs).
+    decoder_arch: str = "lstm"
+    dec_blocks: int = 4           # transformer speller: number of blocks
+    dec_heads: int = 4            # transformer speller: attention heads
+    dec_ff_dim: int = 1024        # transformer speller: FFN width
+    dec_max_len: int = 256        # transformer speller: learned-position /
+                                  # KV-cache cap — train target length and
+                                  # decode step count must both fit
     tie_embedding: bool = False   # tie output projection to input embedding
     # BiLSTM execution strategy: True = one direction-batched scan
     # (faster at small batch), False = two scans (faster at large batch) —

@@ -69,9 +69,11 @@ def beam_decode_from_enc(
 
     enc_k = _tile_rows(enc, k)
     mask_k = _tile_rows(enc_mask, k)
-    keys_k = _tile_rows(keys, k)
+    # the decode cache is an array (LSTM keys) or a pytree (transformer
+    # cross K/V) — row axis 0 either way
+    keys_k = jax.tree.map(lambda a: _tile_rows(a, k), keys)
 
-    state0 = S.init_state(b * k, t, cfg, mask_k)
+    state0 = S.init_state(b * k, t, cfg, mask_k, max_steps=max_len)
     scores0 = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None],
         (b, 1),

@@ -26,7 +26,8 @@ def greedy_decode_from_enc(
 ) -> tuple[jax.Array, jax.Array]:
     """-> (tokens [B, max_len] (EOS then PADs), logp [B, max_len])."""
     b = enc.shape[0]
-    state0 = S.init_state(b, enc.shape[1], cfg, enc_mask)
+    state0 = S.init_state(b, enc.shape[1], cfg, enc_mask,
+                          max_steps=max_len)
     tok0 = jnp.full((b,), SOS, jnp.int32)
     done0 = jnp.zeros((b,), bool)
 

@@ -43,10 +43,11 @@ def beam_decode_python(
     """-> (token list incl. EOS, normalized score) for ONE utterance."""
     enc = jnp.asarray(enc)
     enc_mask = jnp.asarray(enc_mask)
-    keys = jnp.asarray(keys)
+    keys = jax.tree.map(jnp.asarray, keys)
     k = dcfg.beam_size
 
-    state0 = S.init_state(1, enc.shape[1], cfg, enc_mask)
+    state0 = S.init_state(1, enc.shape[1], cfg, enc_mask,
+                          max_steps=max_len)
     beams = [Hyp(tokens=[], score=0.0, state=state0, done=False)]
 
     for _ in range(max_len):

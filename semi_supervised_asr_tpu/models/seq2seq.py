@@ -89,7 +89,7 @@ def encode(
     )
     t = enc.shape[1]
     enc_mask = jnp.arange(t)[None, :] < enc_lens[:, None]
-    keys = A.precompute_keys(params["speller"]["attention"], enc)
+    keys = S.precompute_decode_cache(params["speller"], cfg, enc)
     return enc, enc_mask, keys
 
 

@@ -38,6 +38,16 @@ def _fusion_extra_dim(cfg: ModelConfig) -> int:
 
 
 def init_speller(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
+    if cfg.decoder_arch == "transformer":
+        from semi_supervised_asr_tpu.models import transformer_speller as TS
+
+        assert cfg.lm_fusion == "none", (
+            "deep/cold LM fusion is wired into the LSTM speller's step; "
+            "with decoder_arch=transformer use SHALLOW fusion at decode "
+            "time (decode.lm_weight)"
+        )
+        return TS.init_transformer_speller(key, cfg, dtype)
+    assert cfg.decoder_arch == "lstm", cfg.decoder_arch
     k_emb, k_att, k_out, k_fus, *k_lstm = jax.random.split(
         key, 4 + cfg.dec_layers
     )
@@ -111,8 +121,36 @@ def attach_fusion_lm(speller_params: dict, lm_params: dict) -> dict:
     return dict(speller_params, fusion_lm=lm_params)
 
 
-def init_state(batch: int, t_enc: int, cfg: ModelConfig, mask: jax.Array):
-    """Fresh decoder state for `batch` lattice rows over `t_enc` frames."""
+def precompute_decode_cache(params: dict, cfg: ModelConfig, enc: jax.Array):
+    """Per-utterance decode cache computed ONCE from the encoder outputs
+    (the "cached encoder states" of config C3, BASELINE.json:9) — tiled to
+    lattice rows by the beam, never reordered.
+
+    LSTM speller: the attention key projections [B, T, A] (an array).
+    Transformer speller: per-layer cross-attention K/V projections (a
+    dict pytree, row axis 0) — consumers tile/convert with jax.tree.map.
+    """
+    if cfg.decoder_arch == "transformer":
+        from semi_supervised_asr_tpu.models import transformer_speller as TS
+
+        return TS.precompute_cross(params, cfg, enc)
+    return A.precompute_keys(params["attention"], enc)
+
+
+def init_state(batch: int, t_enc: int, cfg: ModelConfig, mask: jax.Array,
+               max_steps: int | None = None):
+    """Fresh decoder state for `batch` lattice rows over `t_enc` frames.
+
+    ``max_steps`` (the decode loop length) is required by the transformer
+    speller (it sizes the KV cache); the LSTM speller's state is
+    step-count-free and ignores it."""
+    if cfg.decoder_arch == "transformer":
+        from semi_supervised_asr_tpu.models import transformer_speller as TS
+
+        assert max_steps is not None, (
+            "decoder_arch=transformer needs max_steps to size the KV cache"
+        )
+        return TS.init_state(batch, cfg, max_steps)
     state = {
         "h": jnp.zeros((cfg.dec_layers, batch, cfg.dec_hidden), jnp.float32),
         "c": jnp.zeros((cfg.dec_layers, batch, cfg.dec_hidden), jnp.float32),
@@ -152,6 +190,13 @@ def speller_step(
     ({"x{i}", "h{i}", "out_in"} in compute dtype) needed to contract
     those cotangents into weight gradients.
     """
+    if cfg.decoder_arch == "transformer":
+        from semi_supervised_asr_tpu.models import transformer_speller as TS
+
+        assert perts is None and not save_linear, (
+            "the stacked-dW backward is LSTM-speller-only"
+        )
+        return TS.step(params, cfg, state, tokens, keys, mask)
     compute = jnp.dtype(cfg.compute_dtype)
     emb = params["embedding"][tokens].astype(jnp.float32)
     x = jnp.concatenate([emb, state["context"]], axis=-1)
@@ -427,7 +472,18 @@ def forward_teacher(
 
     ``train`` + ``cfg.dec_dropout``: per-step dropout on the top LSTM
     output before the output projection (in-scan, per-step PRNG).
+
+    decoder_arch=transformer: ONE parallel causal pass (no scan);
+    ``tf_rate`` is ignored — scheduled sampling is incompatible with the
+    parallel pass, and training/train_step.py asserts the schedule is
+    pinned at 1.0 for this arch.
     """
+    if cfg.decoder_arch == "transformer":
+        from semi_supervised_asr_tpu.models import transformer_speller as TS
+
+        return TS.forward_teacher(
+            params, cfg, enc, enc_mask, tokens_in, rng, train
+        )
     b, u = tokens_in.shape
     keys_proj = A.precompute_keys(params["attention"], enc)
     state0 = init_state(b, enc.shape[1], cfg, enc_mask)

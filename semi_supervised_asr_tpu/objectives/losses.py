@@ -272,7 +272,6 @@ def mwer_loss_from_enc(
     """
     from semi_supervised_asr_tpu.config import DecodeConfig
     from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
-    from semi_supervised_asr_tpu.models import attention as A
     from semi_supervised_asr_tpu.ops.edit_distance import (
         batched_edit_distance,
     )
@@ -281,7 +280,7 @@ def mwer_loss_from_enc(
     k = obj_cfg.mwer_beam
     dcfg = DecodeConfig(beam_size=k, length_penalty=1.0)
 
-    keys = A.precompute_keys(params["speller"]["attention"], enc)
+    keys = S.precompute_decode_cache(params["speller"], model_cfg, enc)
     nbest, _ = beam_decode_from_enc(
         params["speller"], model_cfg, dcfg, enc, enc_mask, keys,
         max_len=u, return_nbest=True,

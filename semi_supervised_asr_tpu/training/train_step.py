@@ -587,6 +587,24 @@ def make_train_step(
         # TP: predictor/embed + joint/w_out/b_out shard over the model
         # axis via the same vocab-adjacent path rules (parallel/tp.py)
 
+    if cfg.model.family == "las" and cfg.model.decoder_arch == "transformer":
+        o = cfg.objective
+        assert o.tf_rate_start == 1.0 and o.tf_rate_end == 1.0, (
+            "decoder_arch=transformer trains with ONE parallel causal "
+            "pass — scheduled sampling (tf_rate < 1.0) needs the serial "
+            "LSTM scan; pin objective.tf_rate_start/end at 1.0"
+        )
+        assert cfg.model.lm_fusion == "none", (
+            "deep/cold LM fusion is wired into the LSTM speller step; "
+            "with decoder_arch=transformer fuse SHALLOW at decode time "
+            "(decode.lm_weight)"
+        )
+        assert cfg.model.speller_grad == "scan", (
+            "model.speller_grad=stacked reroutes the LSTM scan's dW "
+            "accumulators; the transformer speller has no decode-step "
+            "scan to reroute — leave speller_grad at 'scan'"
+        )
+
     if not semi_supervised:
 
         def step_body(state, audio, audio_lens, tokens, real,

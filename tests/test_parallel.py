@@ -174,6 +174,40 @@ class TestShardedTrainStep:
             )
 
 
+    def test_transformer_speller_sharded_matches_unsharded(self, mesh8):
+        """The transformer speller (ls960_aed recipe arch) under the GSPMD
+        mesh: the one-parallel-pass causal decoder must partition over the
+        data axis and match the single-device step."""
+        import dataclasses as dc
+
+        cfg = CFG.replace(model=dc.replace(
+            CFG.model, decoder_arch="transformer", dec_hidden=16,
+            dec_blocks=2, dec_heads=2, dec_ff_dim=32, dec_max_len=32,
+            tie_embedding=True,
+        ))
+        state_a = TS.init_train_state(cfg, jax.random.PRNGKey(4))
+        state_b = jax.tree.map(jnp.copy, state_a)
+        audio, alens, tokens, real, cmvn = make_batch(4)
+
+        plain = TS.make_train_step(cfg)
+        sharded = TS.make_train_step(cfg, mesh=mesh8)
+
+        sa, m_a = plain(state_a, audio, alens, tokens, real, *cmvn)
+        da, dl, dt, dr = MESH.shard_batch_arrays(
+            mesh8, cfg.parallel, audio, alens, tokens, real
+        )
+        sb, m_b = sharded(state_b, da, dl, dt, dr, *cmvn)
+        np.testing.assert_allclose(
+            float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+
 class TestMeshDecode:
     def test_eval_decode_sharded_matches_single_device(self, tmp_path):
         """Validation/test decode jitted with data-axis shardings (C5)
