@@ -120,6 +120,23 @@ def analytic_flops_per_step(cfg, b: int, frames: int, u: int) -> float:
         # encoder-only: one linear head past the listener
         fl += 2 * b * t_enc * e_out * m.vocab_size
         return fl_front + 3.0 * fl
+    if m.decoder_arch == "transformer":
+        # transformer speller (models/transformer_speller.py): one parallel
+        # causal pass over all U positions; the [U,U]/[U,T'] score grids
+        # are computed dense then masked (count them dense, like the
+        # listener's)
+        d = m.dec_hidden
+        per_blk = (
+            4 * 2 * b * u * d * d                  # self-attn q,k,v,o
+            + 2 * 2 * b * u * u * d                # self scores + context
+            + 2 * 2 * b * u * d * d                # cross q,o
+            + 2 * 2 * b * t_enc * e_out * d        # cross k,v (from enc)
+            + 2 * 2 * b * u * t_enc * d            # cross scores + context
+            + 2 * 2 * b * u * d * m.dec_ff_dim     # FFN
+        )
+        fl += m.dec_blocks * per_blk
+        fl += 2 * b * u * d * m.vocab_size         # output projection
+        return fl_front + 3.0 * fl
     # attention: key projection once; per decode step query/energy/context
     fl += 2 * b * t_enc * e_out * m.attn_dim
     per_step = (
