@@ -281,6 +281,70 @@ class TestTransducerTP:
         )
 
 
+class TestTransformerSpellerTP:
+    """TP for the transformer speller: the embedding's [V, D] vocab rows
+    and the output projection's [D, V] vocab columns shard over `model`
+    via the same name-keyed rules; the 4x2 layout matches the
+    single-device trajectory (block weights replicate)."""
+
+    ACFG = CFG.replace(
+        model=dataclasses.replace(
+            CFG.model, decoder_arch="transformer", ctc_head=False,
+            dec_hidden=16, dec_blocks=2, dec_heads=2, dec_ff_dim=32,
+            dec_max_len=32,
+        ),
+        objective=ObjectiveConfig(tf_rate_start=1.0, tf_rate_end=1.0),
+    )
+
+    def test_specs(self):
+        state = TS.init_train_state(self.ACFG, jax.random.PRNGKey(0))
+        specs = tp.state_partition_specs(
+            state, self.ACFG.parallel, axis_size=2
+        )
+        p = specs.params
+        assert p["speller"]["embedding"] == P("model", None)
+        assert p["speller"]["w_out"] == P(None, "model")
+        assert p["speller"]["b_out"] == P("model")
+        assert p["speller"]["blocks"][0]["wo"] == P()
+        assert p["speller"]["pos"] == P()
+
+    def test_tp_matches_single_device(self, mesh42):
+        audio, alens, tokens, real, cmvn = make_batch()
+        ref_state = TS.init_train_state(self.ACFG, jax.random.PRNGKey(0))
+        ref_step = TS.make_train_step(self.ACFG)
+        tp_state = tp.shard_state(
+            mesh42, self.ACFG.parallel,
+            TS.init_train_state(self.ACFG, jax.random.PRNGKey(0)),
+        )
+        tp_step = TS.make_train_step(self.ACFG, mesh=mesh42)
+        for i in range(2):
+            a, al, t, r, _ = make_batch(seed=i)
+            ref_state, ref_m = ref_step(ref_state, a, al, t, r, *cmvn)
+            sh = MESH.shard_batch_arrays(
+                mesh42, self.ACFG.parallel, a, al, t, r
+            )
+            tp_state, tp_m = tp_step(tp_state, *sh, *cmvn)
+            np.testing.assert_allclose(
+                float(tp_m["loss"]), float(ref_m["loss"]),
+                rtol=2e-4, atol=1e-6,
+            )
+        ref_leaves = jax.tree_util.tree_flatten_with_path(
+            ref_state.params
+        )[0]
+        tp_leaves = jax.tree_util.tree_flatten_with_path(
+            tp_state.params
+        )[0]
+        for (pr, lr), (pt, lt) in zip(ref_leaves, tp_leaves):
+            assert pr == pt
+            np.testing.assert_allclose(
+                np.asarray(lt), np.asarray(lr), rtol=5e-4, atol=2e-5,
+                err_msg=jax.tree_util.keystr(pr),
+            )
+        assert tp_state.params["speller"]["w_out"].sharding.spec == P(
+            None, "model"
+        )
+
+
 class TestCTCTP:
     """TP for the CTC family: the head's [E2, V] vocab columns shard
     over `model` via the same rules the LAS aux head uses; the 4x2

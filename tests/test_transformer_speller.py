@@ -267,6 +267,66 @@ class TestTrainStep:
         assert speller_norm > 0.0
 
 
+class TestShallowFusion:
+    """decode.lm_weight shallow fusion is decoder-arch-agnostic — the LM
+    steps beside the transformer speller and its state reorders on axis 1
+    like under the LSTM speller (test_lm.py's behavioral contract)."""
+
+    def _lm(self, seed=5):
+        from semi_supervised_asr_tpu.models import lm as LM
+
+        return LM.init_lm(jax.random.PRNGKey(seed), MCFG.vocab_size, 8, 12, 1)
+
+    def test_zero_weight_is_noop(self):
+        from semi_supervised_asr_tpu.models import lm as LM
+
+        params, enc, enc_mask, keys = setup(6)
+        dcfg = DecodeConfig(beam_size=3, length_penalty=1.0)
+        h0, s0 = beam_decode_from_enc(
+            params["speller"], MCFG, dcfg, enc, enc_mask, keys, MAX_LEN
+        )
+        h1, s1 = beam_decode_from_enc(
+            params["speller"], MCFG,
+            dataclasses.replace(dcfg, lm_weight=0.0),
+            enc, enc_mask, keys, MAX_LEN,
+            lm_params=self._lm(), lm_step_fn=LM.lm_step,
+        )
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+
+    def test_biased_lm_changes_hypotheses(self):
+        from semi_supervised_asr_tpu.models import lm as LM
+
+        params, enc, enc_mask, keys = setup(7)
+        dcfg = DecodeConfig(beam_size=3, length_penalty=1.0)
+        h0, _ = beam_decode_from_enc(
+            params["speller"], MCFG, dcfg, enc, enc_mask, keys, MAX_LEN
+        )
+        lm_params = self._lm()
+        # bias the LM hard toward one token via its output projection
+        lm_params["b_out"] = lm_params["b_out"].at[7].add(50.0)
+        h1, _ = beam_decode_from_enc(
+            params["speller"], MCFG,
+            dataclasses.replace(dcfg, lm_weight=0.9),
+            enc, enc_mask, keys, MAX_LEN,
+            lm_params=lm_params, lm_step_fn=LM.lm_step,
+        )
+        assert not np.array_equal(np.asarray(h0), np.asarray(h1))
+
+
+class TestMWER:
+    def test_train_step_with_mwer(self):
+        from semi_supervised_asr_tpu.training import train_step as T
+
+        cfg = _train_cfg(lambda_mwer=0.5, mwer_beam=2)
+        state = T.init_train_state(cfg, jax.random.PRNGKey(8))
+        step = T.make_train_step(cfg)
+        audio, alens, tokens, real, cmvn = _batch(8)
+        state, m = step(state, audio, alens, tokens, real, *cmvn)
+        assert "mwer" in m and np.isfinite(float(m["mwer"]))
+        assert float(m["mwer_risk"]) >= 0.0
+
+
 class TestGuards:
     def test_scheduled_sampling_rejected(self):
         from semi_supervised_asr_tpu.training import train_step as T
