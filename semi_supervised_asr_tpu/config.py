@@ -289,8 +289,15 @@ class DecodeConfig:
     ilm_weight: float = 0.0           # transducer fusion: SUBTRACT the
                                       # internal LM (HAT density ratio)
     coverage_weight: float = 0.0
-    ctc_weight: float = 0.0           # joint CTC-attention rescoring of the
-                                      # final beams (needs a CTC head)
+    ctc_weight: float = 0.0           # joint CTC-attention decoding weight
+                                      # (needs a CTC head): n-best rescoring
+                                      # by default, in-beam prefix scores
+                                      # with ctc_one_pass
+    ctc_one_pass: bool = False        # true = ONE-PASS joint decoding: CTC
+                                      # prefix scores steer every beam step
+                                      # (decode/ctc_prefix.py, Watanabe
+                                      # 2017) instead of rescoring the
+                                      # finished n-best
     max_symbols: int = 4              # transducer: max label emissions per
                                       # encoder frame (greedy + beam)
     average_ckpts: int = 0            # >1: decode with the mean of the last

@@ -58,12 +58,16 @@ def beam_decode_from_enc(
     with ``return_nbest``: (all K lattices [B, K, max_len] sorted by
     normalized score descending, scores [B, K]).
 
-    ``ctc_params`` + ``dcfg.ctc_weight`` > 0: hypothesis-level joint
-    CTC-attention rescoring (the one-pass approximation of Kim et al.
-    2017 used by contemporaneous toolkits): all K finished lattices are
-    scored by the encoder CTC head (optax CTC forward algorithm, batched
-    over B*K) and the final selection maximizes the length-normalized
-    ``(1-w)*att + w*ctc`` total log-probability."""
+    ``ctc_params`` + ``dcfg.ctc_weight`` > 0: joint CTC-attention
+    decoding.  Default: hypothesis-level rescoring — all K finished
+    lattices are scored by the encoder CTC head (optax CTC forward
+    algorithm, batched over B*K) and the final selection maximizes the
+    length-normalized ``(1-w)*att + w*ctc`` total log-probability.
+    ``dcfg.ctc_one_pass``: TRUE one-pass joint decoding (Watanabe 2017)
+    — every beam step mixes ``w * Δ prefix-score`` into every candidate
+    continuation (decode/ctc_prefix.py; the per-hypothesis CTC forward
+    variables ride the carry and gather-reorder like any state leaf), so
+    CTC evidence steers which prefixes survive, not just the final pick."""
     b, t = enc_mask.shape
     k = dcfg.beam_size
 
@@ -88,6 +92,24 @@ def beam_decode_from_enc(
     use_lm = lm_params is not None and lm_step_fn is not None
     lm_state0 = lm_step_fn(lm_params, None, None, init_batch=b * k)[0] if use_lm else None
 
+    use_ctc = ctc_params is not None and dcfg.ctc_weight > 0.0
+    one_pass = use_ctc and dcfg.ctc_one_pass
+    if one_pass:
+        from semi_supervised_asr_tpu.decode import ctc_prefix as CP
+        from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits
+
+        w = dcfg.ctc_weight
+        ctc_logp = CP.masked_ctc_logp(
+            ctc_head_logits(ctc_params, enc), enc_mask
+        )
+        ctc_logp_k = _tile_rows(ctc_logp, k)                # [B*K, T, V]
+        gn0, gb0 = CP.prefix_init(ctc_logp_k)
+        psi0 = jnp.zeros((b, k))                            # log P(empty)=0
+        empty0 = jnp.ones((b * k,), bool)
+        ctc0 = (gn0, gb0, psi0, empty0)
+    else:
+        ctc0 = None
+
     def gather_rows(x: jax.Array, beam_idx: jax.Array, axis: int) -> jax.Array:
         """Reorder the B*K row axis of a state leaf by per-batch beam_idx."""
         shape = x.shape
@@ -97,7 +119,7 @@ def beam_decode_from_enc(
         return took.reshape(shape)
 
     def step(carry, u):
-        state, tok, scores, done, hyps, lens, lm_state, cum = carry
+        state, tok, scores, done, hyps, lens, lm_state, cum, ctc = carry
         state_new, logits, alpha_new = S.speller_step(
             speller_params, cfg, state, tok, keys_k, enc_k, mask_k
         )
@@ -110,6 +132,19 @@ def beam_decode_from_enc(
             )
         else:
             lm_state_new = lm_state
+
+        if one_pass:
+            # in-beam joint scoring: every candidate's score mixes the CTC
+            # prefix-score DELTA; the EOS column uses the finish score
+            # (gamma_T of the parent), PAD (frozen rows' filler) stays 0
+            gn, gb, psi, empty = ctc
+            psi_cand, eos_sc = CP.candidate_scores(
+                gn, gb, ctc_logp_k, tok, empty
+            )                                            # [B*K, V], [B*K]
+            delta = psi_cand - psi.reshape(b * k)[:, None]
+            delta = delta.at[:, EOS].set(eos_sc - psi.reshape(b * k))
+            delta = delta.at[:, PAD].set(0.0)
+            logp = (1.0 - w) * logp + w * delta
 
         logp = logp.reshape(b, k, vsz)
         # Frozen rows: only PAD continues, at zero cost.
@@ -158,6 +193,35 @@ def beam_decode_from_enc(
         lens_new = jnp.where(done_g, lens_g, lens_g + 1)    # counts incl. EOS
         done_new = done_g | (new_tok == EOS)
 
+        if one_pass:
+            # gather the parents' forward variables, then advance them
+            # with the chosen token; rows that were frozen or just chose
+            # EOS keep the parent's (their score is final)
+            gn, gb, psi, empty = ctc
+            gn_g = gather_rows(gn, beam_idx, 0)
+            gb_g = gather_rows(gb, beam_idx, 0)
+            last_g = gather_rows(tok, beam_idx, 0)          # parents' last
+            empty_g = gather_rows(empty, beam_idx, 0)
+            flat_tok = new_tok.reshape(b * k)
+            gn_a, gb_a = CP.advance(
+                gn_g, gb_g, ctc_logp_k, last_g, empty_g, flat_tok
+            )
+            adv = (~done_new.reshape(b * k)) & (flat_tok != EOS)
+            gn_new = jnp.where(adv[:, None], gn_a, gn_g)
+            gb_new = jnp.where(adv[:, None], gb_a, gb_g)
+            empty_new = empty_g & ~adv
+            parent_cand = jnp.take_along_axis(
+                psi_cand.reshape(b, k, vsz), beam_idx[..., None], axis=1
+            )                                               # [B, K, V]
+            psi_sel = jnp.take_along_axis(
+                parent_cand, new_tok[..., None], axis=2
+            )[..., 0]                                       # [B, K]
+            psi_g = jnp.take_along_axis(psi, beam_idx, axis=1)
+            psi_new = jnp.where(adv.reshape(b, k), psi_sel, psi_g)
+            ctc_new = (gn_new, gb_new, psi_new, empty_new)
+        else:
+            ctc_new = ctc
+
         carry = (
             new_state,
             emit.reshape(b * k),
@@ -167,15 +231,16 @@ def beam_decode_from_enc(
             lens_new,
             new_lm_state,
             cum_g,
+            ctc_new,
         )
         return carry, None
 
-    carry = (state0, tok0, scores0, done0, hyps0, lens0, lm_state0, cum0)
+    carry = (state0, tok0, scores0, done0, hyps0, lens0, lm_state0, cum0,
+             ctc0)
     carry, _ = lax.scan(step, carry, jnp.arange(max_len))
-    _, _, scores, done, hyps, lens, _, cum = carry
+    _, _, scores, done, hyps, lens, _, cum, _ = carry
 
-    use_ctc = ctc_params is not None and dcfg.ctc_weight > 0.0
-    if use_ctc:
+    if use_ctc and not one_pass:
         import optax
 
         from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits

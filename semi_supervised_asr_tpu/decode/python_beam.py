@@ -31,6 +31,50 @@ class Hyp:
         return len(self.tokens)
 
 
+def ctc_prefix_oracle(logp: np.ndarray, y: list) -> tuple[float, float]:
+    """Textbook per-frame CTC prefix dynamic program (independent of the
+    vectorized decode/ctc_prefix.py closed forms) -> (psi, eos):
+
+    * ``psi``: log-mass of alignments whose collapse STARTS WITH ``y``
+      (``y`` completes by the last frame; anything may follow);
+    * ``eos``: log-mass of alignments collapsing to EXACTLY ``y``.
+
+    ``logp`` is [T, V] with blank at index 0 (pad frames already rewritten
+    to emit blank).  O(|y|·T) Python loops — oracle use only."""
+    neg = -1.0e30
+    t_frames = logp.shape[0]
+
+    def lse(a, b):
+        return float(np.logaddexp(a, b))
+
+    # empty prefix
+    gn = [neg] * t_frames
+    gb = []
+    run = 0.0
+    for t in range(t_frames):
+        run += float(logp[t, 0])
+        gb.append(run)
+    psi = 0.0  # log P(empty prefix) = 0
+    last = -1
+    for c in y:
+        gn_new, gb_new = [neg] * t_frames, [neg] * t_frames
+        psi_c = neg
+        for t in range(t_frames):
+            gb_prev = gb[t - 1] if t else (0.0 if last == -1 else neg)
+            gn_prev = gn[t - 1] if t else neg
+            phi = gb_prev if c == last else lse(gb_prev, gn_prev)
+            gn_new[t] = float(logp[t, c]) + (
+                lse(phi, gn_new[t - 1]) if t else phi
+            )
+            gb_new[t] = float(logp[t, 0]) + (
+                lse(gb_new[t - 1], gn_new[t - 1]) if t else neg
+            )
+            psi_c = lse(psi_c, phi + float(logp[t, c]))
+        gn, gb, psi, last = gn_new, gb_new, psi_c, c
+    eos = lse(gn[-1], gb[-1])
+    return psi, eos
+
+
 def beam_decode_python(
     speller_params: dict,
     cfg: ModelConfig,
@@ -39,12 +83,23 @@ def beam_decode_python(
     enc_mask: np.ndarray,  # [1, T]
     keys: np.ndarray,      # [1, T, A]
     max_len: int,
+    ctc_logp: np.ndarray | None = None,   # [1, T, V] masked_ctc_logp output
 ) -> tuple[list, float]:
-    """-> (token list incl. EOS, normalized score) for ONE utterance."""
+    """-> (token list incl. EOS, normalized score) for ONE utterance.
+
+    ``ctc_logp`` + ``dcfg.ctc_weight`` > 0 + ``dcfg.ctc_one_pass``: joint
+    one-pass scoring — every candidate mixes ``w·Δ`` of the textbook
+    :func:`ctc_prefix_oracle` score (all V candidates expanded, no
+    attention pre-pruning, so this is the exact-search oracle for
+    decode/beam.py's in-lattice version)."""
     enc = jnp.asarray(enc)
     enc_mask = jnp.asarray(enc_mask)
     keys = jax.tree.map(jnp.asarray, keys)
     k = dcfg.beam_size
+    joint = (
+        ctc_logp is not None and dcfg.ctc_weight > 0.0 and dcfg.ctc_one_pass
+    )
+    w = dcfg.ctc_weight
 
     state0 = S.init_state(1, enc.shape[1], cfg, enc_mask,
                           max_steps=max_len)
@@ -64,14 +119,31 @@ def beam_decode_python(
             logp = np.asarray(
                 jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             )[0]
-            for tok in np.argsort(-logp)[: k + 1]:
+            if joint:
+                expand = range(1, logp.shape[-1])
+                psi_parent, eos_parent = ctc_prefix_oracle(
+                    ctc_logp[0], hyp.tokens
+                )
+            else:
+                expand = (int(t) for t in np.argsort(-logp)[: k + 1])
+            for tok in expand:
                 tok = int(tok)
                 if tok == 0:  # PAD never expands a live hyp
                     continue
+                gain = float(logp[tok])
+                if joint:
+                    if tok == EOS:
+                        delta = eos_parent - psi_parent
+                    else:
+                        psi_c, _ = ctc_prefix_oracle(
+                            ctc_logp[0], hyp.tokens + [tok]
+                        )
+                        delta = psi_c - psi_parent
+                    gain = (1.0 - w) * gain + w * delta
                 candidates.append(
                     Hyp(
                         tokens=hyp.tokens + [tok],
-                        score=hyp.score + float(logp[tok]),
+                        score=hyp.score + gain,
                         state=state,
                         done=(tok == EOS),
                     )
