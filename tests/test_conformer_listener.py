@@ -25,7 +25,8 @@ from semi_supervised_asr_tpu.models import seq2seq as M
 from semi_supervised_asr_tpu.ops.frontend_oracle import pad_for_batch
 from semi_supervised_asr_tpu.training import train_step as TS
 
-pytestmark = pytest.mark.quick
+# full-suite only: multi-minute fused-step / jit-heavy integration
+# suites (quick keeps the oracle-parity cores; pytest.ini)
 
 MCFG = ModelConfig(
     n_mels=80, vocab_size=65, encoder_arch="conformer",

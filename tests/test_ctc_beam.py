@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 from semi_supervised_asr_tpu.decode.ctc_beam import ctc_beam_from_enc
 
-pytestmark = pytest.mark.quick
+# quick marks are per-class: oracle-parity/semantics cores stay in the
+# quick gate; the multi-minute fused-step suites are full-suite only
+# (pytest.ini).
 
 PAD, EOS = 0, 2
 NEG_INF = -1e30
@@ -169,6 +171,7 @@ def oracle_prefix_beam(logp, k, lm_lp_fn=None, lm_weight=0.0):
     return list(best), lae(pb, pnb) + lm_weight * lm
 
 
+@pytest.mark.quick
 class TestOracle:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_pruned_beam_matches_dict_oracle(self, seed):
@@ -261,6 +264,7 @@ class TestOracle:
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.quick
 class TestInterface:
     def test_padded_frames_ignored(self, rng):
         v = 5

@@ -26,7 +26,8 @@ from semi_supervised_asr_tpu.data.corpus import ManifestDataset
 from semi_supervised_asr_tpu.data.pipeline import epoch_batches
 from semi_supervised_asr_tpu.training import train_step as TS
 
-pytestmark = pytest.mark.quick
+# full-suite only: multi-minute fused-step / jit-heavy integration
+# suites (quick keeps the oracle-parity cores; pytest.ini)
 
 FCFG = FrontendConfig(spec_augment=False, n_fft=128, win_ms=8.0,
                       hop_ms=4.0, n_mels=12)

@@ -20,7 +20,8 @@ from semi_supervised_asr_tpu.config import ModelConfig
 from semi_supervised_asr_tpu.models import speller as S
 from semi_supervised_asr_tpu.objectives import losses as LO
 
-pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
+# full-suite only: multi-minute fused-step / jit-heavy integration
+# suites (quick keeps the oracle-parity cores; pytest.ini)
 
 CFG = ModelConfig(
     n_mels=20, vocab_size=17, enc_hidden=12, enc_layers=1,

@@ -13,7 +13,9 @@ from semi_supervised_asr_tpu.training import train_step as TS
 
 import pytest
 
-pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
+# quick marks are per-class: oracle-parity/semantics cores stay in the
+# quick gate; the multi-minute fused-step suites are full-suite only
+# (pytest.ini).
 
 CFG = Config(
     frontend=FrontendConfig(spec_augment=False, cmvn="global"),
@@ -48,6 +50,7 @@ def make_batch(seed=0, b=2, s=3040, u=6):
     return audio, audio_lens, tokens, real, cmvn
 
 
+@pytest.mark.quick
 class TestSupervisedStep:
     def test_runs_and_learns(self):
         state = TS.init_train_state(CFG, jax.random.PRNGKey(0))
@@ -82,6 +85,7 @@ class TestSupervisedStep:
         assert float(m["grad_norm"]) == 0.0
 
 
+@pytest.mark.quick
 class TestSemiSupervisedStep:
     def test_semi_step_runs(self):
         state = TS.init_train_state(SEMI_CFG, jax.random.PRNGKey(3))
@@ -218,6 +222,7 @@ class TestCheckify:
             TS.make_train_step(cfg, mesh=m)
 
 
+@pytest.mark.quick
 class TestFreeze:
     def test_frozen_subtree_never_moves(self):
         import dataclasses

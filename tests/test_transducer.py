@@ -24,7 +24,8 @@ from semi_supervised_asr_tpu.models import seq2seq as M
 from semi_supervised_asr_tpu.models import transducer as TD
 from semi_supervised_asr_tpu.training import train_step as TS
 
-pytestmark = pytest.mark.quick
+# full-suite only: multi-minute fused-step / jit-heavy integration
+# suites (quick keeps the oracle-parity cores; pytest.ini)
 
 MCFG = ModelConfig(
     n_mels=80, vocab_size=20, family="transducer",

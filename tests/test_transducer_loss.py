@@ -17,7 +17,9 @@ from semi_supervised_asr_tpu.objectives.transducer_loss import (
     transducer_loss,
 )
 
-pytestmark = pytest.mark.quick
+# quick marks are per-class: oracle-parity/semantics cores stay in the
+# quick gate; the multi-minute fused-step suites are full-suite only
+# (pytest.ini).
 
 
 def oracle_nll(logits, t_len, labels, u_len, blank=0):
@@ -49,6 +51,7 @@ def _random_case(rng, b=3, t=6, u=4, v=7):
     return logits, enc_lens, labels, label_lens
 
 
+@pytest.mark.quick
 class TestOracleParity:
     def test_matches_oracle_random(self):
         rng = np.random.default_rng(0)
@@ -130,6 +133,7 @@ class TestOracleParity:
         )
 
 
+@pytest.mark.quick
 class TestGradient:
     def test_finite_difference(self):
         rng = np.random.default_rng(4)

@@ -28,7 +28,9 @@ from semi_supervised_asr_tpu.models import seq2seq as M
 from semi_supervised_asr_tpu.models import speller as S
 from semi_supervised_asr_tpu.models import transformer_speller as TS
 
-pytestmark = pytest.mark.quick  # core merge-gate subset (pytest.ini)
+# quick marks are per-class: oracle-parity/semantics cores stay in the
+# quick gate; the multi-minute fused-step suites are full-suite only
+# (pytest.ini).
 
 MCFG = ModelConfig(
     n_mels=8, vocab_size=10, enc_hidden=12, enc_layers=1, enc_base_layers=1,
@@ -59,6 +61,7 @@ def strip(tokens):
     return out
 
 
+@pytest.mark.quick
 class TestStepTeacherEquivalence:
     """The KV-cache decode step IS the parallel causal pass, position by
     position — the invariant everything else (beam, greedy, CE) rests on."""
@@ -122,6 +125,7 @@ class TestStepTeacherEquivalence:
         np.testing.assert_array_equal(np.asarray(lt), np.asarray(lt2))
 
 
+@pytest.mark.quick
 class TestBeamOracle:
     """The batched jit beam works UNCHANGED over the transformer's pytree
     cache/state (config C3's contract held across decoder archs)."""
@@ -267,6 +271,7 @@ class TestTrainStep:
         assert speller_norm > 0.0
 
 
+@pytest.mark.quick
 class TestShallowFusion:
     """decode.lm_weight shallow fusion is decoder-arch-agnostic — the LM
     steps beside the transformer speller and its state reorders on axis 1
@@ -327,6 +332,7 @@ class TestMWER:
         assert float(m["mwer_risk"]) >= 0.0
 
 
+@pytest.mark.quick
 class TestGuards:
     def test_scheduled_sampling_rejected(self):
         from semi_supervised_asr_tpu.training import train_step as T
