@@ -176,25 +176,40 @@ def _conv_module(
 ) -> jax.Array:
     """LN -> pointwise 2d + GLU -> masked depthwise conv -> LN -> swish
     -> pointwise.  ``mask`` [B, T] zeroes pad frames entering the
-    depthwise conv so valid outputs are pad-invariant."""
-    h = _layer_norm(x, p["ln"])
-    h = h.astype(compute) @ p["w_pw1"].astype(compute) \
-        + p["b_pw1"].astype(compute)
-    a, g = jnp.split(h.astype(jnp.float32), 2, axis=-1)
+    depthwise conv so valid outputs are pad-invariant.
+
+    The elementwise chain (GLU, mask, conv taps, swish) runs in the
+    compute dtype, matching ``_ff``'s swish — the step is HBM-bound
+    (DESIGN.md conformer roofline) and these [B, T, d]-stream buffers
+    are the traffic; precision-carrying reductions stay fp32 (LayerNorm
+    statistics via ``_layer_norm``, conv accumulation over the W taps
+    via ``preferred_element_type``).  For fp32 configs every cast is a
+    no-op, so CPU parity tests are bitwise-unchanged."""
+    h = _layer_norm(x, p["ln"]).astype(compute)
+    h = h @ p["w_pw1"].astype(compute) + p["b_pw1"].astype(compute)
+    a, g = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.sigmoid(g)                          # GLU -> [B, T, d]
-    h = jnp.where(mask[:, :, None], h, 0.0)
-    # depthwise conv over time: feature_group_count = d, SAME padding
+    h = jnp.where(mask[:, :, None], h, jnp.zeros((), compute))
+    # Depthwise conv over time (SAME padding) written as W static
+    # shifted multiply-adds: the taps stream from HBM in the compute
+    # dtype and the accumulator is fp32 — pure elementwise ops that XLA
+    # fuses into the surrounding chain, with none of
+    # lax.conv_general_dilated's VJP dtype restrictions (its transpose
+    # conv rejects a bf16 operand against an fp32 cotangent).  W is a
+    # static Python int, so the unrolled loop is jit-stable.
     w = p["w_dw"].astype(jnp.float32)                  # [W, d]
-    d = h.shape[-1]
-    h = jax.lax.conv_general_dilated(
-        h, w[:, None, :],                              # [W, 1, d]
-        window_strides=(1,), padding="SAME",
-        dimension_numbers=("NTC", "TIO", "NTC"),
-        feature_group_count=d,
-    ) + p["b_dw"].astype(jnp.float32)
-    h = _layer_norm(h, p["ln2"])
+    width = w.shape[0]
+    left = (width - 1) // 2
+    t = h.shape[1]
+    hp = jnp.pad(h, ((0, 0), (left, width - 1 - left), (0, 0)))
+    acc = jnp.zeros(h.shape, jnp.float32)
+    for i in range(width):
+        tap = jax.lax.slice_in_dim(hp, i, i + t, axis=1)
+        acc = acc + tap.astype(jnp.float32) * w[i]
+    h = acc + p["b_dw"].astype(jnp.float32)
+    h = _layer_norm(h, p["ln2"]).astype(compute)
     h = jax.nn.silu(h)
-    return (h.astype(compute) @ p["w_pw2"].astype(compute)
+    return (h @ p["w_pw2"].astype(compute)
             ).astype(jnp.float32) + p["b_pw2"].astype(jnp.float32)
 
 
