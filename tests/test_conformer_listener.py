@@ -78,6 +78,77 @@ def _toy_batch(cfg, rng, b=4, f=24, u=6):
     return audio, alens, tokens, real, cmvn
 
 
+@pytest.mark.quick
+class TestDepthwiseConv:
+    """The conv module's shift-add depthwise conv (r2: W static shifted
+    multiply-adds so the chain fuses and the VJP escapes
+    lax.conv_general_dilated's mixed-dtype restriction) must equal the
+    conv lowering it replaced."""
+
+    @pytest.mark.parametrize("width", [7, 15, 4])
+    def test_matches_conv_general_dilated(self, width):
+        rng = np.random.default_rng(width)
+        b, t, d = 3, 17, 8
+        x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+        mask = jnp.asarray(
+            np.arange(t)[None, :] < np.array([[17], [12], [9]]))
+        p = {
+            "ln": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "w_pw1": jnp.asarray(
+                rng.standard_normal((d, 2 * d)), jnp.float32) * 0.1,
+            "b_pw1": jnp.zeros((2 * d,)),
+            "w_dw": jnp.asarray(
+                rng.standard_normal((width, d)), jnp.float32),
+            "b_dw": jnp.zeros((d,)),
+            "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "w_pw2": jnp.eye(d, dtype=jnp.float32),
+            "b_pw2": jnp.zeros((d,)),
+        }
+        # isolate the conv: drive the module, and independently rebuild
+        # its conv input (LN -> pw1 -> GLU -> mask), run the lax.conv
+        # lowering, and push it through the module's LN2/swish tail.
+        got = CL._conv_module(p, x, mask, jnp.float32)
+        h = CL._layer_norm(x, p["ln"]) @ p["w_pw1"] + p["b_pw1"]
+        a, g = jnp.split(h, 2, axis=-1)
+        h = jnp.where(mask[:, :, None], a * jax.nn.sigmoid(g), 0.0)
+        h = jax.lax.conv_general_dilated(
+            h, p["w_dw"][:, None, :], window_strides=(1,),
+            padding="SAME", dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=d,
+        ) + p["b_dw"]
+        want = jax.nn.silu(CL._layer_norm(h, p["ln2"])) @ p["w_pw2"] \
+            + p["b_pw2"]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_bf16_chain_grads_finite(self):
+        """The bf16 chain (the dtype the shipped recipe runs) must
+        differentiate — the lax.conv lowering it replaced could not
+        (transpose-conv dtype mismatch in the VJP)."""
+        rng = np.random.default_rng(0)
+        d = 8
+        x = jnp.asarray(rng.standard_normal((2, 12, d)), jnp.float32)
+        mask = jnp.ones((2, 12), bool)
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 4)
+        p = {
+            "ln": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "w_pw1": jax.random.normal(ks[0], (d, 2 * d)) * 0.1,
+            "b_pw1": jnp.zeros((2 * d,)),
+            "w_dw": jax.random.normal(ks[1], (5, d)) * 0.1,
+            "b_dw": jnp.zeros((d,)),
+            "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "w_pw2": jax.random.normal(ks[2], (d, d)) * 0.1,
+            "b_pw2": jnp.zeros((d,)),
+        }
+        loss = lambda p_: jnp.sum(
+            CL._conv_module(p_, x, mask, jnp.bfloat16) ** 2)
+        grads = jax.grad(loss)(p)
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+        assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
 class TestContract:
     def test_shapes_and_reduction(self):
         cfg = _cfg()
