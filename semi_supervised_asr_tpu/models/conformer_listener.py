@@ -183,7 +183,7 @@ def _conv_module(
     (DESIGN.md conformer roofline) and these [B, T, d]-stream buffers
     are the traffic; precision-carrying reductions stay fp32 (LayerNorm
     statistics via ``_layer_norm``, conv accumulation over the W taps
-    via ``preferred_element_type``).  For fp32 configs every cast is a
+    in the fp32 accumulator below).  For fp32 configs every cast is a
     no-op, so CPU parity tests are bitwise-unchanged."""
     h = _layer_norm(x, p["ln"]).astype(compute)
     h = h @ p["w_pw1"].astype(compute) + p["b_pw1"].astype(compute)
