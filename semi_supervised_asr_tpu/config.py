@@ -154,6 +154,12 @@ class ModelConfig:
     # (ops/pallas_lstm.py) for the encoder — needs B%8==0 and H%128==0,
     # falls back to xla otherwise
     lstm_backend: str = "xla"
+    # "xla" = materialized-scores einsum MHSA in the attention listeners;
+    # "flash" = jax's Pallas TPU flash-attention kernel via
+    # ops/flash_mhsa.py ([B,H,T',T'] scores never hit HBM, fwd or bwd;
+    # pad-key masking via segment ids; off-TPU it falls back to the
+    # einsum path).  BLSTM listeners and the decoder ignore it.
+    attn_backend: str = "xla"
     lstm_block_t: int = 1         # Pallas kernel: timesteps per grid step
                                   # (measured: no win at b128 — the scan is
                                   # latency-bound on the serial h->h dep,

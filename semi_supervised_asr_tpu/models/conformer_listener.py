@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from semi_supervised_asr_tpu.config import ModelConfig
 from semi_supervised_asr_tpu.models import listener as L
+from semi_supervised_asr_tpu.ops import flash_mhsa as FM
 from semi_supervised_asr_tpu.models.transformer_listener import (
     _glorot, _layer_norm,
 )
@@ -133,9 +134,13 @@ def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _mhsa_rope(
-    p: dict, x: jax.Array, key_mask: jax.Array, n_heads: int, compute
+    p: dict, x: jax.Array, key_mask: jax.Array, n_heads: int, compute,
+    backend: str = "xla",
 ) -> jax.Array:
-    """MHSA with rotary q/k; pad keys masked additively; softmax fp32."""
+    """MHSA with rotary q/k; pad keys masked additively; softmax fp32.
+    ``backend="flash"`` (model.attn_backend) routes the score/softmax/
+    context core through the Pallas flash kernel (ops/flash_mhsa.py) —
+    RoPE composes unchanged, it rotates q/k before the product."""
     b, t, d = x.shape
     hd = d // n_heads
     xc = x.astype(compute)
@@ -150,13 +155,22 @@ def _mhsa_rope(
     q = _rope(proj(p["wq"], p["bq"]).astype(jnp.float32), cos, sin)
     k = _rope(proj(p["wk"], p["bk"]).astype(jnp.float32), cos, sin)
     v = proj(p["wv"], p["bv"])
-    scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(compute), k.astype(compute)
-    ).astype(jnp.float32)
-    scores = scores / np.sqrt(hd)
-    scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
-    alpha = jax.nn.softmax(scores, axis=-1).astype(compute)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", alpha, v).reshape(b, t, d)
+    assert backend in ("xla", "flash"), (
+        f"unknown model.attn_backend {backend!r}"
+    )
+    if backend == "flash":
+        ctx = FM.mhsa(
+            q, k, v, key_mask, sm_scale=float(1.0 / np.sqrt(hd)),
+            compute=compute,
+        ).reshape(b, t, d)
+    else:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.astype(compute), k.astype(compute)
+        ).astype(jnp.float32)
+        scores = scores / np.sqrt(hd)
+        scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
+        alpha = jax.nn.softmax(scores, axis=-1).astype(compute)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", alpha, v).reshape(b, t, d)
     return (ctx @ p["wo"].astype(compute)
             + p["bo"].astype(compute)).astype(jnp.float32)
 
@@ -244,7 +258,8 @@ def conformer_listener_apply(
     for i, blk in enumerate(params["blocks"]):
         x = x + 0.5 * maybe_dropout(_ff(blk["ff1"], x, compute), 4 * i)
         h = _mhsa_rope(blk["attn"], _layer_norm(x, blk["attn"]["ln"]),
-                       mask, cfg.enc_heads, compute)
+                       mask, cfg.enc_heads, compute,
+                       backend=cfg.attn_backend)
         x = x + maybe_dropout(h, 4 * i + 1)
         x = x + maybe_dropout(
             _conv_module(blk["conv"], x, mask, compute), 4 * i + 2

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from semi_supervised_asr_tpu.config import ModelConfig
 from semi_supervised_asr_tpu.models import listener as L
+from semi_supervised_asr_tpu.ops import flash_mhsa as FM
 
 
 def _glorot(key, shape, dtype):
@@ -106,10 +107,14 @@ def sinusoidal_positions(t: int, d: int) -> np.ndarray:
 
 
 def _mhsa(
-    p: dict, x: jax.Array, key_mask: jax.Array, n_heads: int, compute
+    p: dict, x: jax.Array, key_mask: jax.Array, n_heads: int, compute,
+    backend: str = "xla",
 ) -> jax.Array:
     """Multi-head self-attention; pad KEYS masked additively.  Matmuls in
-    ``compute`` dtype (MXU), softmax in fp32."""
+    ``compute`` dtype (MXU), softmax in fp32.  ``backend="flash"``
+    (model.attn_backend) routes the score/softmax/context core through
+    the Pallas flash kernel (ops/flash_mhsa.py) — same masking
+    semantics, scores never materialized in HBM."""
     b, t, d = x.shape
     hd = d // n_heads
     xc = x.astype(compute)
@@ -121,11 +126,20 @@ def _mhsa(
     q = proj(p["wq"], p["bq"])
     k = proj(p["wk"], p["bk"])
     v = proj(p["wv"], p["bv"])
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-    scores = scores / np.sqrt(hd)
-    scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
-    alpha = jax.nn.softmax(scores, axis=-1).astype(compute)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", alpha, v).reshape(b, t, d)
+    assert backend in ("xla", "flash"), (
+        f"unknown model.attn_backend {backend!r}"
+    )
+    if backend == "flash":
+        ctx = FM.mhsa(
+            q, k, v, key_mask, sm_scale=float(1.0 / np.sqrt(hd)),
+            compute=compute,
+        ).reshape(b, t, d)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        scores = scores / np.sqrt(hd)
+        scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
+        alpha = jax.nn.softmax(scores, axis=-1).astype(compute)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", alpha, v).reshape(b, t, d)
     return (ctx @ p["wo"].astype(compute)
             + p["bo"].astype(compute)).astype(jnp.float32)
 
@@ -162,7 +176,7 @@ def transformer_listener_apply(
 
     for i, blk in enumerate(params["blocks"]):
         h = _mhsa(blk["attn"], _layer_norm(x, blk["ln1"]), mask,
-                  cfg.enc_heads, compute)
+                  cfg.enc_heads, compute, backend=cfg.attn_backend)
         x = x + maybe_dropout(h, 2 * i)
         h = _layer_norm(x, blk["ln2"])
         h = jax.nn.gelu(
