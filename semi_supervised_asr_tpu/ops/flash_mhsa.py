@@ -26,6 +26,14 @@ layout:
   rows attend (only) pad keys, so they hold garbage-but-finite values,
   identical in kind to the einsum path, and the listener's final output
   masking zeroes them (pad-invariance contract, models/listener.py).
+* **Numerics**: the kernel's q@k and alpha@v contractions run on the
+  MXU in bf16 regardless of input dtype (measured on-chip: fp32 inputs
+  differ from the fp32 einsum reference by ~4.5e-3 — bf16-epsilon
+  scale — while bf16 inputs match the bf16 einsum within bf16 noise).
+  The shipped recipes run ``compute_dtype: bfloat16``, where the two
+  backends are numerically interchangeable; under fp32 compute the
+  flash path trades matmul precision for memory — keep ``xla`` there
+  if fp32-exact attention matters.
 * **Off-TPU fallback**: Pallas TPU kernels do not run on CPU; off-TPU
   this module computes the same masked attention with the einsum path
   so ``attn_backend: flash`` configs stay testable on CPU (mirrors
