@@ -203,7 +203,7 @@ def main() -> int:
                         "39.6ms at b128/T400) or XLA lax.scan")
     p.add_argument("--fft-backend", default="matmul",
                    choices=["xla", "matmul"],
-                   help="frontend DFT: fp32 MXU matmul (default; 12% "
+                   help="frontend DFT: fp32 MXU matmul (default; 12%% "
                         "faster full step, matches rfft to ~4e-5) or "
                         "XLA rfft (VPU-bound)")
     p.add_argument("--conv-subsample", type=int, default=0,
