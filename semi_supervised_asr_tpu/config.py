@@ -249,6 +249,11 @@ class TrainConfig:
     freeze: tuple[str, ...] = ()      # fine-tuning: param-path substrings
                                       # whose updates are zeroed (e.g.
                                       # ["listener"] freezes the encoder)
+    # workdir of a BEST-RQ pretraining run (training/pretrain.py): the
+    # listener subtree is restored over the fresh init before training
+    # (all families — LAS/transducer/CTC share params["listener"]).
+    # Dims must match; combine with train.freeze=["listener"] to probe.
+    init_encoder_from: str = ""
     total_steps: int = 100000
     batch_size: int = 32              # global batch size (all chips)
     grad_accum: int = 1               # microbatches per optimizer update
@@ -330,6 +335,30 @@ class LMConfig:
 
 
 @dataclass(frozen=True)
+class PretrainConfig:
+    """BEST-RQ self-supervised encoder pretraining (arXiv:2202.01855;
+    objectives/best_rq.py, training/pretrain.py).
+
+    A separate STAGE, not a loss term: ``python -m
+    semi_supervised_asr_tpu.training.pretrain`` trains the configured
+    listener on the unlabeled-audio stream (falling back to the labeled
+    audio, transcripts unused) with masked codebook prediction, then any
+    family's training run starts from it via
+    ``train.init_encoder_from=<pretrain workdir>``.  Optimizer/LR/batch
+    knobs come from ``train.*``; these are the objective's own knobs.
+    """
+
+    codebook_size: int = 512      # frozen random codebook rows
+    codebook_dim: int = 16        # projection dim (paper: 16)
+    mask_prob: float = 0.01       # per-frame span-start probability
+    mask_span: int = 20           # frames per masked span (200ms @ 10ms)
+    mask_noise_std: float = 0.1   # N(0, std) replaces masked frames
+    quantizer_seed: int = 7       # regenerates the frozen quantizer
+    total_steps: int = 10000
+    log_every: int = 100
+
+
+@dataclass(frozen=True)
 class DataConfig:
     dataset: str = "synthetic"        # "synthetic" | "timit" | "librispeech"
     data_dir: str = ""
@@ -399,6 +428,7 @@ class ParallelConfig:
 class Config:
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     lm: LMConfig = field(default_factory=LMConfig)
+    pretrain: PretrainConfig = field(default_factory=PretrainConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     objective: ObjectiveConfig = field(default_factory=ObjectiveConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
@@ -420,6 +450,7 @@ class Config:
 _SECTIONS = {
     "frontend": FrontendConfig,
     "lm": LMConfig,
+    "pretrain": PretrainConfig,
     "model": ModelConfig,
     "objective": ObjectiveConfig,
     "train": TrainConfig,

@@ -219,11 +219,20 @@ def repeating_batches(
             if skip >= n:
                 skip -= n
                 continue
-        yield from epoch_batches(
+        yielded = False
+        for b in epoch_batches(
             dataset, spec, fcfg, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder,
             start_batch=skip, row_range=row_range,
-        )
+        ):
+            yielded = True
+            yield b
+        if not yielded:
+            # skip>0 only reaches here with skip < the epoch's batch
+            # count, so a zero-yield epoch means the corpus/bucket/batch
+            # config can NEVER produce a batch — raise instead of
+            # spinning on empty epoch plans forever
+            _raise_empty_epoch(epoch)
         skip = 0
 
 
@@ -319,12 +328,27 @@ def repeating_feature_batches(
             if skip >= n:
                 skip -= n
                 continue
-        yield from epoch_feature_batches(
+        yielded = False
+        for b in epoch_feature_batches(
             dataset, spec, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder,
             start_batch=skip, row_range=row_range,
-        )
+        ):
+            yielded = True
+            yield b
+        if not yielded:
+            _raise_empty_epoch(epoch)
         skip = 0
+
+
+def _raise_empty_epoch(epoch: int) -> None:
+    raise RuntimeError(
+        f"epoch {epoch} produced ZERO batches: every utterance exceeds "
+        "the bucket grid (data.frame_buckets/token_buckets) and/or fewer "
+        "eligible rows than the batch size remain with "
+        "data.drop_remainder=true — fix the bucket/batch config for this "
+        "corpus"
+    )
 
 
 def text_batches(

@@ -106,6 +106,25 @@ class Solver:
         self.state = TS.init_train_state(
             cfg, jax.random.PRNGKey(cfg.train.seed)
         )
+        if cfg.train.init_encoder_from:
+            # BEST-RQ transfer: restore the pretrained listener subtree
+            # over the fresh init (every family keeps its encoder under
+            # params["listener"], so this covers LAS/transducer/CTC)
+            from semi_supervised_asr_tpu.training.pretrain import (
+                load_pretrained_encoder,
+            )
+
+            enc = load_pretrained_encoder(
+                cfg.train.init_encoder_from, self.state.params["listener"]
+            )
+            params = dict(self.state.params, listener=enc)
+            self.state = self.state._replace(
+                params=params, ema_params=jax.tree.map(jnp.copy, params)
+            )
+            self.log.info(
+                "encoder initialized from BEST-RQ pretraining at "
+                f"{cfg.train.init_encoder_from}"
+            )
         if cfg.model.lm_fusion != "none" and not cfg.model.lm_fusion_ckpt:
             self.log.info(
                 f"WARNING: model.lm_fusion={cfg.model.lm_fusion!r} but "
@@ -234,8 +253,23 @@ class Solver:
                         sort_by_length=sortagrad, start_batch=skip,
                         row_range=row_range,
                     )
+                n_yielded = 0
                 for k, b in enumerate(it, start=skip):
                     yield epoch, k, b
+                    n_yielded += 1
+                if n_yielded == 0 and skip == 0:
+                    # a FULL epoch produced no batches — without this the
+                    # stream would rebuild epoch plans forever (a resume
+                    # whose skip consumes the whole epoch rolls over
+                    # legitimately, hence the skip==0 condition)
+                    raise RuntimeError(
+                        f"training epoch {epoch} produced ZERO batches: "
+                        "every utterance exceeds the bucket grid "
+                        "(data.frame_buckets/token_buckets) and/or fewer "
+                        "eligible rows than train.batch_size remain with "
+                        "data.drop_remainder=true — fix the bucket/batch "
+                        "config for this corpus"
+                    )
                 epoch += 1
                 skip = 0
 
@@ -968,6 +1002,18 @@ class Solver:
             with open(out_path, "w") as f:
                 for rec in records:
                     f.write(json.dumps(rec) + "\n")
+            if records:
+                # S/I/D + confusion-pair report beside the hypotheses
+                # (sharded eval: per-host parts analyze their own shard)
+                from semi_supervised_asr_tpu.utils import error_analysis as EA
+
+                analysis = EA.analyze_records(
+                    records, self.vocab, self.cfg.data.unit
+                )
+                Path(f"{out_path}.analysis.json").write_text(
+                    json.dumps(analysis, indent=1)
+                )
+                self.log.info(EA.summary_line(analysis))
         if sharded_eval:
             from jax.experimental import multihost_utils
 

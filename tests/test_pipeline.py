@@ -308,3 +308,42 @@ class TestValidFramingBuckets:
                 )
                 assert feats.shape[1] == fb, (center, fb, feats.shape)
                 assert int(flens[0]) == fb, (center, fb, int(flens[0]))
+
+
+class TestEmptyEpochGuard:
+    """A config that can never produce a batch must raise, not spin
+    forever rebuilding epoch plans (found: a bucket grid that excluded
+    13/16 utts + drop_remainder left zero batches per epoch and the
+    endless stream looped silently)."""
+
+    def test_repeating_batches_raises(self):
+        import pytest
+
+        from semi_supervised_asr_tpu.data.pipeline import repeating_batches
+
+        # every utterance exceeds a 1-frame bucket grid
+        dcfg = DataConfig(frame_buckets=(8,), token_buckets=(8,),
+                          num_synthetic_utts=8)
+        spec = make_bucket_spec(dcfg, FCFG, time_reduction=8)
+        ds = SyntheticDataset(V.timit_vocab(), dcfg, FCFG, n_utts=8)
+        stream = repeating_batches(ds, spec, FCFG, 4, seed=0)
+        with pytest.raises(RuntimeError, match="ZERO batches"):
+            next(stream)
+
+    def test_solver_stream_raises(self, tmp_path):
+        import pytest
+
+        from semi_supervised_asr_tpu.config import load_config
+        from semi_supervised_asr_tpu.training.solver import Solver
+
+        cfg = load_config("configs/synthetic_smoke.yaml", [
+            # 3-10 tokens x 0.12s = 36-120 frames: nothing fits 16
+            "data.num_synthetic_utts=8", "train.batch_size=8",
+            "model.enc_hidden=8", "model.enc_layers=2",
+            "data.frame_buckets=[16]", "data.token_buckets=[16]",
+            "train.total_steps=2", "train.eval_every=0",
+            "train.ckpt_every=2", "train.log_every=1",
+        ])
+        solver = Solver(cfg, tmp_path, use_mesh=False)
+        with pytest.raises(RuntimeError, match="ZERO batches"):
+            solver.train()
