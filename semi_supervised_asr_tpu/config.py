@@ -356,6 +356,10 @@ class PretrainConfig:
     quantizer_seed: int = 7       # regenerates the frozen quantizer
     total_steps: int = 10000
     log_every: int = 100
+    ckpt_every: int = 0           # 0: save at the end only; >0: also
+                                  # every N steps — the driver resumes
+                                  # from the latest save with the EXACT
+                                  # stream position (bitwise trajectory)
 
 
 @dataclass(frozen=True)

@@ -172,6 +172,30 @@ def train_bestrq(
     else:
         step = jax.jit(step)
 
+    # ---- exact resume: one batch per step, so fast-forwarding the
+    # deterministic stream by the restored step count (plan cost only)
+    # + the stateless per-step PRNG (fold_in(step)) makes the resumed
+    # trajectory bitwise-equal to an uninterrupted run
+    resume_dir = workdir.absolute() / "train_ckpt"
+    done = 0
+    saver = ocp.StandardCheckpointer()
+    if (resume_dir / "_CHECKPOINT_METADATA").exists():
+        tree = saver.restore(
+            resume_dir,
+            target={"params": params, "opt_state": opt_state, "step": 0},
+        )
+        params, opt_state = tree["params"], tree["opt_state"]
+        done = int(tree["step"])
+        log.info(f"bestrq resumed from step {done}")
+
+    def save_resume(step_done: int) -> None:
+        saver.save(
+            resume_dir,
+            {"params": params, "opt_state": opt_state, "step": step_done},
+            force=True,
+        )
+        saver.wait_until_finished()
+
     shard, n_shards = jax.process_index(), jax.process_count()
     row_range = None
     if mesh is not None and jax.process_count() > 1:
@@ -183,12 +207,14 @@ def train_bestrq(
             audio_ds, spec, cfg.train.batch_size, cfg.train.seed,
             shard_index=shard, num_shards=n_shards,
             drop_remainder=False, row_range=row_range,
+            skip_batches=done,
         )
     else:
         stream = pipe.repeating_batches(
             audio_ds, spec, cfg.frontend, cfg.train.batch_size,
             cfg.train.seed, shard_index=shard, num_shards=n_shards,
             drop_remainder=False, row_range=row_range,
+            skip_batches=done,
         )
 
     def put(*arrays):
@@ -198,7 +224,7 @@ def train_bestrq(
 
     first_loss, metrics = None, {}
     t0 = time.perf_counter()
-    for i in range(1, cfg.pretrain.total_steps + 1):
+    for i in range(done + 1, cfg.pretrain.total_steps + 1):
         b = next(stream)
         if from_features:
             args = put(b.feats, b.feat_lens, b.real)
@@ -217,10 +243,16 @@ def train_bestrq(
                 f"mask_acc {m['mask_acc']:.3f} "
                 f"codes_used {m['codes_used']:.3f}"
             )
+        if cfg.pretrain.ckpt_every > 0 and i % cfg.pretrain.ckpt_every == 0:
+            save_resume(i)
 
+    save_resume(cfg.pretrain.total_steps)
+    saver.close()
     with ocp.StandardCheckpointer() as ckpt:
-        ckpt.save(encoder_ckpt_dir(workdir), params["listener"])
-        ckpt.save(workdir.absolute() / "bestrq_params", params)
+        ckpt.save(encoder_ckpt_dir(workdir), params["listener"],
+                  force=True)
+        ckpt.save(workdir.absolute() / "bestrq_params", params,
+                  force=True)
     (workdir / "meta.json").write_text(json.dumps({
         "encoder_arch": mcfg.encoder_arch,
         "enc_hidden": mcfg.enc_hidden,

@@ -253,6 +253,71 @@ class TestMesh:
             )
 
 
+class TestResume:
+    def test_interrupted_resume_trajectory_bitwise(self, tmp_path):
+        """Pretrain 4 steps straight vs 2 steps + resume for 2 more —
+        identical listener params (one batch per step + fold_in(step)
+        PRNG make the fast-forwarded stream exact)."""
+        from semi_supervised_asr_tpu.training.pretrain import train_bestrq
+
+        small = [
+            "data.num_synthetic_utts=8", "train.batch_size=4",
+            "model.enc_hidden=8", "model.enc_layers=2",
+            "model.enc_base_layers=1",
+            "data.frame_buckets=[128]", "data.token_buckets=[16]",
+            "pretrain.codebook_size=16", "pretrain.codebook_dim=4",
+            "pretrain.mask_prob=0.1", "pretrain.mask_span=4",
+            "pretrain.log_every=1",
+        ]
+        cfg4 = load_config("configs/synthetic_smoke.yaml",
+                           small + ["pretrain.total_steps=4"])
+        train_bestrq(cfg4, tmp_path / "straight", use_mesh=False)
+
+        cfg2 = load_config("configs/synthetic_smoke.yaml",
+                           small + ["pretrain.total_steps=2"])
+        train_bestrq(cfg2, tmp_path / "resumed", use_mesh=False)
+        out = train_bestrq(cfg4, tmp_path / "resumed", use_mesh=False)
+        assert np.isfinite(out["loss"])
+
+        import orbax.checkpoint as ocp
+
+        from semi_supervised_asr_tpu.training.pretrain import (
+            encoder_ckpt_dir,
+        )
+
+        cfg_t = load_config("configs/synthetic_smoke.yaml",
+                            small + ["pretrain.total_steps=4"])
+        from semi_supervised_asr_tpu.training.pretrain import _init_params
+
+        template, _ = _init_params(cfg_t, 16)
+        with ocp.StandardCheckpointer() as ckpt:
+            a = ckpt.restore(
+                encoder_ckpt_dir(tmp_path / "straight"),
+                target=jax.tree.map(np.asarray, template["listener"]),
+            )
+            b = ckpt.restore(
+                encoder_ckpt_dir(tmp_path / "resumed"),
+                target=jax.tree.map(np.asarray, template["listener"]),
+            )
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_ckpt_every_writes_resume_state(self, tmp_path):
+        from semi_supervised_asr_tpu.training.pretrain import train_bestrq
+
+        cfg = load_config("configs/synthetic_smoke.yaml", [
+            "data.num_synthetic_utts=8", "train.batch_size=4",
+            "model.enc_hidden=8", "model.enc_layers=2",
+            "model.enc_base_layers=1",
+            "data.frame_buckets=[128]", "data.token_buckets=[16]",
+            "pretrain.codebook_size=16", "pretrain.codebook_dim=4",
+            "pretrain.total_steps=3", "pretrain.ckpt_every=2",
+            "pretrain.log_every=1",
+        ])
+        train_bestrq(cfg, tmp_path, use_mesh=False)
+        assert (tmp_path / "train_ckpt").exists()
+
+
 class TestTransfer:
     @pytest.mark.parametrize("family", ["las", "transducer", "ctc"])
     def test_listener_restored_bitwise_into_family(self, tmp_path, family):
