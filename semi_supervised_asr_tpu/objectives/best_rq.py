@@ -95,9 +95,23 @@ def sample_mask(
 ) -> jax.Array:
     """[B, T] bool — BEST-RQ masking: Bernoulli(mask_prob) span starts on
     valid frames, each dilated to ``mask_span`` frames (spans may run past
-    a start but never into the pad region)."""
+    a start but never into the pad region).
+
+    Every real utterance gets AT LEAST one span: one extra start is
+    forced at a uniform valid position (at recipe-scale T the Bernoulli
+    draw makes this a near-no-op, but at short T a zero-span draw would
+    otherwise waste the whole utterance — loss and grads exactly 0).
+    ``mask_prob == 0`` disables masking entirely (no forced span)."""
     valid = jnp.arange(t)[None, :] < feat_lens[:, None]
-    starts = jax.random.bernoulli(rng, pcfg.mask_prob, (b, t)) & valid
+    r_bern, r_pos = jax.random.split(rng)
+    starts = jax.random.bernoulli(r_bern, pcfg.mask_prob, (b, t)) & valid
+    if pcfg.mask_prob > 0:
+        pos = jax.random.randint(
+            r_pos, (b,), 0, jnp.maximum(feat_lens, 1)
+        )
+        # rows with feat_lens == 0 force position 0, which the final
+        # ``& valid`` clears again — pad-only rows stay empty
+        starts = starts | jax.nn.one_hot(pos, t, dtype=bool)
     return dilate_spans(starts, pcfg.mask_span) & valid
 
 

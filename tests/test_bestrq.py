@@ -85,6 +85,26 @@ class TestPieces:
         for b, n in enumerate([64, 20, 1]):
             assert not m[b, n:].any(), f"row {b} masks pad frames"
 
+    def test_sample_mask_guarantees_a_span_per_real_row(self):
+        """Even a draw with no Bernoulli starts masks >=1 frame per real
+        utterance (forced uniform start); pad-only rows stay empty; and
+        mask_prob=0 disables masking outright."""
+        pcfg = dataclasses.replace(_cfg().pretrain, mask_prob=0.0001)
+        lens = jnp.asarray([64, 20, 1, 0], jnp.int32)
+        for seed in range(8):
+            m = np.asarray(BRQ.sample_mask(
+                jax.random.PRNGKey(seed), 4, 64, lens, pcfg
+            ))
+            for b, n in enumerate([64, 20, 1]):
+                assert m[b, :n].any(), f"row {b} seed {seed} unmasked"
+            assert not m[3].any(), "pad-only row masked"
+
+        off = dataclasses.replace(pcfg, mask_prob=0.0)
+        m = np.asarray(BRQ.sample_mask(
+            jax.random.PRNGKey(0), 4, 64, lens, off
+        ))
+        assert not m.any()
+
     def test_targets_match_numpy_and_deterministic(self, rng):
         cfg = _cfg()
         feats, _ = _feats(rng, cfg)
