@@ -239,6 +239,8 @@ class TrainConfig:
     optimizer: str = "adam"
     learning_rate: float = 5e-4
     lr_schedule: str = "constant"     # "constant" | "cosine" | "exponential"
+                                      # | "noam" (inverse-sqrt, peak=lr at
+                                      #   warmup_steps; transformer standard)
     warmup_steps: int = 0
     decay_steps: int = 100000
     lr_min_ratio: float = 0.1

@@ -22,6 +22,23 @@ def learning_rate_schedule(cfg: TrainConfig) -> optax.Schedule:
             base, max(cfg.decay_steps, 1), decay_rate=cfg.lr_min_ratio,
             end_value=floor,
         )
+    elif cfg.lr_schedule == "noam":
+        # Inverse-sqrt with built-in linear warmup (Vaswani 2017 §5.3),
+        # normalized so the PEAK equals cfg.learning_rate at
+        # step == warmup_steps — the standard schedule for the
+        # transformer/conformer recipes.  Self-warming: the generic
+        # linear-warmup join below is bypassed.
+        if cfg.warmup_steps <= 0:
+            raise ValueError("lr_schedule=noam requires warmup_steps > 0")
+        warm = float(cfg.warmup_steps)
+
+        def noam(step):
+            s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+            return base * jnp.sqrt(warm) * jnp.minimum(
+                s ** -0.5, s * warm ** -1.5
+            )
+
+        return noam
     else:
         raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     if cfg.warmup_steps > 0:

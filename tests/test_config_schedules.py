@@ -74,6 +74,25 @@ class TestSchedules:
         assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
         assert float(sched(60)) < 1e-3
 
+    def test_noam_inverse_sqrt(self):
+        cfg = TrainConfig(learning_rate=2e-3, lr_schedule="noam",
+                          warmup_steps=100)
+        sched = schedules.learning_rate_schedule(cfg)
+        # linear warmup to the peak (= learning_rate) at warmup_steps
+        assert float(sched(50)) == pytest.approx(1e-3, rel=1e-4)
+        assert float(sched(100)) == pytest.approx(2e-3, rel=1e-4)
+        # inverse-sqrt decay past the peak: lr(4*warmup) = peak / 2
+        assert float(sched(400)) == pytest.approx(1e-3, rel=1e-4)
+        # monotone decay and finite at step 0
+        assert float(sched(0)) <= float(sched(1)) < float(sched(100))
+        assert float(sched(10000)) < float(sched(400))
+
+    def test_noam_requires_warmup(self):
+        with pytest.raises(ValueError):
+            schedules.learning_rate_schedule(
+                TrainConfig(lr_schedule="noam", warmup_steps=0)
+            )
+
     def test_constant(self):
         sched = schedules.learning_rate_schedule(
             TrainConfig(learning_rate=5e-4, lr_schedule="constant")
