@@ -45,6 +45,12 @@ class FrontendConfig:
     n_time_masks: int = 2         # mT
     time_mask_max_ratio: float = 0.2  # p: cap T at ratio*utt_len
     time_warp_param: int = 0          # W: SpecAugment time warp (0 = off)
+    # Speed perturbation (Ko et al. 2015, Interspeech): per-utterance
+    # on-device waveform resampling by a factor drawn uniformly from this
+    # set (tempo+pitch, the sox-speed convention Kaldi/ESPnet recipes
+    # triple the corpus with offline).  () = off.  Train-only, supervised
+    # branch only (the pseudo-label views share one frame grid).
+    speed_perturb: tuple[float, ...] = ()
     fused_pallas: bool = True     # use the fused Pallas post-FFT kernel on TPU
 
     @property

@@ -256,6 +256,51 @@ def spec_augment(
     return apply_specaug_masks(feats, *params, mask_value=mask_value)
 
 
+def speed_perturb(
+    key: jax.Array,
+    audio: jax.Array,        # [B, S] float32
+    sample_lens: jax.Array,  # [B] int32
+    factors: tuple[float, ...],
+) -> tuple[jax.Array, jax.Array]:
+    """Per-utterance speed perturbation (Ko et al. 2015, Interspeech).
+
+    Resamples each waveform by a factor drawn uniformly from ``factors``
+    (linear interpolation — the tempo+pitch "sox speed" convention that
+    Kaldi/ESPnet recipes standardized by tripling the corpus offline),
+    applied on-device at the waveform level so it composes with both the
+    fused-Pallas and unfused frontends.  TPU-shaped: one batched gather +
+    lerp over the static [B, S] buffer, no dynamic shapes.
+
+    Per-row slow factors are clamped so the stretched utterance still
+    fits the bucket's sample budget (rows at the bucket cap get less
+    slowdown rather than a truncated transcript).  A drawn factor of
+    exactly 1.0 leaves the row's valid samples exactly unchanged.
+    Positions at or beyond the new length are exactly 0 (pad contract).
+    """
+    if not factors or any(f <= 0.0 for f in factors):
+        raise ValueError(f"speed_perturb factors must be positive, "
+                         f"got {factors!r}")
+    b, s_cap = audio.shape
+    f = jnp.asarray(factors, jnp.float32)
+    s = f[jax.random.randint(key, (b,), 0, len(factors))]        # [B]
+    lens_f = sample_lens.astype(jnp.float32)
+    s = jnp.maximum(s, lens_f / s_cap)          # fit the bucket buffer
+    new_lens = jnp.minimum(
+        jnp.floor(lens_f / jnp.maximum(s, 1e-6)).astype(jnp.int32), s_cap
+    )
+    pos = jnp.arange(s_cap, dtype=jnp.float32)[None, :] * s[:, None]
+    last = jnp.maximum(sample_lens - 1, 0)[:, None]
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, last)
+    hi = jnp.minimum(lo + 1, last)
+    frac = jnp.clip(pos - lo.astype(jnp.float32), 0.0, 1.0)
+    out = (
+        jnp.take_along_axis(audio, lo, axis=1) * (1.0 - frac)
+        + jnp.take_along_axis(audio, hi, axis=1) * frac
+    )
+    valid = jnp.arange(s_cap)[None, :] < new_lens[:, None]
+    return jnp.where(valid, out, 0.0), new_lens
+
+
 def time_warp(
     key: jax.Array,
     feats: jax.Array,        # [B, T, M]

@@ -60,6 +60,12 @@ class Solver:
             or cfg.objective.lambda_pseudo > 0.0
         )
         self.from_features = cfg.data.use_feature_store
+        if self.from_features and cfg.frontend.speed_perturb:
+            raise ValueError(
+                "frontend.speed_perturb is waveform-level and cannot apply "
+                "to precomputed features (data.use_feature_store=true) — "
+                "disable one of the two"
+            )
 
         self.spec = make_bucket_spec(
             cfg.data, cfg.frontend, cfg.model.time_reduction

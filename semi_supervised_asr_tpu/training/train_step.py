@@ -69,16 +69,26 @@ def featurize(
     cmvn: tuple[jax.Array, jax.Array] | None,
     rng: jax.Array | None,
     augment: bool,
+    speed: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Raw audio -> (features, frame lengths), SpecAugment when training.
 
     ``audio`` may arrive as int16 (data.audio_i16_transfer — the
     pipeline ships PCM at half the H2D bytes); the upcast here is the
     exact inverse of the pipeline's ``rint(x*32768)`` for PCM sources.
+
+    ``speed``: apply waveform speed perturbation (frontend.speed_perturb)
+    — supervised branch only, because it CHANGES the frame lengths and
+    the pseudo-label clean/augmented views must share one frame grid.
     """
     if audio.dtype == jnp.int16:
         audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     fcfg = cfg.frontend
+    if speed and augment and fcfg.speed_perturb and rng is not None:
+        audio, audio_lens = F.speed_perturb(
+            jax.random.fold_in(rng, 11), audio, audio_lens,
+            fcfg.speed_perturb,
+        )
     mean, inv_std = (cmvn if cmvn is not None else (None, None))
     if _use_fused_frontend(cfg) and mean is not None:
         from semi_supervised_asr_tpu.ops.pallas_frontend import (
@@ -109,9 +119,12 @@ def featurize_precomputed(
     cmvn: tuple[jax.Array, jax.Array] | None,
     rng: jax.Array | None,
     augment: bool,
+    speed: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Feature-store path: CMVN + pad zeroing + SpecAugment on stored
-    log-mel features (data.use_feature_store)."""
+    log-mel features (data.use_feature_store).  ``speed`` is accepted for
+    signature parity but is a no-op: speed perturbation is waveform-level
+    and precomputed features carry no waveform."""
     fcfg = cfg.frontend
     mask = (
         jnp.arange(feats.shape[1])[None, :] < feat_lens[:, None]
@@ -187,7 +200,8 @@ def supervised_step_fn(
         unlab_real = mb.get("unlab_real")
         unlab_text = mb.get("unlab_text")
         k_feat, k_tf, k_pl_feat, k_pl = jax.random.split(key, 4)
-        feats, flens = feat_fn(cfg, audio, audio_lens, cmvn, k_feat, True)
+        feats, flens = feat_fn(cfg, audio, audio_lens, cmvn, k_feat, True,
+                               speed=True)
 
         if cfg.model.family == "ctc":
             # Encoder-only CTC NLL (models/ctc_model.py) — same

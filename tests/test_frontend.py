@@ -228,6 +228,121 @@ class TestTimeWarp:
         assert np.all(np.diff(out) >= -1e-4), out
 
 
+class TestSpeedPerturb:
+    """Waveform speed perturbation (frontend.speed_perturb)."""
+
+    def make(self, b=4, s=400, seed=0):
+        rng = np.random.default_rng(seed)
+        lens = np.asarray([400, 301, 160, 0], np.int32)
+        audio = rng.standard_normal((b, s)).astype(np.float32)
+        audio *= (np.arange(s)[None, :] < lens[:, None])
+        return jnp.asarray(audio), jnp.asarray(lens)
+
+    def test_factor_one_is_identity(self):
+        audio, lens = self.make()
+        out, new_lens = frontend.speed_perturb(
+            jax.random.PRNGKey(0), audio, lens, (1.0,)
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(audio))
+        np.testing.assert_array_equal(np.asarray(new_lens), np.asarray(lens))
+
+    def test_fast_factor_resamples_ramp(self):
+        # on a linear ramp, lerp at factor s reads exactly n*s
+        s_cap = 400
+        ramp = np.tile(np.arange(s_cap, dtype=np.float32), (2, 1))
+        lens = np.asarray([300, 300], np.int32)
+        ramp *= (np.arange(s_cap)[None, :] < lens[:, None])
+        out, new_lens = frontend.speed_perturb(
+            jax.random.PRNGKey(0), jnp.asarray(ramp), jnp.asarray(lens),
+            (1.5,),
+        )
+        out, new_lens = np.asarray(out), np.asarray(new_lens)
+        assert new_lens.tolist() == [200, 200]
+        n = np.arange(200)
+        np.testing.assert_allclose(out[0, :200], n * 1.5, rtol=1e-6)
+        # pad contract: beyond the new length exactly 0
+        np.testing.assert_array_equal(out[:, 200:], 0.0)
+
+    def test_slow_factor_stretches(self):
+        s_cap = 400
+        ramp = np.tile(np.arange(s_cap, dtype=np.float32), (1, 1))
+        lens = np.asarray([160], np.int32)
+        ramp *= (np.arange(s_cap)[None, :] < lens[:, None])
+        out, new_lens = frontend.speed_perturb(
+            jax.random.PRNGKey(3), jnp.asarray(ramp), jnp.asarray(lens),
+            (0.5,),
+        )
+        out, new_lens = np.asarray(out), np.asarray(new_lens)
+        assert new_lens.tolist() == [320]
+        np.testing.assert_allclose(out[0, :318], np.arange(318) * 0.5,
+                                   rtol=1e-5)
+
+    def test_slow_factor_clamped_to_bucket(self):
+        # a row already at the bucket cap cannot be slowed: the factor
+        # clamps to len/S = 1.0 and the row passes through unchanged
+        audio, _ = self.make()
+        lens = jnp.full((4,), 400, jnp.int32)
+        out, new_lens = frontend.speed_perturb(
+            jax.random.PRNGKey(1), audio, lens, (0.9,)
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(audio))
+        assert np.asarray(new_lens).tolist() == [400] * 4
+
+    def test_empty_row_stays_empty(self):
+        audio, lens = self.make()
+        out, new_lens = frontend.speed_perturb(
+            jax.random.PRNGKey(2), audio, lens, (0.9, 1.0, 1.1)
+        )
+        assert int(np.asarray(new_lens)[3]) == 0
+        np.testing.assert_array_equal(np.asarray(out)[3], 0.0)
+
+    def test_rows_draw_independent_factors(self):
+        lens = jnp.full((64,), 300, jnp.int32)
+        audio = jnp.ones((64, 400), jnp.float32)
+        audio *= (jnp.arange(400)[None, :] < lens[:, None])
+        _, new_lens = frontend.speed_perturb(
+            jax.random.PRNGKey(4), audio, lens, (0.9, 1.0, 1.1)
+        )
+        # all three factor outcomes appear across 64 rows
+        assert len(set(np.asarray(new_lens).tolist())) == 3
+
+    def test_bad_factors_raise(self):
+        audio, lens = self.make()
+        for bad in ((), (0.0,), (-1.0, 1.0)):
+            with pytest.raises(ValueError):
+                frontend.speed_perturb(jax.random.PRNGKey(0), audio, lens,
+                                       bad)
+
+    def test_featurize_integration(self):
+        """speed=True under augment changes frame lengths; speed=False and
+        eval paths are untouched."""
+        from semi_supervised_asr_tpu.config import Config, DataConfig
+        from semi_supervised_asr_tpu.training.train_step import featurize
+
+        cfg = Config(
+            frontend=FrontendConfig(
+                spec_augment=False, cmvn="utterance", fused_pallas=False,
+                speed_perturb=(0.5,),
+            ),
+            data=DataConfig(),
+        )
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(
+            rng.standard_normal((2, 6400)).astype(np.float32)
+        )
+        lens = jnp.asarray([3200, 3200], np.int32)
+        base, base_l = featurize(cfg, audio, lens, None, None, False)
+        pert, pert_l = featurize(
+            cfg, audio, lens, None, jax.random.PRNGKey(0), True, speed=True
+        )
+        same, same_l = featurize(
+            cfg, audio, lens, None, jax.random.PRNGKey(0), True, speed=False
+        )
+        assert np.asarray(pert_l).tolist() != np.asarray(base_l).tolist()
+        np.testing.assert_array_equal(np.asarray(same_l), np.asarray(base_l))
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(base))
+
+
 class TestMatmulDFT:
     def test_power_spectrum_matches_rfft(self):
         cfg_fft = FrontendConfig(spec_augment=False, cmvn="none")
