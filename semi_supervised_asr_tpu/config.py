@@ -254,6 +254,12 @@ class TrainConfig:
     beta2: float = 0.999
     grad_clip_norm: float = 5.0
     weight_decay: float = 0.0
+    # Polyak/EMA weight averaging maintained EVERY step (Izmailov-style
+    # eval smoothing, standard in conformer-era recipes): >0 keeps
+    # state.ema_params = d*ema + (1-d)*params each step; decode with it
+    # via decode.use_ema.  When the pseudo-label EMA teacher is also
+    # active, this decay REPLACES objective.ema_decay (one EMA buffer).
+    polyak_decay: float = 0.0
     freeze: tuple[str, ...] = ()      # fine-tuning: param-path substrings
                                       # whose updates are zeroed (e.g.
                                       # ["listener"] freezes the encoder)
@@ -321,6 +327,10 @@ class DecodeConfig:
                                       # encoder frame (greedy + beam)
     average_ckpts: int = 0            # >1: decode with the mean of the last
                                       # k retained checkpoints' params
+    use_ema: bool = False             # decode/validate with the Polyak-EMA
+                                      # weights (train.polyak_decay > 0, or
+                                      # the pseudo-label EMA teacher);
+                                      # mutually exclusive w/ average_ckpts
 
 
 @dataclass(frozen=True)
@@ -382,6 +392,15 @@ class DataConfig:
     # length bucketing: static (frames, tokens) buckets -> jit-stable shapes
     frame_buckets: tuple[int, ...] = (200, 400, 800, 1600)
     token_buckets: tuple[int, ...] = (32, 64, 128, 256)
+    # Constant-FRAMES batching for the labeled training stream: when >0,
+    # each frame bucket's batch size becomes ~batch_frames // bucket
+    # (rounded down to the mesh's data-axis granule, min one granule) so
+    # short-utterance batches grow to keep the device's frames/step flat
+    # instead of leaving the MXU underfed at small buckets.  Compiled
+    # variants stay bounded by the bucket grid (B is a function of the
+    # frame bucket).  0 = fixed train.batch_size everywhere; eval and the
+    # unlabeled/text streams always use train.batch_size.
+    batch_frames: int = 0
     # semi-supervised streams
     labeled_split: str = "train"
     test_split: str = ""              # scored by --test; empty -> dev

@@ -92,10 +92,33 @@ def make_bucket_spec(
     )
 
 
+def bucket_batch_size(
+    key: tuple[int, int], batch_size: int, batch_frames: int,
+    granule: int = 1,
+) -> int:
+    """Per-bucket batch size under constant-frames batching
+    (``data.batch_frames``): ~batch_frames // frame_bucket, rounded DOWN
+    to a multiple of ``granule`` (the mesh's data-axis size, so every
+    bucket's batch still shards evenly), min one granule.  With
+    batch_frames <= 0 the fixed ``batch_size`` applies everywhere."""
+    if batch_frames <= 0:
+        return batch_size
+    b = max(batch_frames // key[0], granule)
+    return max((b // granule) * granule, granule)
+
+
+def make_batch_sizer(batch_size: int, batch_frames: int, granule: int = 1):
+    """int (fixed) or callable key->int (constant-frames) for plan_epoch."""
+    if batch_frames <= 0:
+        return batch_size
+    return lambda key: bucket_batch_size(key, batch_size, batch_frames,
+                                         granule)
+
+
 def plan_epoch(
     lengths: list[tuple[int, int]],     # per-utt (n_samples, n_tokens)
     spec: BucketSpec,
-    batch_size: int,
+    batch_size,                         # int | callable bucket_key -> int
     seed: int,
     epoch: int,
     drop_remainder: bool = True,
@@ -109,6 +132,10 @@ def plan_epoch(
     row (tested: no sample dropped or duplicated, SURVEY.md §5.2).  With
     ``drop_remainder=False`` short final chunks are padded by repeating
     their first rows; ``n_real`` marks how many leading rows are genuine.
+
+    ``batch_size`` may be a callable ``bucket_key -> int`` (constant-
+    frames batching, ``data.batch_frames`` — see make_batch_sizer); an
+    int applies to every bucket.
 
     ``sort_by_length`` (SortaGrad, Amodei et al. 2015 — the era's warmup
     trick, ``data.sortagrad_epochs``): utterances visit ascending by audio
@@ -130,13 +157,14 @@ def plan_epoch(
 
     batches: list[tuple[tuple[int, int], list[int], int]] = []
     for key, idxs in by_bucket.items():
-        for s in range(0, len(idxs), batch_size):
-            chunk = idxs[s : s + batch_size]
+        bs = batch_size(key) if callable(batch_size) else batch_size
+        for s in range(0, len(idxs), bs):
+            chunk = idxs[s : s + bs]
             n_real = len(chunk)
-            if n_real < batch_size:
+            if n_real < bs:
                 if drop_remainder:
                     continue
-                chunk = (chunk * ((batch_size // n_real) + 1))[:batch_size]
+                chunk = (chunk * ((bs // n_real) + 1))[:bs]
             batches.append((key, chunk, n_real))
     if sort_by_length:
         batches.sort(key=lambda b: b[0])   # short buckets first

@@ -35,13 +35,13 @@ def grain_epoch_batches(
     prefetch: int = 8,
     sort_by_length: bool = False,
     start_batch: int = 0,
-    row_range: tuple[int, int] | None = None,
+    row_shard: tuple[int, int, int] | None = None,
 ) -> Iterator[Batch]:
     """Per-host batch stream for one epoch via grain, with read-ahead.
 
     ``start_batch`` skips the first N shard-local batches at plan cost
     (exact mid-epoch resume — same contract as pipeline.epoch_batches).
-    ``row_range`` assembles only the host's rows of each global plan
+    ``row_shard`` assembles only the host's rows of each global plan
     batch (multi-host mesh path — same contract as pipeline._slice_rows).
     """
     lengths = [
@@ -57,7 +57,7 @@ def grain_epoch_batches(
 
     def assemble(item):
         bucket, idxs, n_real = item
-        idxs, n_real = _slice_rows(idxs, n_real, row_range)
+        idxs, n_real = _slice_rows(idxs, n_real, row_shard)
         return assemble_batch(dataset, idxs, n_real, bucket, spec, fcfg)
 
     ds = grain.MapDataset.source(shard_plan).map(assemble)
@@ -80,11 +80,11 @@ def grain_repeating_batches(
     start_epoch: int = 0,
     num_threads: int = 4,
     prefetch: int = 8,
-    row_range: tuple[int, int] | None = None,
+    row_shard: tuple[int, int, int] | None = None,
 ) -> Iterator[Batch]:
     for epoch in itertools.count(start_epoch):
         yield from grain_epoch_batches(
             dataset, spec, fcfg, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder, num_threads, prefetch,
-            row_range=row_range,
+            row_shard=row_shard,
         )

@@ -91,19 +91,28 @@ def assemble_batch(
 
 
 def _slice_rows(
-    idxs: list[int], n_real: int, row_range: tuple[int, int] | None
+    idxs: list[int], n_real: int, row_shard: tuple[int, int, int] | None
 ) -> tuple[list[int], int]:
     """Host's rows of a GLOBAL plan batch (multi-host row sharding).
 
     Under a multi-host mesh every process iterates the SAME global plan
     (identical bucket shapes and launch counts each step — required for
     the processes' SPMD executables to agree) and assembles only the rows
-    its devices own on the data axis; ``row_range=(lo, hi)`` selects
-    those.  Real rows lead the batch, so the slice's real count is
-    ``n_real`` clipped into [lo, hi)."""
-    if row_range is None:
+    its devices own on the data axis.  ``row_shard=(r0, r1, n_rows)`` is
+    the host's block of the data axis (``mesh.host_data_rows``); the row
+    range is computed PER BATCH from the batch's own length, so it works
+    under constant-frames batching where B varies by bucket.  Real rows
+    lead the batch, so the slice's real count is ``n_real`` clipped into
+    the range."""
+    if row_shard is None:
         return idxs, n_real
-    lo, hi = row_range
+    r0, r1, n_rows = row_shard
+    assert len(idxs) % n_rows == 0, (
+        f"batch of {len(idxs)} rows does not shard over {n_rows} data-axis "
+        "rows — batch sizes must be granule-aligned (make_batch_sizer)"
+    )
+    per = len(idxs) // n_rows
+    lo, hi = r0 * per, r1 * per
     return idxs[lo:hi], max(0, min(n_real, hi) - lo)
 
 
@@ -165,7 +174,7 @@ def epoch_batches(
     drop_remainder: bool = True,
     sort_by_length: bool = False,
     start_batch: int = 0,
-    row_range: tuple[int, int] | None = None,
+    row_shard: tuple[int, int, int] | None = None,
 ) -> Iterator[Batch]:
     """Deterministic per-host batch stream for one epoch.
 
@@ -173,7 +182,7 @@ def epoch_batches(
     assembling them (the plan is metadata; assembly is the audio-decode
     cost) — exact mid-epoch resume fast-forwards here.
 
-    ``row_range``: assemble only these rows of each (global) plan batch —
+    ``row_shard``: assemble only this host's rows of each (global) plan batch —
     the multi-host mesh path (see ``_slice_rows``); assembly/decode cost
     per host scales down with the host's share of the data axis.
     """
@@ -184,7 +193,7 @@ def epoch_batches(
     )
     _warn_skipped(skipped, dataset)
     for bucket, idxs, n_real in plan[shard_index::num_shards][start_batch:]:
-        idxs, n_real = _slice_rows(idxs, n_real, row_range)
+        idxs, n_real = _slice_rows(idxs, n_real, row_shard)
         yield assemble_batch(dataset, idxs, n_real, bucket, spec, fcfg)
 
 
@@ -199,7 +208,7 @@ def repeating_batches(
     drop_remainder: bool = True,
     start_epoch: int = 0,
     skip_batches: int = 0,
-    row_range: tuple[int, int] | None = None,
+    row_shard: tuple[int, int, int] | None = None,
 ) -> Iterator[Batch]:
     """Endless stream: new deterministic shuffle every epoch.
 
@@ -223,7 +232,7 @@ def repeating_batches(
         for b in epoch_batches(
             dataset, spec, fcfg, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder,
-            start_batch=skip, row_range=row_range,
+            start_batch=skip, row_shard=row_shard,
         ):
             yielded = True
             yield b
@@ -288,7 +297,7 @@ def epoch_feature_batches(
     drop_remainder: bool = True,
     sort_by_length: bool = False,
     start_batch: int = 0,
-    row_range: tuple[int, int] | None = None,
+    row_shard: tuple[int, int, int] | None = None,
 ) -> Iterator[FeatureBatch]:
     """Feature-store variant of epoch_batches: buckets on FRAMES directly."""
     lengths = _feature_lengths(dataset, spec)
@@ -298,7 +307,7 @@ def epoch_feature_batches(
     )
     _warn_skipped(skipped, dataset)
     for bucket, idxs, n_real in plan[shard_index::num_shards][start_batch:]:
-        idxs, n_real = _slice_rows(idxs, n_real, row_range)
+        idxs, n_real = _slice_rows(idxs, n_real, row_shard)
         yield assemble_feature_batch(dataset, idxs, n_real, bucket)
 
 
@@ -315,7 +324,7 @@ def _feature_lengths(dataset, spec: BucketSpec) -> list[tuple[int, int]]:
 def repeating_feature_batches(
     dataset, spec, batch_size, seed,
     shard_index=0, num_shards=1, drop_remainder=True, start_epoch=0,
-    skip_batches=0, row_range=None,
+    skip_batches=0, row_shard=None,
 ) -> Iterator[FeatureBatch]:
     skip = skip_batches
     lengths = _feature_lengths(dataset, spec) if skip > 0 else None
@@ -332,7 +341,7 @@ def repeating_feature_batches(
         for b in epoch_feature_batches(
             dataset, spec, batch_size, seed, epoch,
             shard_index, num_shards, drop_remainder,
-            start_batch=skip, row_range=row_range,
+            start_batch=skip, row_shard=row_shard,
         ):
             yielded = True
             yield b
@@ -359,14 +368,14 @@ def text_batches(
     shard_index: int = 0,
     num_shards: int = 1,
     skip_batches: int = 0,
-    row_range: tuple[int, int] | None = None,
+    row_shard: tuple[int, int, int] | None = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Endless unlabeled-TEXT stream: (tokens [B, U], real [B]).
 
     One static token bucket (the largest) so the semi-supervised step
     compiles once per labeled bucket, not per text shape.
     ``skip_batches`` fast-forwards without assembling (exact resume).
-    ``row_range`` selects the host's rows of each global batch
+    ``row_shard`` selects the host's rows of each global batch
     (see ``_slice_rows``).
     """
     skip = skip_batches
@@ -395,9 +404,10 @@ def text_batches(
                 u = min(len(t), token_bucket)
                 tokens[r, :u] = t[:u]
                 real[r] = True
-            if row_range is not None:
-                lo, hi = row_range
-                tokens, real = tokens[lo:hi], real[lo:hi]
+            if row_shard is not None:
+                r0, r1, n_rows = row_shard
+                per = batch_size // n_rows
+                tokens, real = tokens[r0 * per:r1 * per], real[r0 * per:r1 * per]
             yield tokens, real
         skip = 0
 

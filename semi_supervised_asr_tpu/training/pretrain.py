@@ -197,23 +197,22 @@ def train_bestrq(
         saver.wait_until_finished()
 
     shard, n_shards = jax.process_index(), jax.process_count()
-    row_range = None
+    row_shard = None
     if mesh is not None and jax.process_count() > 1:
-        r0, r1, n_rows = MESH.host_data_rows(mesh, cfg.parallel)
-        per = cfg.train.batch_size // n_rows
-        shard, n_shards, row_range = 0, 1, (r0 * per, r1 * per)
+        shard, n_shards = 0, 1
+        row_shard = MESH.host_data_rows(mesh, cfg.parallel)
     if from_features:
         stream = pipe.repeating_feature_batches(
             audio_ds, spec, cfg.train.batch_size, cfg.train.seed,
             shard_index=shard, num_shards=n_shards,
-            drop_remainder=False, row_range=row_range,
+            drop_remainder=False, row_shard=row_shard,
             skip_batches=done,
         )
     else:
         stream = pipe.repeating_batches(
             audio_ds, spec, cfg.frontend, cfg.train.batch_size,
             cfg.train.seed, shard_index=shard, num_shards=n_shards,
-            drop_remainder=False, row_range=row_range,
+            drop_remainder=False, row_shard=row_shard,
             skip_batches=done,
         )
 

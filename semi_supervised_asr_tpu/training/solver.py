@@ -24,7 +24,10 @@ import numpy as np
 
 from semi_supervised_asr_tpu.config import Config
 from semi_supervised_asr_tpu.data import registry
-from semi_supervised_asr_tpu.data.bucketing import make_bucket_spec
+from semi_supervised_asr_tpu.data.bucketing import (
+    make_batch_sizer,
+    make_bucket_spec,
+)
 from semi_supervised_asr_tpu.data import pipeline as pipe
 from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
 from semi_supervised_asr_tpu.decode.greedy import greedy_decode_from_enc
@@ -60,6 +63,24 @@ class Solver:
             or cfg.objective.lambda_pseudo > 0.0
         )
         self.from_features = cfg.data.use_feature_store
+        if cfg.decode.use_ema:
+            ema_live = (
+                cfg.train.polyak_decay > 0.0
+                or (cfg.objective.use_ema_teacher
+                    and cfg.objective.lambda_pseudo > 0.0)
+            )
+            if not ema_live:
+                raise ValueError(
+                    "decode.use_ema needs a maintained EMA: set "
+                    "train.polyak_decay > 0 (or train with the pseudo-label "
+                    "EMA teacher) — otherwise ema_params is a frozen copy "
+                    "of the INITIAL weights"
+                )
+            if cfg.decode.average_ckpts > 1:
+                raise ValueError(
+                    "decode.use_ema and decode.average_ckpts are mutually "
+                    "exclusive — pick one weight-smoothing scheme"
+                )
         if self.from_features and cfg.frontend.speed_perturb:
             raise ValueError(
                 "frontend.speed_perturb is waveform-level and cannot apply "
@@ -190,8 +211,8 @@ class Solver:
     # training
     # ------------------------------------------------------------------ #
 
-    def _stream_shard(self) -> tuple[int, int, tuple[int, int] | None]:
-        """(plan_shard, plan_nshards, row_range) for the TRAINING streams.
+    def _stream_shard(self) -> tuple[int, int, tuple[int, int, int] | None]:
+        """(plan_shard, plan_nshards, row_shard) for the TRAINING streams.
 
         Multi-host mesh: every host iterates the SAME global plan —
         identical bucket shapes and launch counts per step are required
@@ -204,10 +225,27 @@ class Solver:
 
         Single host (or no mesh): the full plan, full rows."""
         if self.mesh is not None and jax.process_count() > 1:
-            r0, r1, n_rows = MESH.host_data_rows(self.mesh, self.cfg.parallel)
-            per = self.cfg.train.batch_size // n_rows
-            return 0, 1, (r0 * per, r1 * per)
+            # (r0, r1, n_rows): the pipeline derives each batch's row
+            # range from the batch's own length (constant-frames batching
+            # makes B bucket-dependent — pipeline._slice_rows)
+            return 0, 1, MESH.host_data_rows(self.mesh, self.cfg.parallel)
         return jax.process_index(), jax.process_count(), None
+
+    def _train_batch_size(self):
+        """int, or bucket_key->int under constant-frames batching
+        (data.batch_frames) — labeled TRAINING stream only; eval and the
+        unlabeled/text streams keep the fixed train.batch_size."""
+        import math
+
+        gran = 1
+        if self.mesh is not None:
+            gran = int(self.mesh.devices.shape[0])   # data-axis size
+        # grad accumulation splits each batch into equal chunks — every
+        # bucket's batch must divide by BOTH constraints
+        gran = math.lcm(gran, max(self.cfg.train.grad_accum, 1))
+        return make_batch_sizer(
+            self.cfg.train.batch_size, self.cfg.data.batch_frames, gran
+        )
 
     def _labeled_stream(self, start_epoch: int = 0, start_batch: int = 0):
         """Endless labeled stream yielding ``(epoch, batch_idx, batch)``;
@@ -218,7 +256,8 @@ class Solver:
         fast-forwards past the ``start_batch`` already-consumed batches
         at plan cost (nothing is assembled or decoded for skipped
         entries)."""
-        shard, n_shards, row_range = self._stream_shard()
+        shard, n_shards, row_shard = self._stream_shard()
+        bs = self._train_batch_size()
 
         def gen():
             epoch = start_epoch
@@ -230,11 +269,11 @@ class Solver:
                 if self.from_features:
                     it = pipe.epoch_feature_batches(
                         self.bundle.train, self.spec,
-                        self.cfg.train.batch_size, self.cfg.train.seed,
+                        bs, self.cfg.train.seed,
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
                         sort_by_length=sortagrad, start_batch=skip,
-                        row_range=row_range,
+                        row_shard=row_shard,
                     )
                 elif self.cfg.data.grain_threads > 0:
                     from semi_supervised_asr_tpu.data.grain_pipeline import (
@@ -243,21 +282,21 @@ class Solver:
 
                     it = grain_epoch_batches(
                         self.bundle.train, self.spec, self.cfg.frontend,
-                        self.cfg.train.batch_size, self.cfg.train.seed,
+                        bs, self.cfg.train.seed,
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
                         num_threads=self.cfg.data.grain_threads,
                         sort_by_length=sortagrad, start_batch=skip,
-                        row_range=row_range,
+                        row_shard=row_shard,
                     )
                 else:
                     it = pipe.epoch_batches(
                         self.bundle.train, self.spec, self.cfg.frontend,
-                        self.cfg.train.batch_size, self.cfg.train.seed,
+                        bs, self.cfg.train.seed,
                         epoch, shard, n_shards,
                         self.cfg.data.drop_remainder,
                         sort_by_length=sortagrad, start_batch=skip,
-                        row_range=row_range,
+                        row_shard=row_shard,
                     )
                 n_yielded = 0
                 for k, b in enumerate(it, start=skip):
@@ -295,7 +334,7 @@ class Solver:
         ``skip_batches``: each semi step consumes exactly one batch per
         stream, so a resume fast-forwards both by the restored step count
         (plan-cost only) and the trajectory continues exactly."""
-        shard, n_shards, row_range = self._stream_shard()
+        shard, n_shards, row_shard = self._stream_shard()
         cfg = self.cfg
         ua = None
         if cfg.objective.lambda_pseudo > 0.0 and self.bundle.unlabeled_audio:
@@ -315,7 +354,7 @@ class Solver:
                     cfg.train.batch_size, cfg.train.seed + 1,
                     shard_index=shard, num_shards=n_shards,
                     drop_remainder=False, skip_batches=skip_batches,
-                    row_range=row_range,
+                    row_shard=row_shard,
                 )
             else:
                 ua = pipe.repeating_batches(
@@ -323,7 +362,7 @@ class Solver:
                     cfg.train.batch_size, cfg.train.seed + 1,
                     shard_index=shard, num_shards=n_shards,
                     drop_remainder=False, skip_batches=skip_batches,
-                    row_range=row_range,
+                    row_shard=row_shard,
                 )
         ut = None
         if cfg.objective.lambda_text_ae > 0.0 and self.bundle.unlabeled_text:
@@ -331,7 +370,7 @@ class Solver:
                 self.bundle.unlabeled_text, self.spec.token_buckets[-1],
                 cfg.train.batch_size, cfg.train.seed + 2,
                 shard_index=shard, num_shards=n_shards,
-                skip_batches=skip_batches, row_range=row_range,
+                skip_batches=skip_batches, row_shard=row_shard,
             )
         return ua, ut
 
@@ -909,9 +948,16 @@ class Solver:
                  else None)
         return er.rate, records, wrate
 
+    def _live_eval_params(self):
+        """Params validate() scores mid-training: the Polyak-EMA weights
+        when decode.use_ema, else the live params."""
+        if self.cfg.decode.use_ema:
+            return self.state.ema_params
+        return self.state.params
+
     def validate(self) -> dict:
         rate, _, wrate = self._score_batches(
-            self.bundle.dev, self.state.params, "greedy"
+            self.bundle.dev, self._live_eval_params(), "greedy"
         )
         self._log_alignment()
         out = {"dev_error": rate}
@@ -973,7 +1019,7 @@ class Solver:
                     "untrained params would produce garbage (check the "
                     "--load-dir path / train first)"
                 )
-            return self.state.params
+            return self._live_eval_params()
         if self.cfg.decode.average_ckpts > 1:
             params, steps = self.ckpt.average_params(
                 self.state, self.cfg.decode.average_ckpts
@@ -982,6 +1028,9 @@ class Solver:
             return params
         step = self.ckpt.best_step() or self.ckpt.latest_step()
         state, _, _ = self.ckpt.restore(self.state, step)
+        if self.cfg.decode.use_ema:
+            self.log.info("decoding with Polyak-EMA weights")
+            return state.ema_params
         return state.params
 
     def test(

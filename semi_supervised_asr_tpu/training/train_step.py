@@ -520,8 +520,17 @@ def supervised_step_fn(
     updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
 
-    if obj.use_ema_teacher and (obj.lambda_pseudo > 0.0):
+    # ONE EMA buffer, two consumers: the pseudo-label teacher
+    # (objective.ema_decay) and Polyak eval smoothing
+    # (train.polyak_decay + decode.use_ema).  polyak_decay, when set,
+    # drives the decay for both (config.py TrainConfig).
+    if cfg.train.polyak_decay > 0.0:
+        d = cfg.train.polyak_decay
+    elif obj.use_ema_teacher and (obj.lambda_pseudo > 0.0):
         d = obj.ema_decay
+    else:
+        d = None
+    if d is not None:
         new_ema = jax.tree.map(
             lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_params
         )

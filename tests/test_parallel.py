@@ -227,3 +227,30 @@ class TestMeshDecode:
             s_one.bundle.dev, s_one.state.params, "greedy")
         assert [r["hyp"] for r in rec_mesh] == [r["hyp"] for r in rec_one]
         assert r_mesh == r_one
+
+
+class TestBatchFramesOnMesh:
+    def test_constant_frames_batching_trains_on_mesh(self, tmp_path):
+        """data.batch_frames under the 8-device GSPMD mesh: per-bucket
+        batch sizes are granule-aligned to the data axis, the sharded
+        step compiles per bucket, and training advances with finite
+        loss."""
+        from semi_supervised_asr_tpu.config import load_config
+        from semi_supervised_asr_tpu.training.solver import Solver
+
+        cfg = load_config("configs/synthetic_smoke.yaml", [
+            "data.num_synthetic_utts=48", "train.batch_size=8",
+            "data.batch_frames=4000", "data.drop_remainder=false",
+            "train.total_steps=4", "train.eval_every=4",
+            "train.ckpt_every=4", "train.log_every=2",
+        ])
+        s = Solver(cfg, tmp_path / "bf", use_mesh=True)
+        assert s.mesh is not None
+        sizer = s._train_batch_size()
+        assert callable(sizer)
+        sizes = {fb: sizer((fb, 12)) for fb in s.spec.frame_buckets}
+        # per-bucket sizes vary and each shards over the 8-row data axis
+        assert len(set(sizes.values())) > 1
+        assert all(v % 8 == 0 for v in sizes.values())
+        out = s.train()
+        assert np.isfinite(out["dev_error"])

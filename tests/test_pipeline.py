@@ -228,6 +228,62 @@ class TestSortaGrad:
         assert a == b
 
 
+class TestBatchFrames:
+    """Constant-frames batching (data.batch_frames): per-bucket batch
+    sizes ~batch_frames // frame_bucket, granule-aligned, epoch-complete,
+    and row-shardable with bucket-varying B."""
+
+    def test_bucket_batch_size_rounding(self):
+        from semi_supervised_asr_tpu.data.bucketing import bucket_batch_size
+
+        # 1000 frames / 200-frame bucket = 5, floored to granule 4
+        assert bucket_batch_size((200, 16), 8, 1000, granule=4) == 4
+        assert bucket_batch_size((96, 16), 8, 1000, granule=4) == 8
+        # never below one granule, even for the largest bucket
+        assert bucket_batch_size((400, 16), 8, 100, granule=4) == 4
+        # disabled -> fixed batch size
+        assert bucket_batch_size((400, 16), 8, 0, granule=4) == 8
+
+    def test_plan_uses_per_bucket_sizes_and_covers_epoch(self):
+        from semi_supervised_asr_tpu.data.bucketing import make_batch_sizer
+
+        spec = make_bucket_spec(DCFG, FCFG, 8)
+        ds = make_ds()
+        lengths = [(ds.audio_len(i), ds.token_len(i)) for i in range(len(ds))]
+        sizer = make_batch_sizer(4, 800, granule=2)
+        plan, skipped = plan_epoch(lengths, spec, sizer, seed=0, epoch=0,
+                                   drop_remainder=False)
+        assert any(len(idxs) != 4 for (_, idxs, _) in plan)
+        for key, idxs, n_real in plan:
+            assert len(idxs) == sizer(key)
+            assert len(idxs) % 2 == 0
+        seen = [i for (_, idxs, n_real) in plan for i in idxs[:n_real]]
+        assert sorted(seen + skipped) == list(range(len(ds)))
+        assert len(set(seen)) == len(seen)
+
+    def test_row_slices_tile_with_varying_batch(self):
+        from semi_supervised_asr_tpu.data.bucketing import make_batch_sizer
+
+        ds = make_ds(32)
+        spec = make_bucket_spec(DCFG, FCFG, time_reduction=8)
+        sizer = make_batch_sizer(4, 800, granule=2)
+        kw = dict(seed=3, epoch=0, drop_remainder=False)
+        full = list(epoch_batches(ds, spec, FCFG, sizer, **kw))
+        lo = list(epoch_batches(ds, spec, FCFG, sizer, **kw,
+                                row_shard=(0, 1, 2)))
+        hi = list(epoch_batches(ds, spec, FCFG, sizer, **kw,
+                                row_shard=(1, 2, 2)))
+        assert len(full) == len(lo) == len(hi)
+        for f, a, b in zip(full, lo, hi):
+            assert a.bucket == b.bucket == f.bucket
+            assert a.audio.shape[0] == b.audio.shape[0] == f.audio.shape[0] // 2
+            np.testing.assert_array_equal(
+                np.concatenate([a.audio, b.audio]), f.audio)
+            np.testing.assert_array_equal(
+                np.concatenate([a.real, b.real]), f.real)
+            assert a.uids + b.uids == f.uids
+
+
 class TestRowSlicing:
     """Multi-host row sharding (pipeline._slice_rows): hosts slicing the
     SAME global plan must tile every batch exactly — same buckets in the
@@ -240,9 +296,9 @@ class TestRowSlicing:
         full = list(epoch_batches(ds, spec, FCFG, 4, seed=3, epoch=0,
                                   drop_remainder=False))
         lo = list(epoch_batches(ds, spec, FCFG, 4, seed=3, epoch=0,
-                                drop_remainder=False, row_range=(0, 2)))
+                                drop_remainder=False, row_shard=(0, 1, 2)))
         hi = list(epoch_batches(ds, spec, FCFG, 4, seed=3, epoch=0,
-                                drop_remainder=False, row_range=(2, 4)))
+                                drop_remainder=False, row_shard=(1, 2, 2)))
         assert len(full) == len(lo) == len(hi)
         for f, a, b in zip(full, lo, hi):
             assert a.bucket == b.bucket == f.bucket
@@ -260,8 +316,8 @@ class TestRowSlicing:
 
         ds = make_ds(16)
         full = text_batches(ds, 16, 4, seed=5)
-        lo = text_batches(ds, 16, 4, seed=5, row_range=(0, 2))
-        hi = text_batches(ds, 16, 4, seed=5, row_range=(2, 4))
+        lo = text_batches(ds, 16, 4, seed=5, row_shard=(0, 1, 2))
+        hi = text_batches(ds, 16, 4, seed=5, row_shard=(1, 2, 2))
         for _ in range(6):
             ft, fr = next(full)
             at, ar = next(lo)

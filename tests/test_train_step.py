@@ -125,6 +125,65 @@ class TestSemiSupervisedStep:
         assert d1 < d0                     # but tracks them
 
 
+class TestPolyakEMA:
+    """train.polyak_decay: EMA maintained every step for eval smoothing
+    (decode.use_ema), independent of the pseudo-label teacher."""
+
+    def test_polyak_recursion_exact(self):
+        import dataclasses
+
+        cfg = CFG.replace(
+            train=dataclasses.replace(CFG.train, polyak_decay=0.5)
+        )
+        state = TS.init_train_state(cfg, jax.random.PRNGKey(7))
+        step = TS.make_train_step(cfg)
+        audio, alens, tokens, real, cmvn = make_batch(7)
+        expected = np.array(np.asarray(state.params["speller"]["w_out"]))
+        for _ in range(3):
+            state, _ = step(state, audio, alens, tokens, real, *cmvn)
+            p = np.asarray(state.params["speller"]["w_out"])
+            expected = 0.5 * expected + 0.5 * p
+            np.testing.assert_allclose(
+                np.asarray(state.ema_params["speller"]["w_out"]),
+                expected, rtol=2e-6, atol=1e-7,
+            )
+
+    def test_supervised_without_polyak_keeps_ema_frozen(self):
+        state = TS.init_train_state(CFG, jax.random.PRNGKey(8))
+        step = TS.make_train_step(CFG)
+        audio, alens, tokens, real, cmvn = make_batch(8)
+        e0 = np.array(np.asarray(state.ema_params["speller"]["w_out"]))
+        for _ in range(2):
+            state, _ = step(state, audio, alens, tokens, real, *cmvn)
+        np.testing.assert_array_equal(
+            np.asarray(state.ema_params["speller"]["w_out"]), e0
+        )
+        assert not np.allclose(
+            np.asarray(state.params["speller"]["w_out"]), e0
+        )
+
+    def test_use_ema_solver_guards(self, tmp_path):
+        from semi_supervised_asr_tpu.config import load_config
+        from semi_supervised_asr_tpu.training.solver import Solver
+
+        base = ["data.num_synthetic_utts=8", "train.batch_size=4"]
+        with pytest.raises(ValueError, match="use_ema"):
+            Solver(load_config("configs/synthetic_smoke.yaml",
+                               base + ["decode.use_ema=true"]),
+                   tmp_path / "a", use_mesh=False)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            Solver(load_config(
+                "configs/synthetic_smoke.yaml",
+                base + ["decode.use_ema=true", "train.polyak_decay=0.99",
+                        "decode.average_ckpts=2"]),
+                tmp_path / "b", use_mesh=False)
+        s = Solver(load_config(
+            "configs/synthetic_smoke.yaml",
+            base + ["decode.use_ema=true", "train.polyak_decay=0.99"]),
+            tmp_path / "c", use_mesh=False)
+        assert s._live_eval_params() is s.state.ema_params
+
+
 class TestGradAccumulation:
     def test_accum_matches_full_batch(self):
         """With equal token/audio lengths per row (so per-microbatch mean
