@@ -83,6 +83,24 @@ class ModelConfig:
     enc_ff_dim: int = 1024        # transformer/conformer: FFN width
     enc_blocks: int = 12          # transformer/conformer: number of blocks
     conformer_conv_width: int = 15  # conformer: depthwise conv kernel
+    # Chunk-causal ("streaming") conformer, the WeNet-U2 / streaming
+    # conformer-transducer configuration: >0 restricts self-attention to
+    # static chunks of this many ENCODER frames — every frame attends
+    # within its own chunk plus enc_attn_left_chunks previous chunks
+    # (full attention inside a chunk, none ahead of it) — and makes the
+    # depthwise conv causal (left context only).  The encoder then
+    # streams EXACTLY with a fixed per-block cache
+    # (conformer_listener.conformer_listener_apply_stream): per-chunk
+    # inference is the same function as the offline forward.  0 = full
+    # context (offline conformer).  conformer-only; needs
+    # attn_backend=xla (the flash kernel's segment ids cannot express a
+    # sliding left-context window).
+    enc_attn_chunk: int = 0
+    # past chunks visible when enc_attn_chunk > 0: -1 = unlimited
+    # (offline-evaluable but NOT streamable — the cache would grow
+    # without bound); >= 0 bounds the streaming cache to exactly
+    # left_chunks * chunk frames per block
+    enc_attn_left_chunks: int = -1
     enc_hidden: int = 256         # per-direction LSTM hidden size
     enc_layers: int = 3           # pyramid layers AFTER the base BiLSTM
     enc_base_layers: int = 1      # full-rate BiLSTM layers before the pyramid

@@ -5,7 +5,10 @@ arbitrary pieces, get tokens out incrementally, and the result is THE
 SAME computation as the full-utterance decode — not an approximation.
 Requirements (asserted): a frame-synchronous family
 (``model.family=transducer`` or ``ctc`` — LAS attention reads the full
-utterance), ``model.enc_bidirectional=false``, ``model.conv_subsample=0``,
+utterance), a streamable listener (forward-only BLSTM
+``model.enc_bidirectional=false``, or the chunk-causal conformer
+``model.enc_attn_chunk>0`` + ``enc_attn_left_chunks>=0``),
+``model.conv_subsample=0``,
 ``frontend.center=false`` (VALID framing: frame t covers samples
 [t*hop, t*hop + n_fft) — reflect-padded center framing is inherently
 non-causal), ``frontend.cmvn=global`` (per-frame, precomputed stats).
@@ -19,7 +22,12 @@ How exactness falls out (tested in tests/test_streaming_decode.py):
 * listener: forward-only ``lax.scan`` LSTMs resume from carried (h, c)
   (ops/recurrent.lstm ``return_state``); chunks are
   ``time_reduction``-aligned so the pyramid folds produce whole output
-  frames per chunk (models/listener.listener_apply_stream);
+  frames per chunk (models/listener.listener_apply_stream); the
+  conformer instead carries per-block KV / causal-conv caches
+  (models/conformer_listener.conformer_listener_apply_stream) whose
+  per-chunk forward is the offline chunk-masked forward (token-exact;
+  numerically ulp-scale — see that module's parity contract), with the
+  streaming chunk pinned to ``enc_attn_chunk`` frames;
 * decode: the frame-synchronous greedy (``beam_size=1``) or the
   alignment-synchronous beam (``beam_size>1``, incl. shallow LM fusion)
   carries its frame-scan state across chunks
@@ -72,6 +80,7 @@ class StreamingTranscriber:
         lm_step_fn=None,
         lm_weight: float = 0.0,
         ilm_weight: float = 0.0,
+        max_stream_frames: int = 60_000,
     ):
         m, f = cfg.model, cfg.frontend
         assert m.family in ("transducer", "ctc"), (
@@ -81,9 +90,12 @@ class StreamingTranscriber:
         assert m.family == "transducer" or ilm_weight == 0.0, (
             "ilm_weight is transducer-only (HAT internal-LM correction)"
         )
-        assert not m.enc_bidirectional, (
-            "streaming needs model.enc_bidirectional=false"
-        )
+        self._conformer = m.encoder_arch == "conformer"
+        if not self._conformer:
+            assert not m.enc_bidirectional, (
+                "streaming needs model.enc_bidirectional=false (or the "
+                "chunk-causal conformer, model.enc_attn_chunk > 0)"
+            )
         assert m.conv_subsample == 0, "streaming needs conv_subsample=0"
         assert not f.center, (
             "streaming needs frontend.center=false (reflect-padded "
@@ -94,7 +106,21 @@ class StreamingTranscriber:
             "the full utterance)"
         )
         red = m.time_reduction
-        self.chunk_frames = chunk_frames or red
+        if self._conformer:
+            # the conformer's stream step consumes exactly one attention
+            # chunk — the encoder's latency granule
+            from semi_supervised_asr_tpu.models import (
+                conformer_listener as CL,
+            )
+            self.chunk_frames = chunk_frames or m.enc_attn_chunk
+            assert self.chunk_frames == m.enc_attn_chunk, (
+                "conformer streaming feeds exactly enc_attn_chunk frames "
+                f"per chunk (got chunk_frames={self.chunk_frames}, "
+                f"enc_attn_chunk={m.enc_attn_chunk})"
+            )
+            self._rope = CL.conformer_rope_table(m, max_stream_frames)
+        else:
+            self.chunk_frames = chunk_frames or red
         assert self.chunk_frames % red == 0, (self.chunk_frames, red)
         self.params = params
         self.cfg = cfg
@@ -106,7 +132,25 @@ class StreamingTranscriber:
         self.beam_size = beam_size
         self._lm_weight = lm_weight
         self._audio = np.zeros((0,), np.float32)
-        self._enc_state = L.listener_stream_init(m, 1)
+        if self._conformer:
+            from semi_supervised_asr_tpu.models import (
+                conformer_listener as CL,
+            )
+            self._enc_state = CL.conformer_stream_init(m, 1)
+
+            def enc_stream(feats, enc_state, frame_lens=None):
+                return CL.conformer_listener_apply_stream(
+                    params["listener"], feats, m, enc_state, self._rope,
+                    frame_lens=frame_lens,
+                )
+        else:
+            self._enc_state = L.listener_stream_init(m, 1)
+
+            def enc_stream(feats, enc_state, frame_lens=None):
+                return L.listener_apply_stream(
+                    params["listener"], feats, m, enc_state,
+                    frame_lens=frame_lens,
+                )
         if m.family == "ctc" and beam_size > 1:
             from semi_supervised_asr_tpu.decode.ctc_beam import (
                 ctc_beam_from_enc,
@@ -168,9 +212,7 @@ class StreamingTranscriber:
                 mean, inv_std,
             )
             feats = feats[:, : self.chunk_frames]
-            enc, enc_state = L.listener_apply_stream(
-                params["listener"], feats, m, enc_state
-            )
+            enc, enc_state = enc_stream(feats, enc_state)
             mask = jnp.ones((1, enc.shape[1]), bool)
             return enc_state, decode_chunk(enc, mask, dec_carry)
 
@@ -178,13 +220,11 @@ class StreamingTranscriber:
             feats, flens = F.log_mel_features(
                 audio[None], n_samples[None], f, mean, inv_std,
             )
-            enc, _ = L.listener_apply_stream(
-                params["listener"], feats, m, enc_state,
-                frame_lens=flens,
-            )
+            enc, _ = enc_stream(feats, enc_state, frame_lens=flens)
             enc_valid = flens
-            for _ in range(m.enc_layers):
-                enc_valid = (enc_valid + 1) // 2
+            if not self._conformer:
+                for _ in range(m.enc_layers):
+                    enc_valid = (enc_valid + 1) // 2
             mask = jnp.arange(enc.shape[1])[None, :] < enc_valid[:, None]
             return decode_chunk(enc, mask, dec_carry)
 
@@ -242,7 +282,9 @@ class StreamingTranscriber:
             if rem >= self._n_fft else 0
         )
         if n_frames > 0:
-            red = m.time_reduction
+            # the conformer's stream step is compiled for exactly one
+            # attention chunk; the LSTM path only needs pyramid alignment
+            red = self.chunk_frames if self._conformer else m.time_reduction
             pad_frames = -(-n_frames // red) * red
             need = (pad_frames - 1) * self._hop + self._n_fft
             audio = np.zeros((need,), np.float32)

@@ -133,14 +133,31 @@ def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.reshape(x.shape)
 
 
+def _chunk_mask(t: int, chunk: int, left_chunks: int) -> np.ndarray:
+    """[t, t] bool visibility for chunk-causal attention
+    (``model.enc_attn_chunk``): query in chunk c sees keys in chunks
+    [c - left_chunks, c] (all of them: attention is FULL inside a chunk
+    and over the allowed left chunks, zero ahead — the WeNet-U2
+    convention that makes per-chunk streaming the same computation as
+    the offline forward).  Host-computed; static per compiled shape."""
+    c = np.arange(t) // chunk
+    vis = c[None, :] <= c[:, None]
+    if left_chunks >= 0:
+        vis &= c[:, None] - c[None, :] <= left_chunks
+    return vis
+
+
 def _mhsa_rope(
     p: dict, x: jax.Array, key_mask: jax.Array, n_heads: int, compute,
     backend: str = "xla",
+    chunk_mask: np.ndarray | None = None,
 ) -> jax.Array:
     """MHSA with rotary q/k; pad keys masked additively; softmax fp32.
     ``backend="flash"`` (model.attn_backend) routes the score/softmax/
     context core through the Pallas flash kernel (ops/flash_mhsa.py) —
-    RoPE composes unchanged, it rotates q/k before the product."""
+    RoPE composes unchanged, it rotates q/k before the product.
+    ``chunk_mask`` ([t, t] static bool, from ``_chunk_mask``) further
+    restricts which keys each query sees (chunk-causal conformer)."""
     b, t, d = x.shape
     hd = d // n_heads
     xc = x.astype(compute)
@@ -158,6 +175,10 @@ def _mhsa_rope(
     assert backend in ("xla", "flash"), (
         f"unknown model.attn_backend {backend!r}"
     )
+    assert chunk_mask is None or backend == "xla", (
+        "enc_attn_chunk needs attn_backend=xla — the flash kernel's "
+        "segment ids cannot express a sliding left-context window"
+    )
     if backend == "flash":
         ctx = FM.mhsa(
             q, k, v, key_mask, sm_scale=float(1.0 / np.sqrt(hd)),
@@ -168,7 +189,10 @@ def _mhsa_rope(
             "bqhd,bkhd->bhqk", q.astype(compute), k.astype(compute)
         ).astype(jnp.float32)
         scores = scores / np.sqrt(hd)
-        scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
+        vis = key_mask[:, None, None, :]
+        if chunk_mask is not None:
+            vis = vis & jnp.asarray(chunk_mask)[None, None, :, :]
+        scores = jnp.where(vis, scores, -1e9)
         alpha = jax.nn.softmax(scores, axis=-1).astype(compute)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", alpha, v).reshape(b, t, d)
     return (ctx @ p["wo"].astype(compute)
@@ -186,11 +210,16 @@ def _ff(p: dict, x: jax.Array, compute) -> jax.Array:
 
 
 def _conv_module(
-    p: dict, x: jax.Array, mask: jax.Array, compute
+    p: dict, x: jax.Array, mask: jax.Array, compute,
+    causal: bool = False,
 ) -> jax.Array:
     """LN -> pointwise 2d + GLU -> masked depthwise conv -> LN -> swish
     -> pointwise.  ``mask`` [B, T] zeroes pad frames entering the
-    depthwise conv so valid outputs are pad-invariant.
+    depthwise conv so valid outputs are pad-invariant.  ``causal``
+    (chunk-causal conformer, ``model.enc_attn_chunk``) left-pads the
+    depthwise conv with the full width-1 instead of centering it, so
+    frame t reads only frames <= t and the module streams with a
+    width-1-frame cache.
 
     The elementwise chain (GLU, mask, conv taps, swish) runs in the
     compute dtype, matching ``_ff``'s swish — the step is HBM-bound
@@ -213,7 +242,7 @@ def _conv_module(
     # static Python int, so the unrolled loop is jit-stable.
     w = p["w_dw"].astype(jnp.float32)                  # [W, d]
     width = w.shape[0]
-    left = (width - 1) // 2
+    left = width - 1 if causal else (width - 1) // 2
     t = h.shape[1]
     hp = jnp.pad(h, ((0, 0), (left, width - 1 - left), (0, 0)))
     acc = jnp.zeros(h.shape, jnp.float32)
@@ -246,6 +275,9 @@ def conformer_listener_apply(
          ).astype(jnp.float32) + params["proj"]["b"].astype(jnp.float32)
     t = x.shape[1]
     mask = jnp.arange(t)[None, :] < lens[:, None]      # [B, T']
+    chunked = cfg.enc_attn_chunk > 0
+    cmask = _chunk_mask(t, cfg.enc_attn_chunk, cfg.enc_attn_left_chunks) \
+        if chunked else None
 
     def maybe_dropout(h, i):
         if train and cfg.enc_dropout > 0.0 and dropout_rng is not None:
@@ -259,12 +291,202 @@ def conformer_listener_apply(
         x = x + 0.5 * maybe_dropout(_ff(blk["ff1"], x, compute), 4 * i)
         h = _mhsa_rope(blk["attn"], _layer_norm(x, blk["attn"]["ln"]),
                        mask, cfg.enc_heads, compute,
-                       backend=cfg.attn_backend)
+                       backend=cfg.attn_backend, chunk_mask=cmask)
         x = x + maybe_dropout(h, 4 * i + 1)
         x = x + maybe_dropout(
-            _conv_module(blk["conv"], x, mask, compute), 4 * i + 2
+            _conv_module(blk["conv"], x, mask, compute, causal=chunked),
+            4 * i + 2,
         )
         x = x + 0.5 * maybe_dropout(_ff(blk["ff2"], x, compute), 4 * i + 3)
         x = _layer_norm(x, blk["ln_out"])
     # listener contract: EXACT zeros on pad frames
     return jnp.where(mask[:, :, None], x, 0.0), lens
+
+
+# ---------------------------------------------------------------------------
+# Chunked streaming (model.enc_attn_chunk > 0, enc_attn_left_chunks >= 0)
+#
+# Per-chunk inference computing the SAME function as the offline
+# chunk-masked forward: attention caches the last left_chunks*chunk
+# frames of rotated keys / values per block, the causal depthwise conv
+# caches its last width-1 GLU frames, and RoPE angles come from one
+# host-precomputed table indexed by the absolute frame position carried
+# in the state.  Numerics: the conv / FF / LayerNorm chains are
+# bitwise-identical to offline (same values, same op order); attention
+# differs only in softmax/matmul reduction ORDER (the offline row sums
+# exact-zero masked terms the streaming row omits), so parity is
+# ulp-scale, pinned by tests/test_streaming_conformer.py, and decode
+# tokens are identical.  Contract: feed full enc_attn_chunk-frame
+# chunks; ``frame_lens`` only on the FINAL (partial) chunk — cached
+# frames are assumed valid, which holds per-utterance (B=1 streaming).
+# ---------------------------------------------------------------------------
+
+
+def conformer_rope_table(
+    cfg: ModelConfig, max_frames: int
+) -> tuple[jax.Array, jax.Array]:
+    """(cos, sin) [max_frames, head_dim//2] — the absolute-position
+    rotation table streaming slices at the carried offset.  Host fp64,
+    matching the offline path's ``_rope_angles`` bit-for-bit."""
+    hd = cfg.enc_out_dim // cfg.enc_heads
+    ang = jnp.asarray(_rope_angles(max_frames, hd))
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _stream_asserts(cfg: ModelConfig) -> None:
+    assert cfg.encoder_arch == "conformer", cfg.encoder_arch
+    assert cfg.enc_attn_chunk > 0, (
+        "conformer streaming needs model.enc_attn_chunk > 0 "
+        "(chunk-causal attention)"
+    )
+    assert cfg.enc_attn_left_chunks >= 0, (
+        "conformer streaming needs model.enc_attn_left_chunks >= 0 — "
+        "unlimited left context would need an unbounded cache"
+    )
+    assert cfg.conv_subsample == 0, (
+        "conformer streaming supports conv_subsample=0 (the stride-2 "
+        "stem spans chunk boundaries)"
+    )
+
+
+def conformer_stream_init(cfg: ModelConfig, b: int) -> dict:
+    """Zero caches: per block the last W = left_chunks*chunk frames of
+    rotated keys (fp32) / values (compute dtype) and the causal conv's
+    width-1 GLU tail; plus the absolute frame position."""
+    _stream_asserts(cfg)
+    compute = jnp.dtype(cfg.compute_dtype)
+    d = cfg.enc_out_dim
+    hd = d // cfg.enc_heads
+    w_ctx = cfg.enc_attn_left_chunks * cfg.enc_attn_chunk
+    blocks = tuple(
+        {
+            "k": jnp.zeros((b, w_ctx, cfg.enc_heads, hd), jnp.float32),
+            "v": jnp.zeros((b, w_ctx, cfg.enc_heads, hd), compute),
+            "conv": jnp.zeros(
+                (b, cfg.conformer_conv_width - 1, d), compute
+            ),
+        }
+        for _ in range(cfg.enc_blocks)
+    )
+    return {"pos": jnp.zeros((), jnp.int32), "blocks": blocks}
+
+
+def _mhsa_rope_stream(
+    p: dict, x: jax.Array, st: dict, cache_valid: jax.Array,
+    cur_mask: jax.Array, n_heads: int, compute,
+    cos: jax.Array, sin: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One chunk of chunk-causal MHSA against the (cache ++ chunk) keys.
+    -> (out [B,t,d] fp32, new k cache, new v cache)."""
+    b, t, d = x.shape
+    hd = d // n_heads
+    xc = x.astype(compute)
+
+    def proj(w, bias):
+        return (xc @ w.astype(compute) + bias.astype(compute)).reshape(
+            b, t, n_heads, hd)
+
+    q = _rope(proj(p["wq"], p["bq"]).astype(jnp.float32), cos, sin)
+    k_new = _rope(proj(p["wk"], p["bk"]).astype(jnp.float32), cos, sin)
+    v_new = proj(p["wv"], p["bv"])
+    k_all = jnp.concatenate([st["k"], k_new], axis=1)
+    v_all = jnp.concatenate([st["v"].astype(compute), v_new], axis=1)
+    key_mask = jnp.concatenate(
+        [jnp.broadcast_to(cache_valid[None, :], (b, st["k"].shape[1])),
+         cur_mask], axis=1,
+    )
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(compute), k_all.astype(compute)
+    ).astype(jnp.float32) / np.sqrt(hd)
+    scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
+    alpha = jax.nn.softmax(scores, axis=-1).astype(compute)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", alpha, v_all).reshape(b, t, d)
+    out = (ctx @ p["wo"].astype(compute)
+           + p["bo"].astype(compute)).astype(jnp.float32)
+    w_ctx = st["k"].shape[1]
+    keep = k_all.shape[1] - w_ctx
+    new_k = jax.lax.slice_in_dim(k_all, keep, k_all.shape[1], axis=1)
+    new_v = jax.lax.slice_in_dim(
+        v_all, keep, v_all.shape[1], axis=1
+    ).astype(st["v"].dtype)
+    return out, new_k, new_v
+
+
+def _conv_module_stream(
+    p: dict, x: jax.Array, mask: jax.Array, compute, conv_cache: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Causal ``_conv_module`` resuming from the previous chunk's last
+    width-1 GLU frames (zeros on chunk 1 == the offline left padding).
+    Bitwise-equal to the offline causal path: same taps, same order."""
+    h = _layer_norm(x, p["ln"]).astype(compute)
+    h = h @ p["w_pw1"].astype(compute) + p["b_pw1"].astype(compute)
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g)
+    h = jnp.where(mask[:, :, None], h, jnp.zeros((), compute))
+    w = p["w_dw"].astype(jnp.float32)
+    width = w.shape[0]
+    t = h.shape[1]
+    hp = jnp.concatenate([conv_cache.astype(compute), h], axis=1)
+    acc = jnp.zeros(h.shape, jnp.float32)
+    for i in range(width):
+        tap = jax.lax.slice_in_dim(hp, i, i + t, axis=1)
+        acc = acc + tap.astype(jnp.float32) * w[i]
+    new_cache = jax.lax.slice_in_dim(
+        hp, t, hp.shape[1], axis=1
+    ).astype(conv_cache.dtype)
+    h = acc + p["b_dw"].astype(jnp.float32)
+    h = _layer_norm(h, p["ln2"]).astype(compute)
+    h = jax.nn.silu(h)
+    out = (h @ p["w_pw2"].astype(compute)
+           ).astype(jnp.float32) + p["b_pw2"].astype(jnp.float32)
+    return out, new_cache
+
+
+def conformer_listener_apply_stream(
+    params: dict,
+    feats: jax.Array,          # [B, enc_attn_chunk, n_mels]
+    cfg: ModelConfig,
+    state: dict,               # conformer_stream_init / previous chunk
+    rope: tuple[jax.Array, jax.Array],   # conformer_rope_table
+    frame_lens: jax.Array | None = None,  # [B], FINAL partial chunk only
+) -> tuple[jax.Array, dict]:
+    """One streaming chunk -> (enc [B, chunk, d] fp32, new state).
+    Inference-only (no dropout); parity contract in the section header."""
+    _stream_asserts(cfg)
+    compute = jnp.dtype(cfg.compute_dtype)
+    chunk = cfg.enc_attn_chunk
+    b, t, _ = feats.shape
+    assert t == chunk, (
+        f"stream chunks must be exactly enc_attn_chunk frames "
+        f"(got {t}, chunk {chunk})"
+    )
+    x = feats.astype(jnp.float32)
+    x = (x.astype(compute) @ params["proj"]["w"].astype(compute)
+         ).astype(jnp.float32) + params["proj"]["b"].astype(jnp.float32)
+    if frame_lens is None:
+        mask = jnp.ones((b, t), bool)
+    else:
+        mask = jnp.arange(t)[None, :] < frame_lens[:, None]
+    pos = state["pos"]
+    cos = jax.lax.dynamic_slice_in_dim(rope[0], pos, t, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(rope[1], pos, t, axis=0)
+    w_ctx = cfg.enc_attn_left_chunks * chunk
+    cache_valid = jnp.arange(w_ctx) >= w_ctx - jnp.minimum(pos, w_ctx)
+    new_blocks = []
+    for i, blk in enumerate(params["blocks"]):
+        st = state["blocks"][i]
+        x = x + 0.5 * _ff(blk["ff1"], x, compute)
+        h, new_k, new_v = _mhsa_rope_stream(
+            blk["attn"], _layer_norm(x, blk["attn"]["ln"]), st,
+            cache_valid, mask, cfg.enc_heads, compute, cos, sin,
+        )
+        x = x + h
+        h, new_conv = _conv_module_stream(
+            blk["conv"], x, mask, compute, st["conv"]
+        )
+        x = x + h
+        x = x + 0.5 * _ff(blk["ff2"], x, compute)
+        x = _layer_norm(x, blk["ln_out"])
+        new_blocks.append({"k": new_k, "v": new_v, "conv": new_conv})
+    out = jnp.where(mask[:, :, None], x, 0.0)
+    return out, {"pos": pos + chunk, "blocks": tuple(new_blocks)}

@@ -24,7 +24,12 @@ def _listener_fns(cfg: ModelConfig):
     assert cfg.enc_bidirectional or cfg.encoder_arch == "blstm", (
         "model.enc_bidirectional=false (streaming encoder) is only "
         "meaningful for encoder_arch=blstm — the attention listeners "
-        f"are inherently full-context (got {cfg.encoder_arch!r})"
+        f"are inherently full-context (got {cfg.encoder_arch!r}); the "
+        "conformer streams via model.enc_attn_chunk instead"
+    )
+    assert cfg.enc_attn_chunk == 0 or cfg.encoder_arch == "conformer", (
+        "model.enc_attn_chunk (chunk-causal attention) is conformer-only "
+        f"(got encoder_arch={cfg.encoder_arch!r})"
     )
     if cfg.encoder_arch == "transformer":
         from semi_supervised_asr_tpu.models import transformer_listener as TL
