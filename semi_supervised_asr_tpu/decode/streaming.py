@@ -6,9 +6,10 @@ SAME computation as the full-utterance decode — not an approximation.
 Requirements (asserted): a frame-synchronous family
 (``model.family=transducer`` or ``ctc`` — LAS attention reads the full
 utterance), a streamable listener (forward-only BLSTM
-``model.enc_bidirectional=false``, or the chunk-causal conformer
-``model.enc_attn_chunk>0`` + ``enc_attn_left_chunks>=0``),
-``model.conv_subsample=0``,
+``model.enc_bidirectional=false`` with ``conv_subsample=0``, or the
+chunk-causal conformer ``model.enc_attn_chunk>0`` +
+``enc_attn_left_chunks>=0`` — whose CAUSAL stem streams at any
+``conv_subsample``),
 ``frontend.center=false`` (VALID framing: frame t covers samples
 [t*hop, t*hop + n_fft) — reflect-padded center framing is inherently
 non-causal), ``frontend.cmvn=global`` (per-frame, precomputed stats).
@@ -96,7 +97,10 @@ class StreamingTranscriber:
                 "streaming needs model.enc_bidirectional=false (or the "
                 "chunk-causal conformer, model.enc_attn_chunk > 0)"
             )
-        assert m.conv_subsample == 0, "streaming needs conv_subsample=0"
+            assert m.conv_subsample == 0, (
+                "blstm streaming needs conv_subsample=0 (the SAME-padded "
+                "stem reads ahead; the conformer's chunked stem is causal)"
+            )
         assert not f.center, (
             "streaming needs frontend.center=false (reflect-padded "
             "center framing reads future samples)"
@@ -108,15 +112,17 @@ class StreamingTranscriber:
         red = m.time_reduction
         if self._conformer:
             # the conformer's stream step consumes exactly one attention
-            # chunk — the encoder's latency granule
+            # chunk (enc_attn_chunk encoder frames = enc_attn_chunk * red
+            # feature frames) — the encoder's latency granule
             from semi_supervised_asr_tpu.models import (
                 conformer_listener as CL,
             )
-            self.chunk_frames = chunk_frames or m.enc_attn_chunk
-            assert self.chunk_frames == m.enc_attn_chunk, (
-                "conformer streaming feeds exactly enc_attn_chunk frames "
-                f"per chunk (got chunk_frames={self.chunk_frames}, "
-                f"enc_attn_chunk={m.enc_attn_chunk})"
+            self.chunk_frames = chunk_frames or m.enc_attn_chunk * red
+            assert self.chunk_frames == m.enc_attn_chunk * red, (
+                "conformer streaming feeds exactly enc_attn_chunk * "
+                "2**conv_subsample feature frames per chunk (got "
+                f"chunk_frames={self.chunk_frames}, want "
+                f"{m.enc_attn_chunk * red})"
             )
             self._rope = CL.conformer_rope_table(m, max_stream_frames)
         else:
@@ -222,7 +228,10 @@ class StreamingTranscriber:
             )
             enc, _ = enc_stream(feats, enc_state, frame_lens=flens)
             enc_valid = flens
-            if not self._conformer:
+            if self._conformer:
+                for _ in range(m.conv_subsample):
+                    enc_valid = (enc_valid + 1) // 2
+            else:
                 for _ in range(m.enc_layers):
                     enc_valid = (enc_valid + 1) // 2
             mask = jnp.arange(enc.shape[1])[None, :] < enc_valid[:, None]

@@ -267,15 +267,18 @@ def conformer_listener_apply(
     """-> (enc [B, T/2**conv_subsample, d_model] fp32, enc_lens [B]).
     Same signature/contract as listener.listener_apply."""
     compute = jnp.dtype(cfg.compute_dtype)
+    chunked = cfg.enc_attn_chunk > 0
     x = feats.astype(jnp.float32)
     lens = feat_lens
     if cfg.conv_subsample > 0:
-        x, lens = L.conv_stem_apply(params["conv"], x, lens, cfg)
+        # chunked => causal stem (no lookahead) so the stem streams too
+        x, lens = L.conv_stem_apply(
+            params["conv"], x, lens, cfg, causal=chunked
+        )
     x = (x.astype(compute) @ params["proj"]["w"].astype(compute)
          ).astype(jnp.float32) + params["proj"]["b"].astype(jnp.float32)
     t = x.shape[1]
     mask = jnp.arange(t)[None, :] < lens[:, None]      # [B, T']
-    chunked = cfg.enc_attn_chunk > 0
     cmask = _chunk_mask(t, cfg.enc_attn_chunk, cfg.enc_attn_left_chunks) \
         if chunked else None
 
@@ -343,16 +346,13 @@ def _stream_asserts(cfg: ModelConfig) -> None:
         "conformer streaming needs model.enc_attn_left_chunks >= 0 — "
         "unlimited left context would need an unbounded cache"
     )
-    assert cfg.conv_subsample == 0, (
-        "conformer streaming supports conv_subsample=0 (the stride-2 "
-        "stem spans chunk boundaries)"
-    )
 
 
 def conformer_stream_init(cfg: ModelConfig, b: int) -> dict:
     """Zero caches: per block the last W = left_chunks*chunk frames of
     rotated keys (fp32) / values (compute dtype) and the causal conv's
-    width-1 GLU tail; plus the absolute frame position."""
+    width-1 GLU tail; plus the causal stem's per-block 2-frame carries
+    (conv_subsample > 0) and the absolute frame position."""
     _stream_asserts(cfg)
     compute = jnp.dtype(cfg.compute_dtype)
     d = cfg.enc_out_dim
@@ -368,7 +368,11 @@ def conformer_stream_init(cfg: ModelConfig, b: int) -> dict:
         }
         for _ in range(cfg.enc_blocks)
     )
-    return {"pos": jnp.zeros((), jnp.int32), "blocks": blocks}
+    return {
+        "pos": jnp.zeros((), jnp.int32),
+        "stem": L.conv_stem_stream_init(cfg, b),
+        "blocks": blocks,
+    }
 
 
 def _mhsa_rope_stream(
@@ -444,29 +448,39 @@ def _conv_module_stream(
 
 def conformer_listener_apply_stream(
     params: dict,
-    feats: jax.Array,          # [B, enc_attn_chunk, n_mels]
+    feats: jax.Array,   # [B, enc_attn_chunk * 2**conv_subsample, n_mels]
     cfg: ModelConfig,
     state: dict,               # conformer_stream_init / previous chunk
     rope: tuple[jax.Array, jax.Array],   # conformer_rope_table
     frame_lens: jax.Array | None = None,  # [B], FINAL partial chunk only
 ) -> tuple[jax.Array, dict]:
     """One streaming chunk -> (enc [B, chunk, d] fp32, new state).
-    Inference-only (no dropout); parity contract in the section header."""
+    ``feats`` carries one attention chunk's worth of FEATURE frames
+    (enc_attn_chunk encoder frames x the stem's 2**conv_subsample);
+    inference-only (no dropout); parity contract in the section header."""
     _stream_asserts(cfg)
     compute = jnp.dtype(cfg.compute_dtype)
     chunk = cfg.enc_attn_chunk
-    b, t, _ = feats.shape
-    assert t == chunk, (
-        f"stream chunks must be exactly enc_attn_chunk frames "
-        f"(got {t}, chunk {chunk})"
+    b, t_in, _ = feats.shape
+    assert t_in == chunk * 2 ** cfg.conv_subsample, (
+        f"stream chunks must be exactly enc_attn_chunk * "
+        f"2**conv_subsample feature frames (got {t_in}, want "
+        f"{chunk * 2 ** cfg.conv_subsample})"
     )
     x = feats.astype(jnp.float32)
+    lens = frame_lens
+    new_stem = state["stem"]
+    if cfg.conv_subsample > 0:
+        x, new_stem, lens = L.conv_stem_stream(
+            params["conv"], x, cfg, state["stem"], lens=lens
+        )
+    t = chunk
     x = (x.astype(compute) @ params["proj"]["w"].astype(compute)
          ).astype(jnp.float32) + params["proj"]["b"].astype(jnp.float32)
-    if frame_lens is None:
+    if lens is None:
         mask = jnp.ones((b, t), bool)
     else:
-        mask = jnp.arange(t)[None, :] < frame_lens[:, None]
+        mask = jnp.arange(t)[None, :] < lens[:, None]
     pos = state["pos"]
     cos = jax.lax.dynamic_slice_in_dim(rope[0], pos, t, axis=0)
     sin = jax.lax.dynamic_slice_in_dim(rope[1], pos, t, axis=0)
@@ -489,4 +503,8 @@ def conformer_listener_apply_stream(
         x = _layer_norm(x, blk["ln_out"])
         new_blocks.append({"k": new_k, "v": new_v, "conv": new_conv})
     out = jnp.where(mask[:, :, None], x, 0.0)
-    return out, {"pos": pos + chunk, "blocks": tuple(new_blocks)}
+    return out, {
+        "pos": pos + chunk,
+        "stem": new_stem,
+        "blocks": tuple(new_blocks),
+    }

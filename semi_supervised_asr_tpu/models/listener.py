@@ -85,24 +85,41 @@ def init_listener(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
     return params
 
 
+def _freq_same_pad(f: int) -> tuple[int, int]:
+    """XLA SAME padding for the stem's kernel-3 / stride-2 freq axis."""
+    out = -(-f // 2)
+    tot = max((out - 1) * 2 + 3 - f, 0)
+    return (tot // 2, tot - tot // 2)
+
+
 def conv_stem_apply(
     conv_params: list,
     x: jax.Array,          # [B, T, F] zero on pad frames
     lens: jax.Array,       # [B]
     cfg: ModelConfig,
+    causal: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """-> ([B, ceil(T/2^N), F'*C], new lens).  Pad frames stay exact zeros
     (re-masked after every block: bias+relu would otherwise bleed into the
-    pad region and break pad-invariance of the downstream scans)."""
+    pad region and break pad-invariance of the downstream scans).
+
+    ``causal`` (the chunk-causal conformer, ``model.enc_attn_chunk``):
+    the TIME axis pads (2, 0) instead of SAME's (0, 1) so output frame
+    t' reads inputs [2t'-2, 2t'] — no lookahead, and the stem streams
+    with a 2-frame carry per block (``conv_stem_stream``).  Output
+    length and the (lens+1)//2 valid-count are unchanged; the freq axis
+    keeps its exact SAME padding."""
     compute = jnp.dtype(cfg.compute_dtype)
     h = x[..., None]                               # [B, T, F, 1]
     for p in conv_params:
         # conv runs in compute dtype end-to-end (preferred_element_type
         # would make the transposed conv in the VJP mix dtypes); the MXU
         # accumulates in fp32 internally, the upcast happens at the bias
+        pad = ([(2, 0), _freq_same_pad(h.shape[2])] if causal
+               else "SAME")
         h = jax.lax.conv_general_dilated(
             h.astype(compute), p["w"].astype(compute),
-            window_strides=(2, 2), padding="SAME",
+            window_strides=(2, 2), padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ).astype(jnp.float32) + p["b"].astype(jnp.float32)
         h = jax.nn.relu(h)
@@ -111,6 +128,60 @@ def conv_stem_apply(
         h = jnp.where(mask[:, :, None, None], h, 0.0)
     b, t = h.shape[:2]
     return h.reshape(b, t, -1), lens
+
+
+def conv_stem_stream_init(cfg: ModelConfig, b: int) -> tuple:
+    """Zero carries for the CAUSAL stem: per block the last 2 input
+    frames at that block's rate (== the causal left padding on chunk 1).
+    Freq/channel dims follow the block tower."""
+    compute = jnp.dtype(cfg.compute_dtype)
+    carries = []
+    f, c_in = cfg.n_mels, 1
+    for _ in range(cfg.conv_subsample):
+        carries.append(jnp.zeros((b, 2, f, c_in), compute))
+        f = (f + 1) // 2
+        c_in = cfg.conv_channels
+    return tuple(carries)
+
+
+def conv_stem_stream(
+    conv_params: list,
+    x: jax.Array,          # [B, Tc, F], Tc % 2^N == 0, zeros on pads
+    cfg: ModelConfig,
+    carry: tuple,          # conv_stem_stream_init / previous chunk
+    lens: jax.Array | None = None,   # [B], FINAL partial chunk only
+) -> tuple[jax.Array, tuple, jax.Array | None]:
+    """One chunk of the causal stem -> ([B, Tc/2^N, F'*C], new carry,
+    new lens).  Exactly ``conv_stem_apply(..., causal=True)`` resumed:
+    each block convolves (carry ++ chunk) with no time padding — the
+    carried 2 frames ARE the causal left context (zeros on chunk 1 ==
+    the offline left padding) — so per-chunk outputs are bitwise the
+    offline outputs.  Pad re-masking mirrors the offline path on the
+    final partial chunk."""
+    compute = jnp.dtype(cfg.compute_dtype)
+    h = x[..., None]
+    new_carry = []
+    for i, p in enumerate(conv_params):
+        hc = h.astype(compute)
+        hp = jnp.concatenate([carry[i].astype(compute), hc], axis=1)
+        new_carry.append(
+            jax.lax.slice_in_dim(
+                hp, hp.shape[1] - 2, hp.shape[1], axis=1
+            ).astype(carry[i].dtype)
+        )
+        h = jax.lax.conv_general_dilated(
+            hp, p["w"].astype(compute),
+            window_strides=(2, 2),
+            padding=[(0, 0), _freq_same_pad(h.shape[2])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32) + p["b"].astype(jnp.float32)
+        h = jax.nn.relu(h)
+        if lens is not None:
+            lens = (lens + 1) // 2
+            mask = (jnp.arange(h.shape[1])[None, :] < lens[:, None])
+            h = jnp.where(mask[:, :, None, None], h, 0.0)
+    b, t = h.shape[:2]
+    return h.reshape(b, t, -1), tuple(new_carry), lens
 
 
 def listener_apply(

@@ -161,6 +161,47 @@ class TestStreamParity:
         d = np.abs(enc_off[:, :n_valid] - enc_st).max()
         assert d <= 1e-5 * max(scale, 1.0), (d, scale)
 
+    def test_stream_matches_offline_with_conv_stem(self):
+        """conv_subsample > 0: the CAUSAL stem streams with a 2-frame
+        carry per block — feature chunks are enc_attn_chunk * 2**N
+        frames; covers the partial final chunk's ceil-divided lens."""
+        cfg = dc.replace(MCFG, conv_subsample=2, conv_channels=4)
+        params = CL.init_conformer_listener(jax.random.PRNGKey(2), cfg)
+        rng = np.random.default_rng(3)
+        c_feat = cfg.enc_attn_chunk * 4
+        n_valid, t_bucket = 70, 80       # 5 chunks, final partial
+        feats = np.zeros((1, t_bucket, 16), np.float32)
+        feats[:, :n_valid] = rng.standard_normal(
+            (1, n_valid, 16)).astype(np.float32)
+        enc_off, lens_off = _apply(cfg, params, feats, [n_valid])
+        n_enc = int(lens_off[0])
+        rope = CL.conformer_rope_table(cfg, 64)
+        st = CL.conformer_stream_init(cfg, 1)
+        step = jax.jit(lambda p, x, s: CL.conformer_listener_apply_stream(
+            p, x, cfg, s, rope))
+        fstep = jax.jit(
+            lambda p, x, s, fl: CL.conformer_listener_apply_stream(
+                p, x, cfg, s, rope, frame_lens=fl))
+        outs = []
+        full = n_valid // c_feat
+        for c in range(full):
+            o, st = step(
+                params,
+                jnp.asarray(feats[:, c * c_feat:(c + 1) * c_feat]), st)
+            outs.append(np.asarray(o))
+        rem = n_valid - full * c_feat
+        pad = np.zeros((1, c_feat, 16), np.float32)
+        pad[:, :rem] = feats[:, full * c_feat: full * c_feat + rem]
+        o, st = fstep(params, jnp.asarray(pad), st, jnp.array([rem]))
+        v = rem
+        for _ in range(cfg.conv_subsample):
+            v = (v + 1) // 2
+        outs.append(np.asarray(o)[:, :v])
+        enc_st = np.concatenate(outs, axis=1)
+        assert enc_st.shape[1] == n_enc
+        d = np.abs(enc_off[:, :n_enc] - enc_st).max()
+        assert d <= 1e-5, d
+
     def test_left_zero_and_wide_left(self):
         for left in (0, 4):
             cfg = dc.replace(MCFG, enc_attn_left_chunks=left)
@@ -186,16 +227,18 @@ CMVN = (np.zeros(80, np.float32), np.ones(80, np.float32))
 MAX_U = 12
 
 
-def _full_decode(params, audio, family="transducer", beam_size=1):
+def _full_decode(params, audio, family="transducer", beam_size=1,
+                 model_cfg=None):
     from semi_supervised_asr_tpu.ops import frontend as F
 
-    f, m = CFG_E2E.frontend, MCFG_E2E
+    f, m = CFG_E2E.frontend, (model_cfg or MCFG_E2E)
     if family == "ctc":
         m = dc.replace(m, family="ctc")
     hop, n_fft = f.hop_length, f.n_fft
     n_frames = 1 + (len(audio) - n_fft) // hop
     # offline reference pads to the chunk grid like any bucketed batch
-    c = m.enc_attn_chunk
+    # (in FEATURE frames: enc_attn_chunk encoder frames x the stem rate)
+    c = m.enc_attn_chunk * m.time_reduction
     pad_frames = -(-n_frames // c) * c
     need = (pad_frames - 1) * hop + n_fft
     padded = np.zeros((need,), np.float32)
@@ -252,6 +295,20 @@ class TestEndToEnd:
             toks, _ = st.finalize()
             assert toks == ref_toks, (piece, toks, ref_toks)
 
+    def test_streaming_greedy_with_conv_stem_matches_full(self):
+        """End-to-end with the causal stem (4x frame-rate reduction) —
+        the production streaming-conformer configuration."""
+        m = dc.replace(MCFG_E2E, conv_subsample=2, conv_channels=4)
+        cfg = dc.replace(CFG_E2E, model=m)
+        params = M.init_model(jax.random.PRNGKey(6), m)
+        audio = _audio(seed=6, n=9000)
+        ref_toks, _ = _full_decode(params, audio, model_cfg=m)
+        st = StreamingTranscriber(params, cfg, CMVN, MAX_U)
+        for s in range(0, len(audio), 1777):
+            st.feed(audio[s: s + 1777])
+        toks, _ = st.finalize()
+        assert toks == ref_toks
+
     def test_streaming_beam_matches_full(self):
         params = M.init_model(jax.random.PRNGKey(4), MCFG_E2E)
         audio = _audio(seed=4)
@@ -294,6 +351,20 @@ class TestGuards:
         feats = jnp.zeros((1, 8, 16), jnp.float32)
         with pytest.raises(AssertionError, match="flash"):
             CL.conformer_listener_apply(params, feats, jnp.array([8]), cfg)
+
+    def test_blstm_streaming_still_rejects_conv_stem(self):
+        # the blstm path's SAME-padded stem reads 1 future frame per
+        # block — only the conformer's causal stem streams
+        m = dc.replace(
+            MCFG_E2E, encoder_arch="blstm", enc_bidirectional=False,
+            enc_attn_chunk=0, enc_attn_left_chunks=-1,
+            conv_subsample=1, conv_channels=4,
+            enc_layers=1, enc_base_layers=1,
+        )
+        cfg = dc.replace(CFG_E2E, model=m)
+        params = M.init_model(jax.random.PRNGKey(0), m)
+        with pytest.raises(AssertionError, match="conv_subsample"):
+            StreamingTranscriber(params, cfg, CMVN, MAX_U)
 
     def test_stream_chunk_size_pinned_to_attn_chunk(self):
         params = M.init_model(jax.random.PRNGKey(0), MCFG_E2E)
