@@ -6,12 +6,17 @@ loses everything right of the current chunk, the depthwise conv and the
 stem turn causal.  The latency/throughput win is measured
 (experiments/README.md streaming section); this asks what it costs in
 accuracy, on the same equal-budget structured-grammar harness as the
-other architecture studies.  The conformer is data-hungry at toy scale
-and the LAS decoder cannot decode it here at all (encoder-arch + depth
-studies), so the arms run `model.family=ctc` — per-frame supervision,
-the family study's tiny-data winner — to give the contrast a chance to
-resolve.  Read the result as "does chunking change anything at the
-scale this corpus can measure", not as an LS-100 verdict.
+other architecture studies.  The arms run `model.family=ctc` —
+per-frame supervision, the family study's tiny-data winner.  Read the
+result as "does chunking change anything at the scale this corpus can
+measure", not as an LS-100 verdict.
+
+Arms run noam warmup by default: the original 2026-08-19 run used a
+flat LR and both arms stalled at train PER ~0.9, which the first
+write-up read as conformer data hunger.  It was a missing warmup — the
+same budget with `lr_schedule=noam warmup_steps=500 lr=0.002` fits the
+train set (PER ~0.001) and the contrast resolves (experiments/README.md,
+2026-08-20).
 
     python experiments/chunked_conformer.py [--platform tpu] \
         [--labeled 512] [--steps 3000]
@@ -78,7 +83,12 @@ def main() -> int:
             f"model.enc_attn_chunk={chunk}",
             f"model.enc_attn_left_chunks={left}",
             "train.batch_size=16",
-            "train.learning_rate=0.001",
+            # noam warmup is REQUIRED for the conformer to train at all
+            # at this scale (module docstring); overrides can still
+            # reproduce the flat-LR stall
+            "train.learning_rate=0.002",
+            "train.lr_schedule=noam",
+            "train.warmup_steps=500",
             f"train.total_steps={args.steps}",
             f"train.eval_every={args.steps}",
             f"train.ckpt_every={args.steps}",

@@ -6,10 +6,20 @@ would cut the encoder's step time ~25% IF quality holds.  Real-corpus
 evidence is unavailable in this image, so this runs the same
 equal-budget harness as the other architecture studies
 (experiments/README.md): structured-grammar corpus, fixed steps, dev
-PER per arm.  The conformer is data-hungry at toy scale (encoder-arch
-study: dev PER 0.921 at 48 utts), so the default uses a larger labeled
-set — read the result as "does depth change anything at the scale this
-corpus can measure", not as an LS-960 verdict.
+PER per arm.  Read the result as "does depth change anything at the
+scale this corpus can measure", not as an LS-960 verdict.
+
+Arms run noam warmup + `model.family=ctc` by default (same harness as
+chunked_conformer.py): the original 2026-08-19 run used a flat LR and
+BOTH arms stalled at train PER ~0.9 — an optimization failure (no
+warmup), not the data hunger the first write-up assumed.  With
+`lr_schedule=noam warmup_steps=500 lr=0.002` the CTC harness fits the
+train set (PER ~0.001, chunked_conformer.py, 2026-08-20) so the arms
+can differentiate; the LAS decoder still cannot decode a conformer
+encoder at this scale even under the working schedule (2026-08-20
+noam/LAS run: ~0.8 teacher-forced acc but 0.85-0.93 dev PER — exposure
+bias), so per-frame supervision is the only harness where depth could
+show up here.
 
     python experiments/conformer_blocks.py [--platform tpu] \
         [--labeled 512] [--steps 3000]
@@ -62,6 +72,7 @@ def main() -> int:
             f"data.num_synthetic_utts={args.labeled}",
             f"data.synthetic_grammar={args.grammar}",
             "frontend.spec_augment=true",
+            "model.family=ctc",
             "model.encoder_arch=conformer",
             "model.enc_heads=4",
             "model.enc_ff_dim=256",
@@ -69,7 +80,12 @@ def main() -> int:
             "model.conv_subsample=2",
             "model.enc_dropout=0.1",
             "train.batch_size=16",
-            "train.learning_rate=0.001",
+            # noam warmup is REQUIRED for the conformer to train at all
+            # at this scale (module docstring); overrides can still
+            # reproduce the flat-LR stall
+            "train.learning_rate=0.002",
+            "train.lr_schedule=noam",
+            "train.warmup_steps=500",
             f"train.total_steps={args.steps}",
             f"train.eval_every={args.steps}",
             f"train.ckpt_every={args.steps}",
