@@ -51,6 +51,16 @@ class FrontendConfig:
     # triple the corpus with offline).  () = off.  Train-only, supervised
     # branch only (the pseudo-label views share one frame grid).
     speed_perturb: tuple[float, ...] = ()
+    # Additive noise augmentation: per-utterance Bernoulli(prob) mixes
+    # noise into the waveform at an SNR drawn uniformly from
+    # noise_snr_db, on-device inside the step (ops/frontend.noise_augment).
+    # Sources drawn uniformly per row: "white" (Gaussian) and/or "babble"
+    # (a 3-speaker sum of OTHER rows in the batch — in-batch MUSAN-babble
+    # analog, no noise corpus needed).  Unlike speed_perturb this keeps
+    # the frame grid, so it also rides the pseudo-label student view.
+    noise_aug_prob: float = 0.0   # 0 = off
+    noise_snr_db: tuple[float, float] = (5.0, 20.0)
+    noise_sources: tuple[str, ...] = ("white", "babble")
     fused_pallas: bool = True     # use the fused Pallas post-FFT kernel on TPU
 
     @property

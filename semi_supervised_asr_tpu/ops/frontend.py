@@ -301,6 +301,89 @@ def speed_perturb(
     return jnp.where(valid, out, 0.0), new_lens
 
 
+def noise_augment(
+    key: jax.Array,
+    audio: jax.Array,        # [B, S] float32 (pads exactly 0)
+    sample_lens: jax.Array,  # [B] int32
+    prob: float,
+    snr_db: tuple[float, float],
+    sources: tuple[str, ...],
+) -> jax.Array:
+    """Per-utterance additive noise at an exactly-realized SNR.
+
+    The waveform-level robustness knob the Kaldi/ESPnet MUSAN recipes
+    apply offline, run on-device inside the step (frontend.noise_aug_prob
+    / noise_snr_db / noise_sources).  Each row independently draws
+    Bernoulli(``prob``) whether to mix, an SNR uniform in ``snr_db``, and
+    a source uniform over ``sources``:
+
+    * ``"white"`` — unit Gaussian noise.
+    * ``"babble"`` — the mean of up to three OTHER rows of the batch
+      (in-batch multi-talker babble; no noise corpus required).  With
+      batch size 1 there are no other rows and babble falls back to
+      white noise.
+
+    The noise gain is solved in closed form from the row's signal power
+    over its valid samples, so the realized SNR equals the drawn SNR
+    exactly (up to float eps) — tested, not approximated.  Rows with zero
+    signal power (or zero noise power in the valid region) pass through
+    unchanged.  Lengths and the frame grid are unchanged and positions at
+    or beyond ``sample_lens`` stay exactly 0, so unlike
+    :func:`speed_perturb` this composes with the pseudo-label student
+    view (clean/augmented views keep one frame grid).  The mixed signal
+    is NOT re-clipped to [-1, 1]: augmentation runs in the float domain,
+    matching the offline-corpus convention.
+    """
+    if not 0.0 <= prob <= 1.0:
+        raise ValueError(f"noise_aug_prob must be in [0, 1], got {prob}")
+    lo_db, hi_db = snr_db
+    if hi_db < lo_db:
+        raise ValueError(f"noise_snr_db must be (lo, hi) with lo <= hi, "
+                         f"got {snr_db!r}")
+    unknown = set(sources) - {"white", "babble"}
+    if not sources or unknown:
+        raise ValueError(f"noise_sources must be a non-empty subset of "
+                         f"{{'white', 'babble'}}, got {sources!r}")
+    b, s_cap = audio.shape
+    k_apply, k_snr, k_src, k_white = jax.random.split(key, 4)
+    valid = (jnp.arange(s_cap)[None, :] < sample_lens[:, None]).astype(
+        audio.dtype
+    )                                                          # [B, S]
+
+    def _white() -> jax.Array:
+        return jax.random.normal(k_white, audio.shape, audio.dtype)
+
+    def _babble() -> jax.Array:
+        shifts = [s for s in (1, 2, 3) if s < b]
+        if not shifts:                     # batch of 1: no other rows
+            return _white()
+        return sum(jnp.roll(audio, s, axis=0) for s in shifts) / len(shifts)
+
+    cands = {"white": _white, "babble": _babble}
+    noise = cands[sources[0]]()
+    if len(sources) > 1:
+        src = jax.random.randint(k_src, (b,), 0, len(sources))  # [B]
+        other = cands[sources[1]]()
+        noise = jnp.where((src == 1)[:, None], other, noise)
+
+    denom = jnp.maximum(sample_lens, 1).astype(audio.dtype)     # [B]
+    p_sig = jnp.sum(jnp.square(audio) * valid, axis=1) / denom
+    p_noise = jnp.sum(jnp.square(noise) * valid, axis=1) / denom
+    snr = lo_db + jax.random.uniform(k_snr, (b,), audio.dtype) * (
+        hi_db - lo_db
+    )
+    ok = (p_sig > 0.0) & (p_noise > 0.0)
+    gain = jnp.sqrt(
+        jnp.where(ok, p_sig, 1.0)
+        / (jnp.where(ok, p_noise, 1.0) * jnp.power(10.0, snr / 10.0))
+    )
+    apply = (
+        jax.random.uniform(k_apply, (b,), audio.dtype) < prob
+    ) & ok                                                      # [B]
+    scale = jnp.where(apply, gain, 0.0)[:, None]                # [B, 1]
+    return audio + scale * noise * valid
+
+
 def time_warp(
     key: jax.Array,
     feats: jax.Array,        # [B, T, M]

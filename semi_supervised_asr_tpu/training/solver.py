@@ -87,6 +87,12 @@ class Solver:
                 "to precomputed features (data.use_feature_store=true) — "
                 "disable one of the two"
             )
+        if self.from_features and cfg.frontend.noise_aug_prob > 0.0:
+            raise ValueError(
+                "frontend.noise_aug_prob is waveform-level and cannot apply "
+                "to precomputed features (data.use_feature_store=true) — "
+                "disable one of the two"
+            )
 
         self.spec = make_bucket_spec(
             cfg.data, cfg.frontend, cfg.model.time_reduction

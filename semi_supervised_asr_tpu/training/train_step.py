@@ -89,6 +89,14 @@ def featurize(
             jax.random.fold_in(rng, 11), audio, audio_lens,
             fcfg.speed_perturb,
         )
+    if augment and fcfg.noise_aug_prob > 0.0 and rng is not None:
+        # lengths/frame grid unchanged, so this rides EVERY augmented
+        # view (incl. the pseudo-label student view), not just the
+        # supervised branch like speed_perturb
+        audio = F.noise_augment(
+            jax.random.fold_in(rng, 13), audio, audio_lens,
+            fcfg.noise_aug_prob, fcfg.noise_snr_db, fcfg.noise_sources,
+        )
     mean, inv_std = (cmvn if cmvn is not None else (None, None))
     if _use_fused_frontend(cfg) and mean is not None:
         from semi_supervised_asr_tpu.ops.pallas_frontend import (

@@ -313,6 +313,145 @@ class TestSpeedPerturb:
                 frontend.speed_perturb(jax.random.PRNGKey(0), audio, lens,
                                        bad)
 
+class TestNoiseAugment:
+    """Additive noise augmentation (frontend.noise_aug_prob)."""
+
+    def make(self, b=4, s=400, seed=0):
+        rng = np.random.default_rng(seed)
+        lens = np.asarray([400, 301, 160, 0], np.int32)
+        audio = rng.standard_normal((b, s)).astype(np.float32)
+        audio *= (np.arange(s)[None, :] < lens[:, None])
+        return jnp.asarray(audio), jnp.asarray(lens)
+
+    def test_prob_zero_is_identity(self):
+        audio, lens = self.make()
+        out = frontend.noise_augment(
+            jax.random.PRNGKey(0), audio, lens, 0.0, (5.0, 20.0), ("white",)
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(audio))
+
+    def test_realized_snr_is_exact(self):
+        """The gain is solved in closed form, so measured SNR == drawn SNR
+        (a degenerate (d, d) range pins the draw)."""
+        audio, lens = self.make()
+        for snr in (0.0, 10.0, 23.0):
+            out = frontend.noise_augment(
+                jax.random.PRNGKey(1), audio, lens, 1.0, (snr, snr),
+                ("white",),
+            )
+            added = np.asarray(out) - np.asarray(audio)
+            for r, n in enumerate(np.asarray(lens)):
+                if n == 0:
+                    continue
+                p_sig = np.sum(np.asarray(audio)[r, :n] ** 2) / n
+                p_noise = np.sum(added[r, :n] ** 2) / n
+                measured = 10.0 * np.log10(p_sig / p_noise)
+                np.testing.assert_allclose(measured, snr, atol=1e-3)
+
+    def test_pad_contract_and_lengths(self):
+        audio, lens = self.make()
+        out = np.asarray(frontend.noise_augment(
+            jax.random.PRNGKey(2), audio, lens, 1.0, (0.0, 0.0),
+            ("white", "babble"),
+        ))
+        for r, n in enumerate(np.asarray(lens)):
+            np.testing.assert_array_equal(out[r, n:], 0.0)
+
+    def test_empty_row_passes_through(self):
+        audio, lens = self.make()
+        out = np.asarray(frontend.noise_augment(
+            jax.random.PRNGKey(3), audio, lens, 1.0, (5.0, 5.0), ("white",)
+        ))
+        np.testing.assert_array_equal(out[3], 0.0)
+
+    def test_babble_is_other_rows(self):
+        """With B=2 and orthogonal supports in frequency, the babble noise
+        added to row 0 must correlate with row 1, not with fresh noise."""
+        s = 512
+        t = np.arange(s, dtype=np.float32)
+        a = np.sin(2 * np.pi * t * 0.05).astype(np.float32)
+        b = np.sign(np.sin(2 * np.pi * t * 0.013)).astype(np.float32)
+        audio = jnp.asarray(np.stack([a, b]))
+        lens = jnp.asarray([s, s], np.int32)
+        out = np.asarray(frontend.noise_augment(
+            jax.random.PRNGKey(4), audio, lens, 1.0, (0.0, 0.0), ("babble",)
+        ))
+        added0 = out[0] - a
+        # added noise on row 0 is exactly a scaled copy of row 1
+        corr = np.abs(np.corrcoef(added0, b)[0, 1])
+        assert corr > 0.999, corr
+
+    def test_babble_batch_of_one_falls_back_to_white(self):
+        audio = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 300)),
+            jnp.float32,
+        )
+        lens = jnp.asarray([300], np.int32)
+        out = np.asarray(frontend.noise_augment(
+            jax.random.PRNGKey(5), audio, lens, 1.0, (10.0, 10.0),
+            ("babble",),
+        ))
+        assert not np.array_equal(out, np.asarray(audio))  # noise applied
+
+    def test_partial_prob_leaves_some_rows_clean(self):
+        lens = jnp.full((64,), 300, jnp.int32)
+        audio = jnp.asarray(
+            np.random.default_rng(1).standard_normal((64, 400)),
+            jnp.float32,
+        ) * (jnp.arange(400)[None, :] < lens[:, None])
+        out = np.asarray(frontend.noise_augment(
+            jax.random.PRNGKey(6), audio, lens, 0.5, (10.0, 10.0),
+            ("white",),
+        ))
+        changed = np.any(out != np.asarray(audio), axis=1)
+        assert 0 < changed.sum() < 64
+
+    def test_bad_args_raise(self):
+        audio, lens = self.make()
+        for kw in (
+            dict(prob=-0.1, snr_db=(5.0, 20.0), sources=("white",)),
+            dict(prob=1.5, snr_db=(5.0, 20.0), sources=("white",)),
+            dict(prob=0.5, snr_db=(20.0, 5.0), sources=("white",)),
+            dict(prob=0.5, snr_db=(5.0, 20.0), sources=()),
+            dict(prob=0.5, snr_db=(5.0, 20.0), sources=("pink",)),
+        ):
+            with pytest.raises(ValueError):
+                frontend.noise_augment(jax.random.PRNGKey(0), audio, lens,
+                                       kw["prob"], kw["snr_db"],
+                                       kw["sources"])
+
+    def test_featurize_integration(self):
+        """noise applies on augmented views only (frame grid unchanged);
+        the rng=None clean/eval path is bitwise-untouched."""
+        from semi_supervised_asr_tpu.config import Config, DataConfig
+        from semi_supervised_asr_tpu.training.train_step import featurize
+
+        cfg = Config(
+            frontend=FrontendConfig(
+                spec_augment=False, cmvn="utterance", fused_pallas=False,
+                noise_aug_prob=1.0, noise_snr_db=(0.0, 0.0),
+            ),
+            data=DataConfig(),
+        )
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(
+            rng.standard_normal((2, 6400)).astype(np.float32)
+        )
+        lens = jnp.asarray([6400, 3200], np.int32)
+        base, base_l = featurize(cfg, audio, lens, None, None, False)
+        noisy, noisy_l = featurize(
+            cfg, audio, lens, None, jax.random.PRNGKey(0), True
+        )
+        # frame grid unchanged, features changed
+        np.testing.assert_array_equal(np.asarray(noisy_l),
+                                      np.asarray(base_l))
+        assert not np.array_equal(np.asarray(noisy), np.asarray(base))
+        # clean path bitwise-stable under the config knob
+        again, _ = featurize(cfg, audio, lens, None, None, False)
+        np.testing.assert_array_equal(np.asarray(again), np.asarray(base))
+
+
+class TestSpeedPerturbFeaturize:
     def test_featurize_integration(self):
         """speed=True under augment changes frame lengths; speed=False and
         eval paths are untouched."""
