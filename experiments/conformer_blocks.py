@@ -21,6 +21,13 @@ noam/LAS run: ~0.8 teacher-forced acc but 0.85-0.93 dev PER — exposure
 bias), so per-frame supervision is the only harness where depth could
 show up here.
 
+RESOLVED (2026-08-20, experiments/README.md): under the 8-block
+schedule both 12- and 16-block arms stall (~0.9 PER); re-probing
+blocks12 with `train.warmup_steps=1500 train.learning_rate=0.001`
+fits (train PER 0.027) — warmup requirement scales with depth, so
+depth cannot be ranked at this corpus size, but enc_blocks changes
+must re-tune the schedule.
+
     python experiments/conformer_blocks.py [--platform tpu] \
         [--labeled 512] [--steps 3000]
 """

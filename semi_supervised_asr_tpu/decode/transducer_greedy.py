@@ -49,21 +49,35 @@ def transducer_greedy_from_enc(
     blank: int = PAD,
     carry: tuple | None = None,
     return_carry: bool = False,
+    track_frames: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """-> (tokens [B, max_u] PAD-padded, total log-prob [B]).
 
     ``carry``/``return_carry``: resume/export the frame-scan state so
     chunked streaming decode (feed encoder frames as they arrive) is the
     SAME computation as the full-utterance scan — exactness tested in
-    tests/test_streaming_decode.py."""
+    tests/test_streaming_decode.py.
+
+    ``track_frames``: additionally return each token's emission frame
+    (``[B, max_u]`` int32, -1 beyond the emitted count) — the
+    transducer's native timestamp, serving ``transcribe --timestamps``.
+    Offline-only sugar: incompatible with ``carry``/``return_carry``
+    (the streaming carry keeps its 5-tuple shape), and the token/score
+    outputs are bitwise those of the untracked scan."""
     b, t, _ = enc.shape
+    if track_frames:
+        assert carry is None and not return_carry, (
+            "track_frames is offline-only — streaming carries keep the "
+            "5-tuple shape"
+        )
     if carry is None:
         carry = transducer_greedy_init(params, cfg, b, max_u, blank)
     pred0, state0, out0, count0, score0 = carry
+    frames0 = jnp.full((b, max_u), -1, jnp.int32)
 
     def frame(carry, inp):
-        pred, state, out, count, score = carry
-        enc_t, valid_t = inp                       # [B, 2H], [B]
+        pred, state, out, count, score, frames = carry
+        enc_t, valid_t, t_idx = inp                # [B, 2H], [B], []
         emitting = valid_t                         # [B] may still emit
         for _ in range(max_symbols):
             logits = TD.joint_row(params["joint"], enc_t, pred, cfg)
@@ -79,11 +93,11 @@ def transducer_greedy_from_enc(
                 )[:, 0],
                 0.0,
             )
-            out = jnp.where(
-                (jnp.arange(max_u)[None, :] == count[:, None])
-                & emit[:, None],
-                tok[:, None], out,
-            )
+            slot = (jnp.arange(max_u)[None, :] == count[:, None]) \
+                & emit[:, None]
+            out = jnp.where(slot, tok[:, None], out)
+            if track_frames:
+                frames = jnp.where(slot, t_idx, frames)
             new_pred, new_state = TD.predictor_step(
                 params["predictor"], tok, state, cfg
             )
@@ -102,13 +116,16 @@ def transducer_greedy_from_enc(
             TD.joint_row(params["joint"], enc_t, pred, cfg), axis=-1
         )
         score = score + jnp.where(emitting, lp[..., blank], 0.0)
-        return (pred, state, out, count, score), None
+        return (pred, state, out, count, score, frames), None
 
     final, _ = jax.lax.scan(
-        frame, (pred0, state0, out0, count0, score0),
-        (enc.swapaxes(0, 1), enc_mask.swapaxes(0, 1)),
+        frame, (pred0, state0, out0, count0, score0, frames0),
+        (enc.swapaxes(0, 1), enc_mask.swapaxes(0, 1),
+         jnp.arange(t, dtype=jnp.int32)),
     )
-    _, _, out, count, score = final
+    _, _, out, count, score, frames = final
+    if track_frames:
+        return out, score, frames
     if return_carry:
-        return out, score, final
+        return out, score, final[:5]
     return out, score

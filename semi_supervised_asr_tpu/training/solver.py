@@ -592,7 +592,7 @@ class Solver:
             )
         return NamedSharding(mesh, P())
 
-    def _jit_decode(self, fn):
+    def _jit_decode(self, fn, extra_data_args: int = 0):
         """jit a decode fn; with a mesh, shard eval batches over the data
         axis so validation/test decode scales across chips like training
         does (C5).  Params: replicated under plain DP, `model`-sharded
@@ -626,7 +626,7 @@ class Solver:
         return jax.jit(
             fn_with_kernel_mesh,
             in_shardings=(self._eval_param_shardings(mesh), data, data,
-                          repl, repl),
+                          repl, repl, *([data] * extra_data_args)),
             out_shardings=repl if cross_host else data,
         )
 
@@ -709,6 +709,104 @@ class Solver:
 
             self._decode_fns["ctc"] = self._jit_decode(fn)
         return self._decode_fns["ctc"]
+
+    def _align_fn(self):
+        """CTC Viterbi forced alignment (token timestamps): ``fn(params,
+        audio, audio_lens, cmvn_mean, cmvn_std, tokens, token_lens) ->
+        (starts, ends, path_logp)`` in ENCODER frames (ops/ctc_align.py).
+
+        Needs frame posteriors, so: the ctc family's own head, or a
+        LAS model trained with the joint-CTC head.  The transducer
+        times its tokens in the greedy scan instead (``_times_fn``)."""
+        if "align" not in self._decode_fns:
+            cfg = self.cfg
+            if cfg.model.family == "transducer":
+                raise ValueError(
+                    "forced alignment needs CTC frame posteriors; the "
+                    "transducer gets timestamps from its greedy decode "
+                    "(emission frames) — use _times_fn"
+                )
+            assert "ctc" in self.state.params, (
+                "forced alignment needs a CTC head — the ctc family has "
+                "one; LAS needs objective.lambda_ctc > 0 (or "
+                "model.ctc_head: true) at train time"
+            )
+            from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits
+            from semi_supervised_asr_tpu.ops.ctc_align import (
+                ctc_viterbi_align,
+            )
+
+            feat_fn = (TS.featurize_precomputed if self.from_features
+                       else TS.featurize)
+
+            def fn(params, audio, audio_lens, cmvn_mean, cmvn_std,
+                   tokens, token_lens):
+                feats, flens = feat_fn(
+                    cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None,
+                    False,
+                )
+                if cfg.model.family == "ctc":
+                    from semi_supervised_asr_tpu.models import (
+                        ctc_model as CM,
+                    )
+
+                    enc, enc_mask = CM.encode(params, feats, flens,
+                                              cfg.model)
+                else:
+                    enc, enc_mask, _ = M.encode(params, feats, flens,
+                                                cfg.model)
+                logp = jax.nn.log_softmax(
+                    ctc_head_logits(params["ctc"], enc), axis=-1
+                )
+                frame_lens = jnp.sum(
+                    enc_mask.astype(jnp.int32), axis=1
+                )
+                return ctc_viterbi_align(
+                    logp, frame_lens, tokens, token_lens
+                )
+
+            self._decode_fns["align"] = self._jit_decode(
+                fn, extra_data_args=2
+            )
+        return self._decode_fns["align"]
+
+    def _times_fn(self):
+        """Transducer greedy decode that also returns each token's
+        emission frame: ``fn(...) -> (tokens, score, frames)`` — the
+        family's native timestamp (``transcribe --timestamps``)."""
+        if "times" not in self._decode_fns:
+            cfg = self.cfg
+            assert cfg.model.family == "transducer", (
+                "_times_fn is transducer-only; CTC/LAS timestamps come "
+                "from forced alignment (_align_fn)"
+            )
+            from semi_supervised_asr_tpu.decode.transducer_greedy import (
+                transducer_greedy_from_enc,
+            )
+            from semi_supervised_asr_tpu.models import transducer as TD
+
+            feat_fn = (TS.featurize_precomputed if self.from_features
+                       else TS.featurize)
+
+            def fn(params, audio, audio_lens, cmvn_mean, cmvn_std):
+                feats, flens = feat_fn(
+                    cfg, audio, audio_lens, (cmvn_mean, cmvn_std), None,
+                    False,
+                )
+                enc, enc_mask = TD.encode(params, feats, flens, cfg.model)
+                max_u = max(1, min(
+                    cfg.data.token_buckets[-1], cfg.decode.max_decode_len,
+                    int(cfg.decode.max_decode_ratio * enc.shape[1])
+                    if cfg.decode.max_decode_ratio > 0 else 10**9,
+                ))
+                return transducer_greedy_from_enc(
+                    params, cfg.model, enc, enc_mask, max_u,
+                    max_symbols=cfg.decode.max_symbols,
+                    track_frames=True,
+                )
+
+            self._decode_fns["times"] = self._jit_decode(fn)
+        return self._decode_fns["times"]
 
     def _lm(self):
         """(lm_params, lm_step_fn) for shallow fusion, or (None, None)."""

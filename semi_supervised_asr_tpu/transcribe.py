@@ -40,14 +40,24 @@ def collect_files(paths: list[str]) -> list[Path]:
 
 
 def transcribe(solver, files: list[Path], mode: str,
-               nbest: int = 1) -> list[dict]:
+               nbest: int = 1, timestamps: bool = False) -> list[dict]:
     """Bucket + batch the files, decode, -> [{audio, text, score}].
 
     ``nbest`` > 1 (beam mode only): each record also carries an "nbest"
-    list of {text, score}, best first."""
+    list of {text, score}, best first.
+
+    ``timestamps``: each record also carries "tokens" — per-token
+    [{"t", "start_s", "end_s"}] times in seconds.  CTC/LAS time the
+    decoded hypothesis with Viterbi forced alignment against the CTC
+    head's frame posteriors (ops/ctc_align.py; LAS needs the joint-CTC
+    head), so any decode mode works; the transducer reads each token's
+    emission frame out of its greedy scan (start == end — RNN-T emits
+    at a point), so ``--timestamps`` forces greedy there."""
     import jax.numpy as jnp
 
     from semi_supervised_asr_tpu.data.corpus import load_audio
+    from semi_supervised_asr_tpu.data.vocab import PAD
+    from semi_supervised_asr_tpu.utils.metrics import hyp_lengths
 
     assert not solver.from_features, (
         "transcribe decodes raw audio; data.use_feature_store must be off"
@@ -63,8 +73,27 @@ def transcribe(solver, files: list[Path], mode: str,
             "greedy (--beam 1) or alignment-synchronous beam (--beam K)"
         )
     use_nbest = nbest > 1
+    if timestamps and use_nbest:
+        raise SystemExit("--timestamps times the single best hypothesis; "
+                         "drop --nbest")
     spec = solver.spec
-    if use_nbest:
+    td_times = timestamps and solver.cfg.model.family == "transducer"
+    if td_times and mode != "greedy":
+        raise SystemExit(
+            "transducer --timestamps reads emission frames from the "
+            "greedy scan — add --beam 1"
+        )
+    align_fn = None
+    if timestamps and not td_times:
+        align_fn = solver._align_fn()   # asserts the CTC head exists
+    # encoder-frame duration in seconds (frame hop x total reduction)
+    sec_per_frame = (
+        solver.cfg.frontend.hop_length * solver.cfg.model.time_reduction
+        / solver.cfg.frontend.sample_rate
+    )
+    if td_times:
+        fn = solver._times_fn()
+    elif use_nbest:
         fn = solver._beam_fn(nbest=True)
     else:
         fn = {"greedy": solver._greedy_fn, "ctc": solver._ctc_fn}.get(
@@ -74,6 +103,10 @@ def transcribe(solver, files: list[Path], mode: str,
     params = solver.eval_params(require_ckpt=True)
 
     max_bucket = spec.frame_buckets[-1]
+    # long files decode in max_bucket-sized chunks; timestamps in chunk
+    # ci offset by ci x the chunk's audio span
+    chunk_off_s = (spec.samples_for_frames(max_bucket)
+                   / solver.cfg.frontend.sample_rate)
     # keys: (path, chunk_index) — long files are CHUNKED at the largest
     # bucket (attention LAS is not streaming; chunked decode is the
     # standard workaround) and their texts rejoined in order
@@ -113,11 +146,26 @@ def transcribe(solver, files: list[Path], mode: str,
                     a[:m].astype(np.float32), s_len, solver.cfg.frontend
                 )
                 lens[r] = m
-            out = fn(params, jnp.asarray(audio), jnp.asarray(lens),
-                     jnp.asarray(solver.cmvn[0]),
-                     jnp.asarray(solver.cmvn[1]))
+            audio_j, lens_j = jnp.asarray(audio), jnp.asarray(lens)
+            mean_j = jnp.asarray(solver.cmvn[0])
+            std_j = jnp.asarray(solver.cmvn[1])
+            out = fn(params, audio_j, lens_j, mean_j, std_j)
             hyps = np.asarray(out[0])
             scores = np.asarray(out[1])
+            starts = ends = plp = None
+            if td_times:
+                starts = ends = np.asarray(out[2])   # emission frame
+                plp = np.full(batch_size, 0.0)
+            elif align_fn is not None:
+                tl = hyp_lengths(hyps)
+                toks = np.where(
+                    np.arange(hyps.shape[1])[None, :] < tl[:, None],
+                    hyps, PAD,
+                ).astype(np.int32)
+                a_out = align_fn(params, audio_j, lens_j, mean_j, std_j,
+                                 jnp.asarray(toks), jnp.asarray(tl))
+                starts, ends = np.asarray(a_out[0]), np.asarray(a_out[1])
+                plp = np.asarray(a_out[2])
             for r in range(n):
                 path, ci = chunk[r][0]
                 if use_nbest:
@@ -134,6 +182,32 @@ def transcribe(solver, files: list[Path], mode: str,
                         "score": float(scores[r].sum()
                                        if scores[r].ndim else scores[r]),
                     }
+                if starts is not None:
+                    off = ci * chunk_off_s
+                    n_tok = int(hyp_lengths(hyps[r: r + 1])[0])
+                    if np.isfinite(plp[r]):
+                        syms = solver.vocab.decode(
+                            [int(x) for x in hyps[r, :n_tok]],
+                            strip_specials=False,
+                        )
+                        rec["tokens"] = [
+                            {"t": syms[j],
+                             "start_s": round(
+                                 float(starts[r, j]) * sec_per_frame + off,
+                                 3),
+                             "end_s": round(
+                                 (float(ends[r, j]) + 1) * sec_per_frame
+                                 + off, 3)}
+                            for j in range(n_tok)
+                            if starts[r, j] >= 0
+                        ]
+                    else:
+                        # alignment infeasible (hyp longer than the CTC
+                        # path fits — e.g. a degenerate beam output)
+                        rec["tokens"] = []
+                        print(f"WARNING: {path} chunk {ci}: hypothesis "
+                              "does not CTC-align; no timestamps",
+                              file=sys.stderr)
                 chunk_results[(str(path), ci)] = rec
 
     # assemble per file (multi-chunk: join texts, sum scores; nbest only
@@ -145,12 +219,17 @@ def transcribe(solver, files: list[Path], mode: str,
         if len(parts) == 1:
             results.append({"audio": key, **parts[0]})
         else:
-            results.append({
+            rec = {
                 "audio": key,
                 "text": " ".join(p["text"] for p in parts if p["text"]),
                 "score": float(sum(p["score"] for p in parts)),
                 "chunks": len(parts),
-            })
+            }
+            if timestamps:
+                # chunk offsets were applied per chunk; just concatenate
+                rec["tokens"] = [t for p in parts
+                                 for t in p.get("tokens", ())]
+            results.append(rec)
     return results
 
 
@@ -207,6 +286,11 @@ def main(argv=None) -> int:
                    help="beam size; 1 = greedy, 0 = CTC greedy")
     p.add_argument("--nbest", type=int, default=1,
                    help="(beam) emit the top-N hypotheses per file")
+    p.add_argument("--timestamps", action="store_true",
+                   help="per-token times: CTC/LAS via Viterbi forced "
+                        "alignment on the CTC head (LAS needs the "
+                        "joint-CTC head), transducer via greedy emission "
+                        "frames (--beam 1)")
     p.add_argument("--out", default=None, help="write jsonl here too")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--streaming", action="store_true",
@@ -255,13 +339,18 @@ def main(argv=None) -> int:
         if args.nbest > 1:
             raise SystemExit("--streaming emits the single best path; "
                              "drop --nbest")
+        if args.timestamps:
+            raise SystemExit("--timestamps is offline-only (forced "
+                             "alignment / full greedy scan); drop "
+                             "--streaming")
         results = transcribe_streaming(
             solver, files, beam_size=cfg.decode.beam_size
             if mode == "beam" else 1,
             chunk_ms=args.stream_chunk_ms,
         )
     else:
-        results = transcribe(solver, files, mode, nbest=args.nbest)
+        results = transcribe(solver, files, mode, nbest=args.nbest,
+                             timestamps=args.timestamps)
     out_f = open(args.out, "w") if args.out else None
     for rec in results:
         line = json.dumps(rec)

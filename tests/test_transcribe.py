@@ -143,3 +143,91 @@ class TestNBestTranscribe:
             assert r["nbest"][0]["text"] == r["text"]
             scores = [c["score"] for c in r["nbest"]]
             assert scores == sorted(scores, reverse=True)
+
+
+@pytest.fixture(scope="module")
+def trained_ctc(tmp_path_factory):
+    """Overfit ctc-family checkpoint: hypotheses match the ground truth,
+    so forced-alignment timestamps are meaningful."""
+    wd = tmp_path_factory.mktemp("tr_ctc")
+    cfg = load_config(CONFIG, [
+        "model.family=ctc",
+        "data.num_synthetic_utts=16", "train.batch_size=8",
+        "train.learning_rate=0.003", "train.total_steps=200",
+        "train.eval_every=0", "train.ckpt_every=200", "train.log_every=100",
+    ])
+    solver = Solver(cfg, wd, use_mesh=False)
+    solver.train()
+    return solver, wd
+
+
+class TestTimestamps:
+    def test_ctc_forced_alignment_times(self, trained_ctc, tmp_path):
+        """Synthetic tokens are laid out on a KNOWN time grid
+        (token_dur_s per token), so alignment must localize each one
+        inside (a tolerance of) its true segment — correctness of the
+        times, not just the schema."""
+        from semi_supervised_asr_tpu.transcribe import transcribe
+
+        solver, _ = trained_ctc
+        paths, texts = write_utt_wavs(solver, tmp_path, n=6)
+        results = transcribe(solver, paths, "greedy", timestamps=True)
+        dur = 0.12  # data/synthetic.py token_dur_s default
+        checked = 0
+        for r, text in zip(results, texts):
+            if r["text"] != text:
+                continue  # only grade timing where the hyp is right
+            toks = r["tokens"]
+            assert [t["t"] for t in toks] == text.split()
+            prev_end = 0.0
+            for j, t in enumerate(toks):
+                true_mid = (j + 0.5) * dur
+                assert t["start_s"] < t["end_s"]
+                assert t["start_s"] >= prev_end  # non-overlapping
+                # the token's span must cover (or graze) its true middle
+                assert t["start_s"] - 0.75 * dur <= true_mid \
+                    <= t["end_s"] + 0.75 * dur, (j, t, true_mid)
+                prev_end = t["start_s"]
+            checked += 1
+        assert checked >= 4, f"only {checked} hyps matched"
+
+    def test_las_without_ctc_head_rejects(self, trained, tmp_path):
+        from semi_supervised_asr_tpu.transcribe import transcribe
+
+        solver, _ = trained
+        paths, _ = write_utt_wavs(solver, tmp_path, n=1)
+        with pytest.raises(AssertionError, match="CTC head"):
+            transcribe(solver, paths, "greedy", timestamps=True)
+
+    def test_cli_timestamps(self, trained_ctc, tmp_path):
+        solver, wd = trained_ctc
+        paths, _ = write_utt_wavs(solver, tmp_path, n=2)
+        out = subprocess.run(
+            [sys.executable, "-m", "semi_supervised_asr_tpu.transcribe",
+             "--config", CONFIG, "--load-dir", str(wd), "--beam", "1",
+             "--timestamps", "--platform", "cpu",
+             *[str(p) for p in paths],
+             "data.num_synthetic_utts=16", "model.family=ctc"],
+            capture_output=True, text=True, timeout=560,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+        assert len(lines) == 2
+        for rec in lines:
+            assert "tokens" in rec
+            for t in rec["tokens"]:
+                assert set(t) == {"t", "start_s", "end_s"}
+
+    def test_streaming_rejects_timestamps(self, trained_ctc, tmp_path):
+        solver, wd = trained_ctc
+        paths, _ = write_utt_wavs(solver, tmp_path, n=1)
+        out = subprocess.run(
+            [sys.executable, "-m", "semi_supervised_asr_tpu.transcribe",
+             "--config", CONFIG, "--load-dir", str(wd),
+             "--timestamps", "--streaming", "--platform", "cpu",
+             str(paths[0]), "data.num_synthetic_utts=16",
+             "model.family=ctc"],
+            capture_output=True, text=True, timeout=560,
+        )
+        assert out.returncode != 0
+        assert "offline-only" in out.stderr

@@ -335,3 +335,80 @@ class TestServingSurfaces:
         solver, _ = trained_td
         with pytest.raises(SystemExit, match="LAS-only"):
             transcribe(solver, [], "ctc")
+
+
+class TestEmissionTimestamps:
+    """track_frames: emission-frame tracking in the greedy scan
+    (transcribe --timestamps) must not perturb the decode."""
+
+    def _decode_inputs(self, seed=0, b=3, t=12):
+        cfg = MCFG
+        params = M.init_model(jax.random.PRNGKey(seed), cfg)
+        rng = np.random.default_rng(seed)
+        enc = jnp.asarray(
+            rng.standard_normal((b, t, cfg.enc_out_dim)).astype(np.float32)
+        )
+        lens = np.array([t, t - 4, 1][:b], np.int32)
+        mask = jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]
+        return params, cfg, enc, mask, lens
+
+    def test_tracked_decode_bitwise_equals_untracked(self):
+        params, cfg, enc, mask, _ = self._decode_inputs()
+        toks, score = jax.jit(
+            lambda p, e, m: transducer_greedy_from_enc(
+                p, cfg, e, m, 8, max_symbols=2)
+        )(params, enc, mask)
+        toks2, score2, frames = jax.jit(
+            lambda p, e, m: transducer_greedy_from_enc(
+                p, cfg, e, m, 8, max_symbols=2, track_frames=True)
+        )(params, enc, mask)
+        np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+        np.testing.assert_array_equal(np.asarray(score), np.asarray(score2))
+        assert frames.shape == toks.shape
+
+    def test_frames_monotonic_and_in_range(self):
+        params, cfg, enc, mask, lens = self._decode_inputs(seed=3)
+        toks, _, frames = transducer_greedy_from_enc(
+            params, cfg, enc, mask, 8, max_symbols=2, track_frames=True)
+        toks, frames = np.asarray(toks), np.asarray(frames)
+        from semi_supervised_asr_tpu.utils.metrics import hyp_lengths
+
+        n = hyp_lengths(toks)
+        for r in range(toks.shape[0]):
+            f = frames[r, : n[r]]
+            assert np.all(f >= 0) and np.all(f < lens[r])
+            assert np.all(np.diff(f) >= 0)       # multi-emit frames tie
+            assert np.all(frames[r, n[r]:] == -1)
+
+    def test_track_frames_rejects_streaming_carry(self):
+        params, cfg, enc, mask, _ = self._decode_inputs()
+        from semi_supervised_asr_tpu.decode.transducer_greedy import (
+            transducer_greedy_init,
+        )
+
+        carry = transducer_greedy_init(params, cfg, 3, 8)
+        with pytest.raises(AssertionError, match="offline-only"):
+            transducer_greedy_from_enc(
+                params, cfg, enc, mask, 8, carry=carry, track_frames=True)
+
+    def test_transcribe_timestamps_greedy_only(self, trained_td, tmp_path):
+        from semi_supervised_asr_tpu.transcribe import transcribe
+        from tests.test_transcribe import write_utt_wavs
+
+        solver, _ = trained_td
+        paths, _ = write_utt_wavs(solver, tmp_path, n=2)
+        with pytest.raises(SystemExit, match="greedy"):
+            transcribe(solver, paths, "beam", timestamps=True)
+        results = transcribe(solver, paths, "greedy", timestamps=True)
+        spf = (solver.cfg.frontend.hop_length
+               * solver.cfg.model.time_reduction
+               / solver.cfg.frontend.sample_rate)
+        for r in results:
+            assert "tokens" in r
+            assert len(r["tokens"]) == len(r["text"].split())
+            prev = -1.0
+            for t in r["tokens"]:
+                assert set(t) == {"t", "start_s", "end_s"}
+                assert t["end_s"] == round(t["start_s"] + spf, 3)
+                assert t["start_s"] >= prev    # emission times tie-able
+                prev = t["start_s"]
