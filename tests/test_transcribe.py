@@ -231,3 +231,70 @@ class TestTimestamps:
         )
         assert out.returncode != 0
         assert "offline-only" in out.stderr
+
+
+class TestForcedAlignCLI:
+    """python -m semi_supervised_asr_tpu.align — reference-text forced
+    alignment (corpus tooling on ops/ctc_align.py)."""
+
+    def _manifest(self, solver, tmp_path, n=4):
+        paths, texts = write_utt_wavs(solver, tmp_path, n=n)
+        man = tmp_path / "man.jsonl"
+        with open(man, "w") as f:
+            for i, (p, t) in enumerate(zip(paths, texts)):
+                f.write(json.dumps(
+                    {"uid": f"u{i}", "audio": str(p), "text": t}) + "\n")
+        return man, paths, texts
+
+    def test_align_entries_times_on_true_grid(self, trained_ctc, tmp_path):
+        from semi_supervised_asr_tpu.align import align_entries
+        from semi_supervised_asr_tpu.selftrain import read_manifest
+
+        solver, _ = trained_ctc
+        man, _, texts = self._manifest(solver, tmp_path)
+        recs = align_entries(solver, read_manifest(man), tmp_path)
+        dur = 0.12  # data/synthetic.py token_dur_s default
+        for rec, text in zip(recs, texts):
+            assert "failed" not in rec, rec
+            assert rec["text"] == text
+            assert np.isfinite(rec["logp_per_frame"])
+            toks = rec["tokens"]
+            assert [t["t"] for t in toks] == text.split()
+            for j, t in enumerate(toks):
+                true_mid = (j + 0.5) * dur
+                assert t["start_s"] - 0.75 * dur <= true_mid \
+                    <= t["end_s"] + 0.75 * dur, (j, t)
+
+    def test_infeasible_transcript_marked_failed(self, trained_ctc,
+                                                 tmp_path):
+        from semi_supervised_asr_tpu.align import align_entries
+
+        solver, _ = trained_ctc
+        _, paths, texts = self._manifest(solver, tmp_path, n=1)
+        # same audio, transcript repeated: more tokens than frames
+        entry = {"uid": "x", "audio": str(paths[0]),
+                 "text": " ".join([texts[0]] * 6)}
+        recs = align_entries(solver, [entry], tmp_path)
+        assert "failed" in recs[0]
+        assert "tokens" not in recs[0]
+
+    def test_cli_end_to_end(self, trained_ctc, tmp_path):
+        solver, wd = trained_ctc
+        man, _, _ = self._manifest(solver, tmp_path, n=2)
+        out_path = tmp_path / "aligned.jsonl"
+        out = subprocess.run(
+            [sys.executable, "-m", "semi_supervised_asr_tpu.align",
+             "--config", CONFIG, "--load-dir", str(wd),
+             "--manifest", str(man), "--out", str(out_path),
+             "--platform", "cpu",
+             "data.num_synthetic_utts=16", "model.family=ctc"],
+            capture_output=True, text=True, timeout=560,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+        assert len(lines) == 2
+        for rec in lines:
+            assert {"uid", "audio", "text", "tokens",
+                    "logp_per_frame"} <= set(rec)
+        saved = [json.loads(l) for l in open(out_path)]
+        assert saved == lines

@@ -412,3 +412,8 @@ class TestEmissionTimestamps:
                 assert t["end_s"] == round(t["start_s"] + spf, 3)
                 assert t["start_s"] >= prev    # emission times tie-able
                 prev = t["start_s"]
+
+    def test_align_fn_rejected_for_transducer(self, trained_td):
+        solver, _ = trained_td
+        with pytest.raises(ValueError, match="greedy decode"):
+            solver._align_fn()
