@@ -65,16 +65,22 @@ def ctc_greedy_from_enc(
     return out[:, : t], best_lp
 
 
-def ctc_greedy_stream_init(b: int, max_u: int) -> tuple:
+def ctc_greedy_stream_init(b: int, max_u: int,
+                           track_frames: bool = False) -> tuple:
     """Carry for ``ctc_greedy_stream``: (prev path id, tokens, count,
     score).  prev starts at PAD — the collapse never keeps a PAD frame,
-    so a real first token is never suppressed."""
-    return (
+    so a real first token is never suppressed.  With ``track_frames``
+    the carry gains a 5th slot: each token's first occupied frame (-1
+    until written) — streaming timestamps."""
+    base = (
         jnp.zeros((b,), jnp.int32),
         jnp.full((b, max_u), PAD, jnp.int32),
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), jnp.float32),
     )
+    if track_frames:
+        return base + (jnp.full((b, max_u), -1, jnp.int32),)
+    return base
 
 
 def ctc_greedy_stream(
@@ -83,6 +89,7 @@ def ctc_greedy_stream(
     enc_mask: jax.Array,   # [B, T'] bool
     max_u: int,
     carry: tuple,
+    frame_base: jax.Array | int = 0,
 ) -> tuple:
     """Best-path greedy as a resumable frame scan -> new carry.
 
@@ -92,29 +99,44 @@ def ctc_greedy_stream(
     so chunked decoding IS the full-utterance decode
     (decode/streaming.py; equality tested in tests/test_ctc_stream.py).
     Emits at most ``max_u`` tokens (the batch variant is uncapped — its
-    output rows are frame-width)."""
+    output rows are frame-width).
+
+    A 5-tuple ``carry`` (ctc_greedy_stream_init ``track_frames=True``)
+    additionally records each kept token's first path frame at
+    ``frame_base`` + its chunk-local index (pass encoder frames already
+    consumed so frames stay ABSOLUTE across chunks) — the best-path
+    emission time, serving streaming timestamps.  Token/score slots are
+    bitwise unaffected."""
     logits = ctc_head_logits(ctc_params, enc)
     logp = jax.nn.log_softmax(logits, axis=-1)
     path = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T']
     lp_max = jnp.max(logp, axis=-1)                       # [B, T']
+    track = len(carry) == 5
 
     def frame(c, inp):
-        prev, out, count, score = c
-        p, lp, valid = inp
+        if track:
+            prev, out, count, score, frames = c
+        else:
+            prev, out, count, score = c
+        p, lp, valid, t_idx = inp
         emit = valid & (p != PAD) & (p != prev) & (count < max_u)
-        out = jnp.where(
-            (jnp.arange(out.shape[1])[None, :] == count[:, None])
-            & emit[:, None],
-            p[:, None], out,
-        )
+        slot = (jnp.arange(out.shape[1])[None, :] == count[:, None]) \
+            & emit[:, None]
+        out = jnp.where(slot, p[:, None], out)
+        if track:
+            frames = jnp.where(slot, t_idx, frames)
         count = count + emit.astype(jnp.int32)
         prev = jnp.where(valid, p, prev)
         score = score + jnp.where(valid, lp, 0.0)
-        return (prev, out, count, score), None
+        c = (prev, out, count, score) + ((frames,) if track else ())
+        return c, None
 
+    t = enc.shape[1]
     carry, _ = jax.lax.scan(
         frame, carry,
         (path.swapaxes(0, 1), lp_max.swapaxes(0, 1),
-         enc_mask.swapaxes(0, 1)),
+         enc_mask.swapaxes(0, 1),
+         jnp.arange(t, dtype=jnp.int32) + jnp.asarray(frame_base,
+                                                      jnp.int32)),
     )
     return carry

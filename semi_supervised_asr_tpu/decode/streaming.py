@@ -82,8 +82,13 @@ class StreamingTranscriber:
         lm_weight: float = 0.0,
         ilm_weight: float = 0.0,
         max_stream_frames: int = 60_000,
+        track_frames: bool = False,
     ):
         m, f = cfg.model, cfg.frontend
+        assert not (track_frames and beam_size > 1), (
+            "track_frames (streaming timestamps) is greedy-only — the "
+            "beam carries keep no per-token frame slot"
+        )
         assert m.family in ("transducer", "ctc"), (
             "streaming decode needs a frame-synchronous family "
             "(transducer or ctc) — LAS attention reads the full utterance"
@@ -164,7 +169,7 @@ class StreamingTranscriber:
 
             self._dec_carry = None    # the beam builds its own on chunk 1
 
-            def decode_chunk(enc, mask, dec_carry):
+            def decode_chunk(enc, mask, dec_carry, frame_base):
                 _, _, dec_carry = ctc_beam_from_enc(
                     params["ctc"], enc, mask, max_u, beam_size=beam_size,
                     lm_params=lm_params, lm_step_fn=lm_step_fn,
@@ -177,11 +182,14 @@ class StreamingTranscriber:
                 ctc_greedy_stream, ctc_greedy_stream_init,
             )
 
-            self._dec_carry = ctc_greedy_stream_init(1, max_u)
+            self._dec_carry = ctc_greedy_stream_init(
+                1, max_u, track_frames=track_frames
+            )
 
-            def decode_chunk(enc, mask, dec_carry):
+            def decode_chunk(enc, mask, dec_carry, frame_base):
                 return ctc_greedy_stream(
-                    params["ctc"], enc, mask, max_u, dec_carry
+                    params["ctc"], enc, mask, max_u, dec_carry,
+                    frame_base=frame_base,
                 )
         elif beam_size > 1:
             from semi_supervised_asr_tpu.decode.transducer_beam import (
@@ -190,7 +198,7 @@ class StreamingTranscriber:
 
             self._dec_carry = None    # the beam builds its own on chunk 1
 
-            def decode_chunk(enc, mask, dec_carry):
+            def decode_chunk(enc, mask, dec_carry, frame_base):
                 _, _, dec_carry = transducer_beam_from_enc(
                     params, m, enc, mask, max_u, beam_size=beam_size,
                     max_symbols=max_symbols, lm_params=lm_params,
@@ -200,19 +208,22 @@ class StreamingTranscriber:
                 )
                 return dec_carry
         else:
-            self._dec_carry = transducer_greedy_init(params, m, 1, max_u)
+            self._dec_carry = transducer_greedy_init(
+                params, m, 1, max_u, track_frames=track_frames
+            )
 
-            def decode_chunk(enc, mask, dec_carry):
-                _, _, dec_carry = transducer_greedy_from_enc(
+            def decode_chunk(enc, mask, dec_carry, frame_base):
+                out = transducer_greedy_from_enc(
                     params, m, enc, mask, max_u,
                     max_symbols=max_symbols,
                     carry=dec_carry, return_carry=True,
+                    track_frames=track_frames, frame_base=frame_base,
                 )
-                return dec_carry
+                return out[2]
 
         mean, inv_std = cmvn
 
-        def chunk_step(enc_state, dec_carry, audio):
+        def chunk_step(enc_state, dec_carry, audio, frame_base):
             feats, _ = F.log_mel_features(
                 audio[None], jnp.asarray([audio.shape[0]]), f,
                 mean, inv_std,
@@ -220,9 +231,11 @@ class StreamingTranscriber:
             feats = feats[:, : self.chunk_frames]
             enc, enc_state = enc_stream(feats, enc_state)
             mask = jnp.ones((1, enc.shape[1]), bool)
-            return enc_state, decode_chunk(enc, mask, dec_carry)
+            return enc_state, decode_chunk(enc, mask, dec_carry,
+                                           frame_base)
 
-        def final_step(enc_state, dec_carry, audio, n_samples):
+        def final_step(enc_state, dec_carry, audio, n_samples,
+                       frame_base):
             feats, flens = F.log_mel_features(
                 audio[None], n_samples[None], f, mean, inv_std,
             )
@@ -235,21 +248,29 @@ class StreamingTranscriber:
                 for _ in range(m.enc_layers):
                     enc_valid = (enc_valid + 1) // 2
             mask = jnp.arange(enc.shape[1])[None, :] < enc_valid[:, None]
-            return decode_chunk(enc, mask, dec_carry)
+            return decode_chunk(enc, mask, dec_carry, frame_base)
 
         self._chunk_step = jax.jit(chunk_step)
         self._final_step = jax.jit(final_step)
+        self._track = track_frames
+        # absolute encoder frames already consumed — the frame_base fed
+        # to the next chunk so tracked emission frames are utterance-
+        # absolute (a traced scalar: changing it never recompiles)
+        self._enc_frames = 0
 
     def feed(self, samples: np.ndarray) -> None:
         """Append audio; run every complete chunk that becomes available."""
         self._audio = np.concatenate(
             [self._audio, np.asarray(samples, np.float32)]
         )
+        red = self.cfg.model.time_reduction
         while len(self._audio) >= self._chunk_samples:
             chunk = jnp.asarray(self._audio[: self._chunk_samples])
             self._enc_state, self._dec_carry = self._chunk_step(
-                self._enc_state, self._dec_carry, chunk
+                self._enc_state, self._dec_carry, chunk,
+                jnp.asarray(self._enc_frames, jnp.int32),
             )
+            self._enc_frames += self.chunk_frames // red
             # keep the n_fft - hop overlap the next frame window needs
             self._audio = self._audio[self.chunk_frames * self._hop:]
 
@@ -268,11 +289,24 @@ class StreamingTranscriber:
             out = np.asarray(toks)[0, k][: int(count[0, k])]
             return [int(x) for x in out], float(np.asarray(scores)[0, k])
         if ctc:
-            _, out, count, score = self._dec_carry
+            _, out, count, score = self._dec_carry[:4]
         else:
-            _, _, out, count, score = self._dec_carry
+            _, _, out, count, score = self._dec_carry[:5]
         return ([int(x) for x in np.asarray(out[0])[: int(count[0])]],
                 float(score[0]))
+
+    def emission_frames(self) -> list[int]:
+        """Absolute encoder-frame index where each emitted token first
+        appeared (len == len(tokens)) — streaming timestamps; seconds =
+        frame * hop_length * time_reduction / sample_rate.  Needs
+        ``track_frames=True`` (greedy only)."""
+        assert self._track, "construct with track_frames=True"
+        # carry layout: ctc (prev, out, count, score, frames);
+        # transducer (pred, state, out, count, score, frames)
+        count = self._dec_carry[2 if self.cfg.model.family == "ctc"
+                                else 3]
+        frames = self._dec_carry[-1]
+        return [int(x) for x in np.asarray(frames[0])[: int(count[0])]]
 
     @property
     def tokens(self) -> list[int]:
@@ -301,7 +335,9 @@ class StreamingTranscriber:
             self._dec_carry = self._final_step(
                 self._enc_state, self._dec_carry, jnp.asarray(audio),
                 jnp.asarray(rem, jnp.int32),
+                jnp.asarray(self._enc_frames, jnp.int32),
             )
+            self._enc_frames += pad_frames // self.cfg.model.time_reduction
         toks, score = self._best()
         self._audio = np.zeros((0,), np.float32)
         return toks, score

@@ -23,20 +23,26 @@ from semi_supervised_asr_tpu.models import transducer as TD
 
 
 def transducer_greedy_init(
-    params: dict, cfg: ModelConfig, b: int, max_u: int, blank: int = PAD
+    params: dict, cfg: ModelConfig, b: int, max_u: int, blank: int = PAD,
+    track_frames: bool = False,
 ) -> tuple:
     """Fresh greedy carry (pred, predictor state, out, count, score) —
-    pass as ``carry`` for chunked streaming decode (decode/streaming.py)."""
+    pass as ``carry`` for chunked streaming decode (decode/streaming.py).
+    With ``track_frames`` the carry gains a 6th slot: each token's
+    emission frame (-1 until written) — streaming timestamps."""
     pred0, state0 = TD.predictor_step(
         params["predictor"], jnp.full((b,), SOS, jnp.int32),
         TD.predictor_init_state(cfg, b), cfg,
     )
-    return (
+    base = (
         pred0, state0,
         jnp.full((b, max_u), blank, jnp.int32),
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), jnp.float32),
     )
+    if track_frames:
+        return base + (jnp.full((b, max_u), -1, jnp.int32),)
+    return base
 
 
 def transducer_greedy_from_enc(
@@ -50,6 +56,7 @@ def transducer_greedy_from_enc(
     carry: tuple | None = None,
     return_carry: bool = False,
     track_frames: bool = False,
+    frame_base: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """-> (tokens [B, max_u] PAD-padded, total log-prob [B]).
 
@@ -60,20 +67,25 @@ def transducer_greedy_from_enc(
 
     ``track_frames``: additionally return each token's emission frame
     (``[B, max_u]`` int32, -1 beyond the emitted count) — the
-    transducer's native timestamp, serving ``transcribe --timestamps``.
-    Offline-only sugar: incompatible with ``carry``/``return_carry``
-    (the streaming carry keeps its 5-tuple shape), and the token/score
-    outputs are bitwise those of the untracked scan."""
+    transducer's native timestamp (``transcribe --timestamps``).  The
+    token/score outputs are bitwise those of the untracked scan.
+    Streams too: pass a 6-tuple ``carry`` (transducer_greedy_init
+    ``track_frames=True``) plus ``frame_base`` = encoder frames already
+    consumed, so recorded frames stay ABSOLUTE across chunks; with
+    ``return_carry`` the 6-tuple comes back."""
     b, t, _ = enc.shape
-    if track_frames:
-        assert carry is None and not return_carry, (
-            "track_frames is offline-only — streaming carries keep the "
-            "5-tuple shape"
-        )
     if carry is None:
-        carry = transducer_greedy_init(params, cfg, b, max_u, blank)
-    pred0, state0, out0, count0, score0 = carry
-    frames0 = jnp.full((b, max_u), -1, jnp.int32)
+        carry = transducer_greedy_init(params, cfg, b, max_u, blank,
+                                       track_frames=track_frames)
+    if track_frames:
+        assert len(carry) == 6, (
+            "track_frames streaming needs the 6-tuple carry from "
+            "transducer_greedy_init(track_frames=True)"
+        )
+        pred0, state0, out0, count0, score0, frames0 = carry
+    else:
+        pred0, state0, out0, count0, score0 = carry
+        frames0 = jnp.full((b, max_u), -1, jnp.int32)
 
     def frame(carry, inp):
         pred, state, out, count, score, frames = carry
@@ -121,9 +133,12 @@ def transducer_greedy_from_enc(
     final, _ = jax.lax.scan(
         frame, (pred0, state0, out0, count0, score0, frames0),
         (enc.swapaxes(0, 1), enc_mask.swapaxes(0, 1),
-         jnp.arange(t, dtype=jnp.int32)),
+         jnp.arange(t, dtype=jnp.int32) + jnp.asarray(frame_base,
+                                                      jnp.int32)),
     )
     _, _, out, count, score, frames = final
+    if track_frames and return_carry:
+        return out, score, final
     if track_frames:
         return out, score, frames
     if return_carry:

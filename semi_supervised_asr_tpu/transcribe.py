@@ -234,12 +234,20 @@ def transcribe(solver, files: list[Path], mode: str,
 
 
 def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
-                         chunk_ms: int = 320) -> list[dict]:
+                         chunk_ms: int = 320,
+                         timestamps: bool = False) -> list[dict]:
     """Decode each file through the EXACT streaming path — the audio is
     fed in ``chunk_ms`` pieces to decode.streaming.StreamingTranscriber
     (one utterance at a time; live-microphone shape, not the batched
     bucket path).  LM fusion follows decode.lm_weight/lm_ckpt like the
-    offline beam."""
+    offline beam.
+
+    ``timestamps`` (greedy only): each record carries "tokens" —
+    per-token [{"t", "start_s", "end_s"}] from the decoder's own
+    emission frames tracked ACROSS chunks (the live-caption time
+    source; no second pass, no alignment model).  Same second
+    convention as the offline path: a point emission at encoder frame
+    f spans [f, f+1) frames."""
     import numpy as np
 
     from semi_supervised_asr_tpu.data.corpus import load_audio
@@ -251,9 +259,13 @@ def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
         "streaming decodes raw audio; data.use_feature_store must be off"
     )
     cfg = solver.cfg
+    if timestamps and beam_size > 1:
+        raise SystemExit("--streaming --timestamps is greedy-only "
+                         "(beam carries keep no frame slot); add --beam 1")
     lm_params, lm_step = solver._lm()
     params = solver.eval_params(require_ckpt=True)
     sr = cfg.frontend.sample_rate
+    sec_per_frame = cfg.frontend.hop_length * cfg.model.time_reduction / sr
     piece = max(int(sr * chunk_ms / 1000), 1)
     results = []
     for f in files:
@@ -264,16 +276,28 @@ def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
             lm_params=lm_params, lm_step_fn=lm_step,
             lm_weight=cfg.decode.lm_weight,
             ilm_weight=cfg.decode.ilm_weight,
+            track_frames=timestamps,
         )
         for s in range(0, len(audio), piece):
             st.feed(audio[s: s + piece])
         toks, score = st.finalize()
-        results.append({
+        rec = {
             "audio": str(f),
             "text": solver.vocab.decode_text(np.asarray(toks, np.int32)),
             "score": score,
             "streaming": True,
-        })
+        }
+        if timestamps:
+            frames = st.emission_frames()
+            syms = solver.vocab.decode(toks, strip_specials=False)
+            rec["tokens"] = [
+                {"t": syms[j],
+                 "start_s": round(frames[j] * sec_per_frame, 3),
+                 "end_s": round((frames[j] + 1) * sec_per_frame, 3)}
+                for j in range(len(toks))
+                if frames[j] >= 0
+            ]
+        results.append(rec)
     return results
 
 
@@ -290,7 +314,9 @@ def main(argv=None) -> int:
                    help="per-token times: CTC/LAS via Viterbi forced "
                         "alignment on the CTC head (LAS needs the "
                         "joint-CTC head), transducer via greedy emission "
-                        "frames (--beam 1)")
+                        "frames (--beam 1); with --streaming (greedy "
+                        "only) times come live from the chunked decode's "
+                        "own emission frames")
     p.add_argument("--out", default=None, help="write jsonl here too")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--streaming", action="store_true",
@@ -339,14 +365,11 @@ def main(argv=None) -> int:
         if args.nbest > 1:
             raise SystemExit("--streaming emits the single best path; "
                              "drop --nbest")
-        if args.timestamps:
-            raise SystemExit("--timestamps is offline-only (forced "
-                             "alignment / full greedy scan); drop "
-                             "--streaming")
         results = transcribe_streaming(
             solver, files, beam_size=cfg.decode.beam_size
             if mode == "beam" else 1,
             chunk_ms=args.stream_chunk_ms,
+            timestamps=args.timestamps,
         )
     else:
         results = transcribe(solver, files, mode, nbest=args.nbest,

@@ -70,6 +70,53 @@ class TestScanForm:
         np.testing.assert_allclose(np.asarray(score), np.asarray(batch_lp),
                                    rtol=1e-5)
 
+    def test_tracked_scan_frames(self, rng):
+        """track_frames: token/count/score slots bitwise-equal the
+        untracked scan; the frame slot records each kept token's FIRST
+        path frame (oracle: a host walk of the argmax path), and
+        chunking with ``frame_base`` keeps frames absolute."""
+        b, t, v = 3, 18, 6
+        enc = jnp.asarray(rng.standard_normal((b, t, v)) * 0.3,
+                          jnp.float32)
+        head = {"w": jnp.eye(v, dtype=jnp.float32),
+                "b": jnp.zeros((v,), jnp.float32)}
+        lens = np.array([18, 10, 1])
+        mask = jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]
+        plain = ctc_greedy_stream(
+            head, enc, mask, MAX_U, ctc_greedy_stream_init(b, MAX_U)
+        )
+        tracked = ctc_greedy_stream(
+            head, enc, mask, MAX_U,
+            ctc_greedy_stream_init(b, MAX_U, track_frames=True),
+        )
+        for a, b_ in zip(plain, tracked[:4]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        # oracle: first frame of each collapsed-path token
+        path = np.argmax(np.asarray(enc), -1)
+        frames = np.asarray(tracked[4])
+        count = np.asarray(tracked[2])
+        for i in range(b):
+            want, prev = [], 0
+            for f in range(int(lens[i])):
+                p = int(path[i, f])
+                if p != 0 and p != prev and len(want) < MAX_U:
+                    want.append(f)
+                prev = p
+            got = [int(x) for x in frames[i][: int(count[i])]]
+            assert got == want, (i, got, want)
+            assert all(x == -1 for x in frames[i][int(count[i]):])
+        # chunked with frame_base: absolute frames == full tracked scan
+        for cut in (5, 11):
+            c = ctc_greedy_stream(
+                head, enc[:, :cut], mask[:, :cut], MAX_U,
+                ctc_greedy_stream_init(b, MAX_U, track_frames=True),
+            )
+            c = ctc_greedy_stream(head, enc[:, cut:], mask[:, cut:],
+                                  MAX_U, c, frame_base=cut)
+            for a, b_ in zip(tracked, c):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                           rtol=1e-6)
+
     def test_split_scan_equals_full_scan(self, rng):
         """Chunked scan with carried state == one scan (the boundary
         repeat-collapse is what the carry exists for)."""
@@ -173,6 +220,47 @@ class TestStream:
         )
         assert got_toks == want_toks
         np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
+
+    def test_streaming_timestamps_ctc(self):
+        """StreamingTranscriber(track_frames=True) on the CTC family:
+        tokens match the untracked stream, emission frames equal the
+        offline full-utterance tracked scan."""
+        from semi_supervised_asr_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        params = M.init_model(jax.random.PRNGKey(3), MCFG)
+        rng = np.random.default_rng(3)
+        audio = (rng.standard_normal(
+            30 * FCFG.hop_length + FCFG.n_fft + 33
+        ) * 0.5).astype(np.float32)
+        hop, n_fft = FCFG.hop_length, FCFG.n_fft
+        red = MCFG.time_reduction
+        n_frames = 1 + (len(audio) - n_fft) // hop
+        pad_frames = -(-n_frames // red) * red
+        need = (pad_frames - 1) * hop + n_fft
+        padded = np.zeros((need,), np.float32)
+        padded[: len(audio)] = audio
+        feats, flens = F.log_mel_features(
+            jnp.asarray(padded)[None], jnp.asarray([len(audio)]), FCFG,
+            jnp.asarray(CMVN[0]), jnp.asarray(CMVN[1]),
+        )
+        enc, mask = CM.encode(params, feats, flens, MCFG)
+        tracked = ctc_greedy_stream(
+            params["ctc"], enc, mask, MAX_U,
+            ctc_greedy_stream_init(1, MAX_U, track_frames=True),
+        )
+        n_tok = int(tracked[2][0])
+        want_toks = [int(x) for x in np.asarray(tracked[1])[0][:n_tok]]
+        want_frames = [int(x) for x in np.asarray(tracked[4])[0][:n_tok]]
+
+        st = StreamingTranscriber(params, CFG, CMVN, MAX_U,
+                                  track_frames=True)
+        for s in range(0, len(audio), 900):
+            st.feed(audio[s: s + 900])
+        toks, _ = st.finalize()
+        assert toks == want_toks
+        assert st.emission_frames() == want_frames
 
     def test_las_rejected(self):
         import dataclasses as dc

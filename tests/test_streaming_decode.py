@@ -98,6 +98,51 @@ class TestExactness:
             assert toks == outs[0][0]
             np.testing.assert_allclose(score, outs[0][1], rtol=1e-4)
 
+    def test_streaming_timestamps_match_offline_emission_frames(self):
+        """track_frames through the chunked streaming path: tokens and
+        score are bitwise the untracked stream's, and the absolute
+        emission frames equal the offline full-utterance tracked greedy
+        scan (frame_base keeps them utterance-absolute across chunks)."""
+        params = M.init_model(jax.random.PRNGKey(5), MCFG)
+        rng = np.random.default_rng(5)
+        audio = (rng.standard_normal(
+            38 * FCFG.hop_length + FCFG.n_fft + 57
+        ) * 0.5).astype(np.float32)
+        # offline tracked reference
+        hop, n_fft = FCFG.hop_length, FCFG.n_fft
+        red = MCFG.time_reduction
+        n_frames = 1 + (len(audio) - n_fft) // hop
+        pad_frames = -(-n_frames // red) * red
+        need = (pad_frames - 1) * hop + n_fft
+        padded = np.zeros((need,), np.float32)
+        padded[: len(audio)] = audio
+        feats, flens = F.log_mel_features(
+            jnp.asarray(padded)[None], jnp.asarray([len(audio)]), FCFG,
+            jnp.asarray(CMVN[0]), jnp.asarray(CMVN[1]),
+        )
+        enc, mask = TD.encode(params, feats, flens, MCFG)
+        want_toks, want_score, want_frames = transducer_greedy_from_enc(
+            params, MCFG, enc, mask, MAX_U, track_frames=True
+        )
+        n_tok = int((np.asarray(want_toks)[0] != 0).sum())
+        want_frames = [int(x) for x in np.asarray(want_frames)[0][:n_tok]]
+
+        st = StreamingTranscriber(params, CFG, CMVN, MAX_U,
+                                  track_frames=True)
+        for s in range(0, len(audio), 1000):
+            st.feed(audio[s: s + 1000])
+        toks, score = st.finalize()
+        assert toks == [int(x) for x in np.asarray(want_toks)[0][:n_tok]]
+        np.testing.assert_allclose(score, float(want_score[0]), rtol=1e-4)
+        assert st.emission_frames() == want_frames
+        assert all(f >= 0 for f in want_frames)
+
+    def test_track_frames_rejects_beam(self):
+        params = M.init_model(jax.random.PRNGKey(0), MCFG)
+        with pytest.raises(AssertionError, match="greedy-only"):
+            StreamingTranscriber(params, CFG, CMVN, MAX_U, beam_size=3,
+                                 track_frames=True)
+
     def test_incremental_tokens_monotone(self):
         params = M.init_model(jax.random.PRNGKey(2), MCFG)
         rng = np.random.default_rng(2)
@@ -223,11 +268,18 @@ class TestTranscribeStreaming:
             assert out.returncode == 0, out.stderr[-2000:]
             return json.loads(out.stdout.strip().splitlines()[-1])
 
-        offline = run(["--beam", "1"])
+        offline = run(["--beam", "1", "--timestamps"])
         streaming = run(["--beam", "1", "--streaming",
-                         "--stream-chunk-ms", "200"])
+                         "--stream-chunk-ms", "200", "--timestamps"])
         assert streaming["streaming"] is True
         assert streaming["text"] == offline["text"], (streaming, offline)
+        # streaming is exact, so the live emission times ARE the offline
+        # greedy scan's emission times — identical token records
+        assert streaming["tokens"] == offline["tokens"], (
+            streaming["tokens"], offline["tokens"],
+        )
+        assert all(tk["end_s"] > tk["start_s"] >= 0.0
+                   for tk in streaming["tokens"])
 
 
 class TestGuards:
