@@ -359,6 +359,14 @@ class DecodeConfig:
                                       # weights (train.polyak_decay > 0, or
                                       # the pseudo-label EMA teacher);
                                       # mutually exclusive w/ average_ckpts
+    bias_phrases: str = ""            # contextual biasing: path to a hotword
+                                      # file (one phrase per line, encoded
+                                      # with the run's vocab/BPE tokenizer);
+                                      # beam decode only (decode/biasing.py)
+    bias_bonus: float = 0.0           # per-matched-token log-prob boost for
+                                      # bias phrases; partial matches retract
+                                      # on failure/EOS so only completed
+                                      # phrases keep the bonus
 
 
 @dataclass(frozen=True)

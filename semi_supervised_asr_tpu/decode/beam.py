@@ -16,7 +16,13 @@ arXiv:1811.04568, PAPERS.md):
   logprob 0, so scores are preserved until the final length-normalized
   selection;
 * optional shallow LM fusion adds ``lm_weight * logp_lm`` to continuation
-  scores (Toshniwal et al. 2018, arXiv:1807.10857, PAPERS.md).
+  scores (Toshniwal et al. 2018, arXiv:1807.10857, PAPERS.md);
+* optional contextual biasing (``bias``: a :class:`~.biasing.BiasTrie`)
+  adds the hotword-boosting delta to every candidate and rides each
+  hypothesis's trie node through the carry like any state leaf
+  (decode/biasing.py; EOS retracts a mid-phrase hypothesis's pending
+  bonus via the delta's EOS column, and unfinished rows retract at the
+  final selection).
 
 Greedy is the K=1 fast path (exact equivalence tested).
 """
@@ -53,6 +59,7 @@ def beam_decode_from_enc(
     lm_step_fn=None,
     ctc_params: dict | None = None,
     return_nbest: bool = False,
+    bias=None,
 ) -> tuple[jax.Array, jax.Array]:
     """-> (best tokens [B, max_len] (EOS then PADs), best score [B]);
     with ``return_nbest``: (all K lattices [B, K, max_len] sorted by
@@ -67,7 +74,14 @@ def beam_decode_from_enc(
     — every beam step mixes ``w * Δ prefix-score`` into every candidate
     continuation (decode/ctc_prefix.py; the per-hypothesis CTC forward
     variables ride the carry and gather-reorder like any state leaf), so
-    CTC evidence steers which prefixes survive, not just the final pick."""
+    CTC evidence steers which prefixes survive, not just the final pick.
+
+    ``bias``: a compiled :class:`~.biasing.BiasTrie` for contextual
+    hotword boosting.  The delta enters each step's candidate scores
+    unscaled; under hypothesis-level CTC RESCORING (``ctc_weight`` > 0
+    without ``ctc_one_pass``) the accumulated bias consequently rides the
+    attention total and is attenuated by ``(1-w)`` in the final blend —
+    raise ``decode.bias_bonus`` accordingly, or use one-pass decoding."""
     b, t = enc_mask.shape
     k = dcfg.beam_size
 
@@ -110,6 +124,11 @@ def beam_decode_from_enc(
     else:
         ctc0 = None
 
+    use_bias = bias is not None
+    if use_bias:
+        from semi_supervised_asr_tpu.decode import biasing as BZ
+    bias0 = jnp.zeros((b * k,), jnp.int32) if use_bias else None
+
     def gather_rows(x: jax.Array, beam_idx: jax.Array, axis: int) -> jax.Array:
         """Reorder the B*K row axis of a state leaf by per-batch beam_idx."""
         shape = x.shape
@@ -119,7 +138,8 @@ def beam_decode_from_enc(
         return took.reshape(shape)
 
     def step(carry, u):
-        state, tok, scores, done, hyps, lens, lm_state, cum, ctc = carry
+        (state, tok, scores, done, hyps, lens, lm_state, cum, ctc,
+         bias_state) = carry
         state_new, logits, alpha_new = S.speller_step(
             speller_params, cfg, state, tok, keys_k, enc_k, mask_k
         )
@@ -145,6 +165,14 @@ def beam_decode_from_enc(
             delta = delta.at[:, EOS].set(eos_sc - psi.reshape(b * k))
             delta = delta.at[:, PAD].set(0.0)
             logp = (1.0 - w) * logp + w * delta
+
+        if use_bias:
+            # contextual boost per candidate token; the EOS column comes
+            # out as -pending (no EOS arc exists), retracting a
+            # mid-phrase hypothesis's transient bonus when it finishes —
+            # UNSCALED by lm/ctc weights (it is a ranking prior, not a
+            # probability)
+            logp = logp + BZ.bias_delta(bias, bias_state)
 
         logp = logp.reshape(b, k, vsz)
         # Frozen rows: only PAD continues, at zero cost.
@@ -222,6 +250,20 @@ def beam_decode_from_enc(
         else:
             ctc_new = ctc
 
+        if use_bias:
+            # trie node follows the surviving beam's chosen token; rows
+            # that finished (now or earlier) freeze theirs — their score
+            # is final and frozen rows' deltas are overwritten anyway
+            bst_g = gather_rows(bias_state, beam_idx, 0)
+            adv_b = (~done_new).reshape(b * k)
+            bias_new = jnp.where(
+                adv_b,
+                BZ.bias_advance(bias, bst_g, new_tok.reshape(b * k)),
+                bst_g,
+            )
+        else:
+            bias_new = bias_state
+
         carry = (
             new_state,
             emit.reshape(b * k),
@@ -232,13 +274,22 @@ def beam_decode_from_enc(
             new_lm_state,
             cum_g,
             ctc_new,
+            bias_new,
         )
         return carry, None
 
     carry = (state0, tok0, scores0, done0, hyps0, lens0, lm_state0, cum0,
-             ctc0)
+             ctc0, bias0)
     carry, _ = lax.scan(step, carry, jnp.arange(max_len))
-    _, _, scores, done, hyps, lens, _, cum, _ = carry
+    _, _, scores, done, hyps, lens, _, cum, _, bias_fin = carry
+
+    if use_bias:
+        # rows the step cap cut off mid-phrase never hit the EOS-column
+        # retraction — neutralize their pending bonus so the no-finished
+        # fallback ranking is not polluted by incomplete matches
+        scores = scores - jnp.where(
+            done, 0.0, BZ.bias_pending(bias, bias_fin).reshape(b, k)
+        )
 
     if use_ctc and not one_pass:
         import optax
@@ -298,11 +349,13 @@ def beam_decode(
     feats: jax.Array,
     feat_lens: jax.Array,
     max_len: int,
+    bias=None,
 ):
     """Full jit beam pass from features (one compile per bucket shape)."""
     from semi_supervised_asr_tpu.models import seq2seq as M
 
     enc, enc_mask, keys = M.encode(params, feats, feat_lens, cfg)
     return beam_decode_from_enc(
-        params["speller"], cfg, dcfg, enc, enc_mask, keys, max_len
+        params["speller"], cfg, dcfg, enc, enc_mask, keys, max_len,
+        bias=bias,
     )

@@ -71,6 +71,7 @@ def ctc_beam_from_enc(
     return_nbest: bool = False,
     carry: tuple | None = None,
     return_carry: bool = False,
+    bias=None,
 ):
     """-> (tokens [B, max_u] PAD-padded — labels never contain PAD, so
     no EOS terminator is needed (the transducer-family convention; an
@@ -80,7 +81,14 @@ def ctc_beam_from_enc(
 
     ``score`` is the ranking total: the prefix's CTC log-marginal
     (``pb ⊕ pnb``, ALL alignments pooled) plus ``lm_weight * log
-    P_lm(prefix)`` when fusing."""
+    P_lm(prefix)`` when fusing, plus the contextual-biasing total when
+    ``bias`` (a :class:`~.biasing.BiasTrie`) is given — the bias rides
+    each prefix like the LM score (advancing only on label EXTENSIONS)
+    and the final ranking subtracts each prefix's PENDING (uncompleted-
+    phrase) bonus, so only completed hotwords keep their boost while the
+    transient bonus still protects partial matches from in-scan pruning.
+    Biasing composes with LM fusion; the streaming ``carry`` path does
+    not thread the bias slots (asserted)."""
     from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits
 
     b, t, _ = enc.shape
@@ -89,6 +97,14 @@ def ctc_beam_from_enc(
     v = logp.shape[-1]
     use_lm = (lm_params is not None and lm_step_fn is not None
               and lm_weight > 0.0)
+    use_bias = bias is not None
+    if use_bias:
+        from semi_supervised_asr_tpu.decode import biasing as BZ
+
+        assert carry is None and not return_carry, (
+            "contextual biasing does not thread the streaming carry yet "
+            "— decode offline, or drop decode.bias_phrases for streaming"
+        )
     if use_lm and "blocks" in lm_params:
         t_cache = lm_params["pos"].shape[0]
         assert max_u < t_cache, (
@@ -103,6 +119,8 @@ def ctc_beam_from_enc(
     def unflat(x):
         return x.reshape((b, k) + x.shape[1:])
 
+    bias_node = jnp.zeros((b, k), jnp.int32) if use_bias else None
+    bias_score = jnp.zeros((b, k)) if use_bias else None
     if carry is not None:
         toks, count, last, pb, pnb, lm_score, lm_state, lm_lp = carry
     else:
@@ -150,7 +168,8 @@ def ctc_beam_from_enc(
         return jnp.where(c, new, old)
 
     def frame(st, inp):
-        toks, count, last, pb, pnb, lm_score, lm_state, lm_lp = st
+        (toks, count, last, pb, pnb, lm_score, lm_state, lm_lp,
+         bias_node, bias_score) = st
         lp, valid_t = inp                           # [B, V], [B]
         live = pb > NEG_INF / 2
         live = live | (pnb > NEG_INF / 2)
@@ -204,6 +223,15 @@ def ctc_beam_from_enc(
         ext_total = ext + lm_weight * lm_score[..., None]
         if use_lm:
             ext_total = ext_total + lm_weight * lm_lp
+        if use_bias:
+            # running bias rides every candidate (stays keep it; extends
+            # add the trie delta for the new label — blank/repeat are
+            # alignment moves, the trie walks LABELS only)
+            bias_ext = BZ.bias_delta(bias, flat(bias_node)).reshape(
+                b, k, v
+            )
+            stay_total = jnp.where(live, stay_total + bias_score, stay_total)
+            ext_total = ext_total + bias_score[..., None] + bias_ext
         ext_total = jnp.where(
             live[..., None] & ~remove & (count[..., None] < max_u),
             ext_total, NEG_INF,
@@ -237,6 +265,20 @@ def ctc_beam_from_enc(
         last_n = jnp.where(is_ext, tok, last_g)
         pb_n = jnp.where(is_ext, NEG_INF, pb_g)
         pnb_n = jnp.where(is_ext, ext_mass_g, pnb_g)
+
+        if use_bias:
+            node_g = jnp.take_along_axis(bias_node, src, axis=1)
+            bsc_g = jnp.take_along_axis(bias_score, src, axis=1)
+            bias_tok = jnp.take_along_axis(
+                gather_k(bias_ext, src), tok[..., None], axis=2
+            )[..., 0]
+            bias_score_n = jnp.where(is_ext, bsc_g + bias_tok, bsc_g)
+            node_adv = BZ.bias_advance(
+                bias, flat(node_g), flat(tok)
+            ).reshape(b, k)
+            bias_node_n = jnp.where(is_ext, node_adv, node_g)
+        else:
+            bias_score_n, bias_node_n = bias_score, bias_node
 
         if use_lm:
             lm_lp_tok = jnp.take_along_axis(
@@ -280,14 +322,27 @@ def ctc_beam_from_enc(
                 lambda nx, ox: where_rows(upd, nx, ox),
                 lm_state_n, lm_state,
             )
-        return (toks, count, last, pb, pnb, lm_score, lm_state, lm_lp), None
+        if use_bias:
+            bias_node = jnp.where(upd, bias_node_n, bias_node)
+            bias_score = jnp.where(upd, bias_score_n, bias_score)
+        return (toks, count, last, pb, pnb, lm_score, lm_state, lm_lp,
+                bias_node, bias_score), None
 
     final, _ = jax.lax.scan(
-        frame, (toks, count, last, pb, pnb, lm_score, lm_state, lm_lp),
+        frame,
+        (toks, count, last, pb, pnb, lm_score, lm_state, lm_lp,
+         bias_node, bias_score),
         (logp.swapaxes(0, 1), enc_mask.swapaxes(0, 1)),
     )
-    toks, count, last, pb, pnb, lm_score, _, _ = final
+    toks, count, last, pb, pnb, lm_score, _, _, bias_node, bias_score = final
+    final = final[:8]     # the streaming-carry contract stays 8 slots
     scores = _logaddexp(pb, pnb) + lm_weight * lm_score
+    if use_bias:
+        # completed phrases keep their boost; a prefix still mid-phrase
+        # at the last frame gives the transient bonus back
+        scores = scores + bias_score - BZ.bias_pending(
+            bias, flat(bias_node)
+        ).reshape(b, k)
 
     if return_carry:
         assert not return_nbest

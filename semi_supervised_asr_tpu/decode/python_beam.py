@@ -25,6 +25,7 @@ class Hyp:
     score: float
     state: dict          # decoder state with batch dim 1
     done: bool
+    bias_node: int = 0   # contextual-biasing trie node (root = 0)
 
     @property
     def length(self) -> int:
@@ -84,6 +85,7 @@ def beam_decode_python(
     keys: np.ndarray,      # [1, T, A]
     max_len: int,
     ctc_logp: np.ndarray | None = None,   # [1, T, V] masked_ctc_logp output
+    bias=None,                            # biasing.BiasTrie (host walk here)
 ) -> tuple[list, float]:
     """-> (token list incl. EOS, normalized score) for ONE utterance.
 
@@ -100,6 +102,23 @@ def beam_decode_python(
         ctc_logp is not None and dcfg.ctc_weight > 0.0 and dcfg.ctc_one_pass
     )
     w = dcfg.ctc_weight
+
+    if bias is not None:
+        bias_nxt = np.asarray(bias.next_node)
+        bias_ret = np.asarray(bias.retract)
+        bias_bonus = float(bias.bonus)
+
+    def bias_step(node: int, tok: int) -> tuple[float, int]:
+        """Per-hypothesis host trie walk mirroring biasing.bias_delta /
+        bias_advance -> (score delta, next node)."""
+        nn = int(bias_nxt[node, tok])
+        if nn >= 0:
+            return bias_bonus, nn
+        delta = -float(bias_ret[node])
+        rs = int(bias_nxt[0, tok])
+        if rs >= 0:
+            return delta + bias_bonus, rs
+        return delta, 0
 
     state0 = S.init_state(1, enc.shape[1], cfg, enc_mask,
                           max_steps=max_len)
@@ -124,6 +143,11 @@ def beam_decode_python(
                 psi_parent, eos_parent = ctc_prefix_oracle(
                     ctc_logp[0], hyp.tokens
                 )
+            elif bias is not None:
+                # biasing re-ranks candidates AFTER the acoustic score —
+                # expand all V so the oracle's pruning matches the jit
+                # beam's top-k over the biased totals
+                expand = range(1, logp.shape[-1])
             else:
                 expand = (int(t) for t in np.argsort(-logp)[: k + 1])
             for tok in expand:
@@ -140,18 +164,32 @@ def beam_decode_python(
                         )
                         delta = psi_c - psi_parent
                     gain = (1.0 - w) * gain + w * delta
+                new_node = hyp.bias_node
+                if bias is not None:
+                    bias_gain, adv_node = bias_step(hyp.bias_node, tok)
+                    gain += bias_gain
+                    if tok != EOS:
+                        new_node = adv_node
                 candidates.append(
                     Hyp(
                         tokens=hyp.tokens + [tok],
                         score=hyp.score + gain,
                         state=state,
                         done=(tok == EOS),
+                        bias_node=new_node,
                     )
                 )
         candidates.sort(key=lambda h: -h.score)
         beams = candidates[:k]
         if all(h.done for h in beams):
             break
+
+    if bias is not None:
+        # mirror the jit beam: step-capped rows never paid the EOS-column
+        # retraction — neutralize their pending bonus before ranking
+        for h in beams:
+            if not h.done:
+                h.score -= float(bias_ret[h.bias_node])
 
     def norm(h: Hyp) -> float:
         return h.score / max(h.length, 1) ** dcfg.length_penalty

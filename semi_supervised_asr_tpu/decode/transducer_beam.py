@@ -60,6 +60,7 @@ def transducer_beam_from_enc(
     return_nbest: bool = False,
     carry: tuple | None = None,
     return_carry: bool = False,
+    bias=None,
 ) -> tuple[jax.Array, jax.Array]:
     """-> (tokens [B, max_u] PAD-padded best hypothesis, score [B]);
     ``return_nbest``: ([B, K, max_u], [B, K]) all hypotheses sorted by
@@ -69,11 +70,26 @@ def transducer_beam_from_enc(
     (hypothesis lattice + predictor/LM states) so chunked streaming
     beam decode is the SAME computation as the full-utterance scan
     (decode/streaming.py; exactness tested).  Note the best hypothesis
-    may change between chunks — only the final result is stable."""
+    may change between chunks — only the final result is stable.
+
+    ``bias``: contextual hotword boosting (:mod:`~.biasing`) on label
+    EMISSIONS only (blank is alignment, not a label); each hypothesis's
+    trie node gather-reorders with the beam and the final ranking
+    retracts pending (uncompleted-phrase) bonuses.  Not threaded through
+    the streaming ``carry`` (asserted)."""
     b, t, _ = enc.shape
     k = beam_size
     v = cfg.vocab_size
     use_lm = lm_params is not None and lm_step_fn is not None and lm_weight > 0.0
+    use_bias = bias is not None
+    if use_bias:
+        from semi_supervised_asr_tpu.decode import biasing as BZ
+
+        assert carry is None and not return_carry, (
+            "contextual biasing does not thread the streaming carry yet "
+            "— decode offline, or drop decode.bias_phrases for streaming"
+        )
+    bias_node = jnp.zeros((b, k), jnp.int32) if use_bias else None
     if use_lm and "blocks" in lm_params:
         t_cache = lm_params["pos"].shape[0]
         assert max_u < t_cache, (
@@ -145,7 +161,7 @@ def transducer_beam_from_enc(
         return jnp.where(c, new, old)
 
     def frame(carry, inp):
-        pred, state, toks, count, scores, lm_state, lm_lp = carry
+        pred, state, toks, count, scores, lm_state, lm_lp, bias_node = carry
         enc_t, valid_t = inp                               # [B, 2H], [B]
         enc_tk = jnp.broadcast_to(enc_t[:, None, :], (b, k, enc_t.shape[-1]))
         can_emit = jnp.ones((b, k), bool)
@@ -173,6 +189,13 @@ def transducer_beam_from_enc(
                 il = il[:, 0].at[..., blank].set(-1e30)
                 ilm_lp = unflat(jax.nn.log_softmax(il, axis=-1))
                 emit_cand = emit_cand - ilm_weight * ilm_lp
+            if use_bias:
+                # hotword boost rides label emissions into the pooled
+                # scores; frozen/blank candidates carry no delta
+                bias_ext = BZ.bias_delta(bias, flat(bias_node)).reshape(
+                    b, k, v
+                )
+                emit_cand = emit_cand + bias_ext
             emit_cand = jnp.where(
                 can_emit[..., None] & (count[..., None] < max_u),
                 emit_cand, NEG_INF,
@@ -215,6 +238,13 @@ def transducer_beam_from_enc(
             count_n = count_g + is_emit.astype(jnp.int32)
             can_emit_n = jnp.where(is_emit, True, can_emit_g & False)
 
+            if use_bias:
+                node_g = jnp.take_along_axis(bias_node, src, axis=1)
+                node_adv = BZ.bias_advance(
+                    bias, flat(node_g), flat(tok)
+                ).reshape(b, k)
+                bias_node_n = jnp.where(is_emit, node_adv, node_g)
+
             if use_lm:
                 lm_state_g = jax.tree.map(
                     lambda x: gather_rows(x, src), lm_state
@@ -252,19 +282,30 @@ def transducer_beam_from_enc(
                     lambda nx, ox: where_rows(upd, nx, ox),
                     lm_state_n, lm_state,
                 )
+            if use_bias:
+                bias_node = jnp.where(upd, bias_node_n, bias_node)
 
         # frame exit: force the blank onto hypotheses that never froze
         lp = lp_now(pred)
         scores = jnp.where(
             valid_t[:, None] & can_emit, scores + lp[..., blank], scores
         )
-        return (pred, state, toks, count, scores, lm_state, lm_lp), None
+        return (pred, state, toks, count, scores, lm_state, lm_lp,
+                bias_node), None
 
     final, _ = jax.lax.scan(
-        frame, (pred, state, toks, count, scores, lm_state, lm_lp),
+        frame,
+        (pred, state, toks, count, scores, lm_state, lm_lp, bias_node),
         (enc.swapaxes(0, 1), enc_mask.swapaxes(0, 1)),
     )
-    _, _, toks, count, scores, _, _ = final
+    _, _, toks, count, scores, _, _, bias_node = final
+    final = final[:7]     # the streaming-carry contract stays 7 slots
+    if use_bias:
+        # hypotheses still mid-phrase at the last frame give the
+        # transient bonus back — only completed hotwords keep theirs
+        scores = scores - BZ.bias_pending(bias, flat(bias_node)).reshape(
+            b, k
+        )
     if return_carry:
         assert not return_nbest
         best = jnp.argmax(scores, axis=1)

@@ -33,8 +33,11 @@ def build_decode_fn(cfg, params, mode: str = "beam",
     augmentation) -> listener -> batched beam/greedy — as ONE function of
     raw audio, so the artifact needs no feature preprocessing either.
     Everything the live decode uses is baked too: CTC rescoring
-    (decode.ctc_weight + a CTC head in the params) and shallow LM fusion
-    (pass ``lm_params``/``lm_step_fn``).
+    (decode.ctc_weight + a CTC head in the params), shallow LM fusion
+    (pass ``lm_params``/``lm_step_fn``), and contextual biasing
+    (``decode.bias_phrases``/``bias_bonus`` — the compiled hotword trie
+    becomes artifact constants, the serving-with-a-fixed-phrase-list
+    deployment; re-export to change the list).
     """
     import jax
     import jax.numpy as jnp
@@ -59,6 +62,20 @@ def build_decode_fn(cfg, params, mode: str = "beam",
     ctc_params = (params["ctc"]
                   if cfg.decode.ctc_weight > 0.0 and "ctc" in params
                   else None)
+    bias = None
+    if cfg.decode.bias_phrases and cfg.decode.bias_bonus != 0.0:
+        from semi_supervised_asr_tpu.data.registry import build_vocab
+        from semi_supervised_asr_tpu.decode import biasing as BZ
+
+        vocab = build_vocab(cfg)
+        bias = BZ.build_bias_trie(
+            BZ.load_bias_phrases(cfg.decode.bias_phrases, vocab),
+            vocab.size, cfg.decode.bias_bonus,
+        )
+        assert mode != "greedy", (
+            "decode.bias_phrases applies to beam decode only — export "
+            "--beam, or drop the biasing overrides"
+        )
 
     def fn(audio, audio_lens):
         feats, flens = featurize(
@@ -89,6 +106,7 @@ def build_decode_fn(cfg, params, mode: str = "beam",
                 lm_params=lm_params, lm_step_fn=lm_step_fn,
                 lm_weight=cfg.decode.lm_weight,
                 ilm_weight=cfg.decode.ilm_weight,
+                bias=bias,
             )
         if cfg.model.family == "ctc":
             from semi_supervised_asr_tpu.models import ctc_model as CM
@@ -111,6 +129,7 @@ def build_decode_fn(cfg, params, mode: str = "beam",
                 beam_size=cfg.decode.beam_size,
                 lm_params=lm_params, lm_step_fn=lm_step_fn,
                 lm_weight=cfg.decode.lm_weight,
+                bias=bias,
             )
         enc, enc_mask, keys = M.encode(params, feats, flens, cfg.model)
         max_u = max(1, min(
@@ -127,7 +146,7 @@ def build_decode_fn(cfg, params, mode: str = "beam",
         return beam_decode_from_enc(
             params["speller"], cfg.model, cfg.decode, enc, enc_mask, keys,
             max_u, lm_params=lm_params, lm_step_fn=lm_step_fn,
-            ctc_params=ctc_params,
+            ctc_params=ctc_params, bias=bias,
         )
 
     return fn

@@ -633,6 +633,11 @@ class Solver:
     def _greedy_fn(self):
         if "greedy" not in self._decode_fns:
             cfg = self.cfg
+            if cfg.decode.bias_phrases:
+                self.log.info(
+                    "WARNING: decode.bias_phrases applies to BEAM decode "
+                    "only — greedy decode runs unbiased"
+                )
 
             feat_fn = (TS.featurize_precomputed if self.from_features
                        else TS.featurize)
@@ -838,6 +843,39 @@ class Solver:
             self._decode_fns["lm"] = (lm_params, lm_step)
         return self._decode_fns["lm"]
 
+    def _bias(self):
+        """Compiled contextual-biasing trie (decode/biasing.py), or None.
+
+        ``decode.bias_phrases`` (hotword file) + ``decode.bias_bonus``;
+        beam decode only — the greedy paths ignore it (a 1-wide lattice
+        cannot keep a boosted-but-not-yet-acoustically-winning prefix
+        alive, which is the mechanism biasing relies on)."""
+        if "bias" not in self._decode_fns:
+            trie = None
+            dcfg = self.cfg.decode
+            if bool(dcfg.bias_phrases) != (dcfg.bias_bonus != 0.0):
+                self.log.info(
+                    "WARNING: contextual biasing needs BOTH "
+                    "decode.bias_phrases and a nonzero decode.bias_bonus "
+                    "— biasing DISABLED"
+                )
+            elif dcfg.bias_phrases:
+                from semi_supervised_asr_tpu.decode import biasing as BZ
+
+                phrases = BZ.load_bias_phrases(
+                    dcfg.bias_phrases, self.vocab
+                )
+                trie = BZ.build_bias_trie(
+                    phrases, self.vocab.size, dcfg.bias_bonus
+                )
+                self.log.info(
+                    f"contextual biasing: {len(phrases)} phrases from "
+                    f"{dcfg.bias_phrases}, bonus {dcfg.bias_bonus} "
+                    f"({trie.next_node.shape[0]} trie nodes)"
+                )
+            self._decode_fns["bias"] = trie
+        return self._decode_fns["bias"]
+
     def _beam_fn(self, nbest: bool = False):
         """Jit beam decode; ``nbest`` returns all K lattices sorted by
         score (transcribe --nbest) instead of the single best."""
@@ -845,6 +883,7 @@ class Solver:
         if key not in self._decode_fns:
             cfg = self.cfg
             lm_params, lm_step = self._lm()
+            bias = self._bias()
 
             feat_fn = (TS.featurize_precomputed if self.from_features
                        else TS.featurize)
@@ -880,7 +919,7 @@ class Solver:
                         beam_size=cfg.decode.beam_size,
                         lm_params=lm_params, lm_step_fn=lm_step,
                         lm_weight=cfg.decode.lm_weight,
-                        return_nbest=nbest,
+                        return_nbest=nbest, bias=bias,
                     )
 
                 self._decode_fns[key] = self._jit_decode(fn)
@@ -918,7 +957,7 @@ class Solver:
                         lm_params=lm_params, lm_step_fn=lm_step,
                         lm_weight=cfg.decode.lm_weight,
                         ilm_weight=cfg.decode.ilm_weight,
-                        return_nbest=nbest,
+                        return_nbest=nbest, bias=bias,
                     )
 
                 self._decode_fns[key] = self._jit_decode(fn)
@@ -949,7 +988,7 @@ class Solver:
                     enc, enc_mask, keys, max_u,
                     lm_params=lm_params, lm_step_fn=lm_step,
                     ctc_params=params["ctc"] if use_ctc else None,
-                    return_nbest=nbest,
+                    return_nbest=nbest, bias=bias,
                 )
 
             self._decode_fns[key] = self._jit_decode(fn)

@@ -259,6 +259,12 @@ def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
         "streaming decodes raw audio; data.use_feature_store must be off"
     )
     cfg = solver.cfg
+    if solver.cfg.decode.bias_phrases:
+        raise SystemExit(
+            "decode.bias_phrases: contextual biasing is not threaded "
+            "through the streaming carries yet — decode offline, or drop "
+            "the biasing overrides for --streaming"
+        )
     if timestamps and beam_size > 1:
         raise SystemExit("--streaming --timestamps is greedy-only "
                          "(beam carries keep no frame slot); add --beam 1")

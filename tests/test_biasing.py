@@ -1,0 +1,371 @@
+"""Contextual biasing (decode/biasing.py): trie compilation, the
+gather-only device walk vs an independent greedy-matcher oracle, and the
+boost/retract semantics inside all three beam families (LAS lattice,
+CTC prefix, transducer alignment-synchronous)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semi_supervised_asr_tpu.config import DecodeConfig, ModelConfig
+from semi_supervised_asr_tpu.data.vocab import EOS, PAD, SOS
+from semi_supervised_asr_tpu.decode import biasing as BZ
+from semi_supervised_asr_tpu.decode.beam import beam_decode_from_enc
+from semi_supervised_asr_tpu.decode.python_beam import beam_decode_python
+
+pytestmark = pytest.mark.quick
+
+V = 10  # test vocab (PAD=0, SOS/EOS per data/vocab.py)
+
+
+def oracle_bias(phrases, tokens, bonus, retract_tail=True):
+    """Independent reference for the matcher semantics: greedy single-
+    active-prefix walk over ``tokens`` (plain list ops, no trie) ->
+    total bias.  ``retract_tail``: give back the pending bonus of an
+    unfinished match at sequence end (what EOS / final ranking does)."""
+    def starts(p):
+        return any(tuple(ph[: len(p)]) == tuple(p) for ph in phrases)
+
+    def complete(p):
+        return any(tuple(ph) == tuple(p) for ph in phrases)
+
+    total, pending, prefix = 0.0, 0.0, []
+    for tok in tokens:
+        if starts(prefix + [tok]):
+            prefix = prefix + [tok]
+            total += bonus
+            pending = 0.0 if complete(prefix) else pending + bonus
+        else:
+            total -= pending
+            pending = 0.0
+            prefix = []
+            if starts([tok]):
+                prefix = [tok]
+                total += bonus
+                pending = 0.0 if complete(prefix) else bonus
+    if retract_tail:
+        total -= pending
+    return total
+
+
+def device_walk(trie, tokens, retract_tail=True):
+    """Drive bias_delta/bias_advance down one forced token path."""
+    state = jnp.zeros((1,), jnp.int32)
+    total = 0.0
+    for tok in tokens:
+        delta = BZ.bias_delta(trie, state)
+        total += float(delta[0, tok])
+        state = BZ.bias_advance(trie, state, jnp.array([tok], jnp.int32))
+    if retract_tail:
+        total -= float(BZ.bias_pending(trie, state)[0])
+    return total
+
+
+class TestTrieBuild:
+    def test_arrays_and_pending(self):
+        # phrases share the prefix [4, 5]; [4, 5] itself is complete, so
+        # matching through it COMMITS (retract drops to 0 mid-path)
+        trie = BZ.build_bias_trie([[4, 5, 6], [4, 5], [7]], V, 2.0)
+        nxt = np.asarray(trie.next_node)
+        ret = np.asarray(trie.retract)
+        assert nxt.shape == (5, V)  # root + 4,45,456,7
+        n4 = nxt[0, 4]
+        n45 = nxt[n4, 5]
+        n456 = nxt[n45, 6]
+        n7 = nxt[0, 7]
+        assert min(n4, n45, n456, n7) > 0
+        assert ret[0] == 0.0
+        assert ret[n4] == 2.0          # one pending token
+        assert ret[n45] == 0.0         # [4,5] is itself a phrase: committed
+        assert ret[n456] == 0.0        # phrase end
+        assert ret[n7] == 0.0          # single-token phrase: instant commit
+        # shorter phrase added AFTER the longer one must still commit the
+        # shared node (the builder's recompute pass)
+        trie2 = BZ.build_bias_trie([[4, 5], [4, 5, 6]], V, 2.0)
+        ret2 = np.asarray(trie2.retract)
+        nxt2 = np.asarray(trie2.next_node)
+        assert ret2[nxt2[nxt2[0, 4], 5]] == 0.0
+
+    def test_rejects_specials_and_empty(self):
+        with pytest.raises(ValueError):
+            BZ.build_bias_trie([[4, PAD]], V, 1.0)
+        with pytest.raises(ValueError):
+            BZ.build_bias_trie([[SOS]], V, 1.0)
+        with pytest.raises(ValueError):
+            BZ.build_bias_trie([[EOS, 4]], V, 1.0)
+        with pytest.raises(ValueError):
+            BZ.build_bias_trie([[V]], V, 1.0)
+        with pytest.raises(ValueError):
+            BZ.build_bias_trie([[], []], V, 1.0)
+        # empty entries are dropped, not fatal, when a real phrase exists
+        trie = BZ.build_bias_trie([[], [4]], V, 1.0)
+        assert trie.next_node.shape[0] == 2
+
+
+class TestWalkVsOracle:
+    def test_random_paths_match_greedy_oracle(self):
+        rng = np.random.default_rng(0)
+        labels = list(range(3, V))  # non-special ids
+        for trial in range(40):
+            n_ph = rng.integers(1, 4)
+            phrases = [
+                [int(x) for x in rng.choice(labels, rng.integers(1, 4))]
+                for _ in range(n_ph)
+            ]
+            trie = BZ.build_bias_trie(phrases, V, 1.5)
+            toks = [int(x) for x in rng.choice(labels, rng.integers(0, 10))]
+            got = device_walk(trie, toks)
+            want = oracle_bias(phrases, toks, 1.5)
+            assert got == pytest.approx(want), (phrases, toks)
+
+    def test_overlap_restart_and_commit(self):
+        # restart-with-failing-token: [5,5,6] against phrase [5,6]
+        trie = BZ.build_bias_trie([[5, 6]], V, 1.0)
+        assert device_walk(trie, [5, 5, 6]) == pytest.approx(2.0)
+        # completed phrase keeps its bonus through a later failure
+        trie = BZ.build_bias_trie([[5, 6], [5, 6, 7, 8]], V, 1.0)
+        assert device_walk(trie, [5, 6, 7, 9]) == pytest.approx(2.0)
+        # unfinished long match retracts back to the committed boundary
+        assert device_walk(trie, [5, 6, 7]) == pytest.approx(2.0)
+
+
+CFG = ModelConfig(
+    n_mels=8, vocab_size=V, enc_hidden=12, enc_layers=1, enc_base_layers=1,
+    attn_dim=8, attn_conv_channels=4, attn_conv_width=5,
+    dec_hidden=12, dec_layers=1, embed_dim=8, compute_dtype="float32",
+)
+MAX_LEN = 8
+
+
+def las_setup(seed=0, b=3, t=8):
+    from semi_supervised_asr_tpu.models import seq2seq as M
+
+    params = M.init_model(jax.random.PRNGKey(seed), CFG)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (b, t, CFG.n_mels)
+    )
+    lens = jnp.array([t, t - 2, t - 4][:b])
+    enc, enc_mask, keys = M.encode(params, feats, lens, CFG)
+    return params, enc, enc_mask, keys
+
+
+def strip(tokens):
+    out = []
+    for tok in np.asarray(tokens).tolist():
+        if tok == PAD:
+            continue
+        out.append(tok)
+        if tok == EOS:
+            break
+    return out
+
+
+class TestLASBeamBias:
+    def test_matches_python_oracle(self):
+        params, enc, enc_mask, keys = las_setup()
+        dcfg = DecodeConfig(beam_size=3)
+        trie = BZ.build_bias_trie([[4, 7], [5], [6, 6, 3]], V, 0.8)
+        hyps, scores = beam_decode_from_enc(
+            params["speller"], CFG, dcfg, enc, enc_mask, keys, MAX_LEN,
+            bias=trie,
+        )
+        for b in range(enc.shape[0]):
+            ref_toks, ref_score = beam_decode_python(
+                params["speller"], CFG, dcfg,
+                enc[b : b + 1], enc_mask[b : b + 1], keys[b : b + 1],
+                MAX_LEN, bias=trie,
+            )
+            assert strip(hyps[b]) == ref_toks, f"utt {b}"
+            np.testing.assert_allclose(
+                float(scores[b]), ref_score, rtol=1e-4
+            )
+
+    def test_zero_bonus_is_noop(self):
+        params, enc, enc_mask, keys = las_setup(3)
+        dcfg = DecodeConfig(beam_size=3)
+        trie = BZ.build_bias_trie([[4, 7], [5]], V, 0.0)
+        base_h, base_s = beam_decode_from_enc(
+            params["speller"], CFG, dcfg, enc, enc_mask, keys, MAX_LEN
+        )
+        got_h, got_s = beam_decode_from_enc(
+            params["speller"], CFG, dcfg, enc, enc_mask, keys, MAX_LEN,
+            bias=trie,
+        )
+        np.testing.assert_array_equal(np.asarray(base_h), np.asarray(got_h))
+        np.testing.assert_allclose(
+            np.asarray(base_s), np.asarray(got_s), rtol=1e-6
+        )
+
+    def test_large_bonus_forces_phrase(self):
+        params, enc, enc_mask, keys = las_setup(5)
+        dcfg = DecodeConfig(beam_size=4)
+        base_h, _ = beam_decode_from_enc(
+            params["speller"], CFG, dcfg, enc, enc_mask, keys, MAX_LEN
+        )
+        phrase = [6, 3, 7]
+        assert all(
+            _contains(strip(h), phrase) is False for h in base_h
+        ), "random model already emits the phrase — pick another"
+        trie = BZ.build_bias_trie([phrase], V, 50.0)
+        got_h, _ = beam_decode_from_enc(
+            params["speller"], CFG, dcfg, enc, enc_mask, keys, MAX_LEN,
+            bias=trie,
+        )
+        for h in got_h:
+            assert _contains(strip(h), phrase), strip(h)
+
+
+def _contains(seq, sub):
+    return any(
+        seq[i : i + len(sub)] == sub for i in range(len(seq) - len(sub) + 1)
+    )
+
+
+class TestCTCBeamBias:
+    def _setup(self, seed=0, b=2, t=10):
+        # identity CTC head + random logits-as-enc: the test_ctc_beam
+        # convention (the head is not what is under test here)
+        from semi_supervised_asr_tpu.decode.ctc_beam import ctc_beam_from_enc
+
+        rng = np.random.default_rng(seed)
+        enc = jnp.asarray(
+            rng.standard_normal((b, t, V)).astype(np.float32) * 1.5
+        )
+        lens = np.array([t, t - 3][:b])
+        enc_mask = jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]
+        head = {"w": jnp.eye(V, dtype=jnp.float32),
+                "b": jnp.zeros((V,), jnp.float32)}
+        return ctc_beam_from_enc, head, enc, enc_mask
+
+    def test_small_bonus_score_accounting(self):
+        # a bonus too small to change the ranking must shift the winning
+        # score by EXACTLY bonus * (committed matched tokens of the
+        # winning prefix per the independent oracle matcher)
+        beam, head, enc, enc_mask = self._setup()
+        base_t, base_s = beam(head, enc, enc_mask, 6, beam_size=3)
+        phrases = [[4, 7], [5], [6, 6, 3]]
+        trie = BZ.build_bias_trie(phrases, V, 1e-3)
+        got_t, got_s = beam(head, enc, enc_mask, 6, beam_size=3, bias=trie)
+        np.testing.assert_array_equal(np.asarray(base_t), np.asarray(got_t))
+        for b in range(enc.shape[0]):
+            toks = [int(x) for x in np.asarray(base_t[b]) if x != PAD]
+            want = float(base_s[b]) + oracle_bias(phrases, toks, 1e-3)
+            np.testing.assert_allclose(float(got_s[b]), want, atol=1e-5)
+
+    def test_large_bonus_forces_phrase(self):
+        beam, head, enc, enc_mask = self._setup(2)
+        phrase = [6, 3]
+        trie = BZ.build_bias_trie([phrase], V, 30.0)
+        got_t, _ = beam(head, enc, enc_mask, 6, beam_size=4, bias=trie)
+        for h in got_t:
+            toks = [int(x) for x in np.asarray(h) if x != PAD]
+            assert _contains(toks, phrase), toks
+
+    def test_streaming_carry_guarded(self):
+        beam, head, enc, enc_mask = self._setup()
+        trie = BZ.build_bias_trie([[4]], V, 1.0)
+        with pytest.raises(AssertionError):
+            beam(
+                head, enc, enc_mask, 6, beam_size=2, bias=trie,
+                return_carry=True,
+            )
+
+
+class TestTransducerBeamBias:
+    TCFG = ModelConfig(
+        n_mels=20, vocab_size=V, family="transducer",
+        enc_hidden=8, enc_layers=1, pred_hidden=8, pred_layers=1,
+        joint_dim=8, embed_dim=8, attn_dim=8, attn_conv_channels=2,
+        attn_conv_width=5, dec_hidden=8, compute_dtype="float32",
+    )
+
+    def _setup(self, seed=0, b=2, t=6):
+        from semi_supervised_asr_tpu.decode.transducer_beam import (
+            transducer_beam_from_enc,
+        )
+        from semi_supervised_asr_tpu.models import seq2seq as M
+
+        cfg = self.TCFG
+        params = M.init_model(jax.random.PRNGKey(seed), cfg)
+        rng = np.random.default_rng(seed)
+        enc = jnp.asarray(
+            rng.standard_normal((b, t, cfg.enc_out_dim)).astype(np.float32)
+            * 1.5
+        )
+        lens = np.array([t, t - 2][:b])
+        enc_mask = jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]
+        return transducer_beam_from_enc, params, cfg, enc, enc_mask
+
+    def test_small_bonus_score_accounting(self):
+        beam, params, cfg, enc, enc_mask = self._setup()
+        base_t, base_s = beam(params, cfg, enc, enc_mask, 6, beam_size=3)
+        phrases = [[4, 7], [5]]
+        trie = BZ.build_bias_trie(phrases, V, 1e-3)
+        got_t, got_s = beam(
+            params, cfg, enc, enc_mask, 6, beam_size=3, bias=trie
+        )
+        np.testing.assert_array_equal(np.asarray(base_t), np.asarray(got_t))
+        for b in range(enc.shape[0]):
+            toks = [int(x) for x in np.asarray(base_t[b]) if x != PAD]
+            want = float(base_s[b]) + oracle_bias(phrases, toks, 1e-3)
+            np.testing.assert_allclose(float(got_s[b]), want, atol=1e-5)
+
+    def test_large_bonus_forces_phrase(self):
+        beam, params, cfg, enc, enc_mask = self._setup(4)
+        phrase = [6, 3]
+        trie = BZ.build_bias_trie([phrase], V, 30.0)
+        got_t, _ = beam(
+            params, cfg, enc, enc_mask, 6, beam_size=4, bias=trie
+        )
+        for h in got_t:
+            toks = [int(x) for x in np.asarray(h) if x != PAD]
+            assert _contains(toks, phrase), toks
+
+    def test_streaming_carry_guarded(self):
+        beam, params, cfg, enc, enc_mask = self._setup()
+        trie = BZ.build_bias_trie([[4]], V, 1.0)
+        with pytest.raises(AssertionError):
+            beam(
+                params, cfg, enc, enc_mask, 6, beam_size=2, bias=trie,
+                return_carry=True,
+            )
+
+
+class TestSolverPlumbing:
+    def test_config_to_beam_decode(self, tmp_path):
+        """decode.bias_phrases/bias_bonus -> Solver._bias() trie ->
+        biased eval beam decode runs end-to-end (untrained params —
+        plumbing, not quality)."""
+        from semi_supervised_asr_tpu.config import load_config
+        from semi_supervised_asr_tpu.data.registry import build_vocab
+        from semi_supervised_asr_tpu.training.solver import Solver
+
+        base = load_config("configs/synthetic_smoke.yaml", [
+            "data.num_synthetic_utts=8", "train.batch_size=4",
+        ])
+        vocab = build_vocab(base)
+        phrase = " ".join(vocab.decode([5, 6]))
+        hotwords = tmp_path / "hotwords.txt"
+        hotwords.write_text(f"# comment line\n\n{phrase}\n")
+        cfg = load_config("configs/synthetic_smoke.yaml", [
+            "data.num_synthetic_utts=8", "train.batch_size=4",
+            f"decode.bias_phrases={hotwords}", "decode.bias_bonus=1.5",
+        ])
+        solver = Solver(cfg, tmp_path / "wd", use_mesh=False)
+        trie = solver._bias()
+        assert trie is not None and trie.next_node.shape[0] == 3
+        rate, records, _ = solver._score_batches(
+            solver.bundle.dev, solver.state.params, "beam"
+        )
+        assert 0.0 <= rate and len(records) > 0
+
+    def test_half_configured_biasing_disabled(self, tmp_path):
+        from semi_supervised_asr_tpu.config import load_config
+        from semi_supervised_asr_tpu.training.solver import Solver
+
+        cfg = load_config("configs/synthetic_smoke.yaml", [
+            "data.num_synthetic_utts=8", "decode.bias_bonus=2.0",
+        ])
+        solver = Solver(cfg, tmp_path / "wd", use_mesh=False)
+        assert solver._bias() is None
