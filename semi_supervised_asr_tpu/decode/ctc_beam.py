@@ -87,8 +87,10 @@ def ctc_beam_from_enc(
     and the final ranking subtracts each prefix's PENDING (uncompleted-
     phrase) bonus, so only completed hotwords keep their boost while the
     transient bonus still protects partial matches from in-scan pruning.
-    Biasing composes with LM fusion; the streaming ``carry`` path does
-    not thread the bias slots (asserted)."""
+    Biasing composes with LM fusion and with streaming: when ``bias`` is
+    given, the ``carry`` grows two trailing slots (trie node + running
+    bias score) so chunked decode resumes the walk exactly (pass the
+    same trie every chunk)."""
     from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits
 
     b, t, _ = enc.shape
@@ -100,11 +102,6 @@ def ctc_beam_from_enc(
     use_bias = bias is not None
     if use_bias:
         from semi_supervised_asr_tpu.decode import biasing as BZ
-
-        assert carry is None and not return_carry, (
-            "contextual biasing does not thread the streaming carry yet "
-            "— decode offline, or drop decode.bias_phrases for streaming"
-        )
     if use_lm and "blocks" in lm_params:
         t_cache = lm_params["pos"].shape[0]
         assert max_u < t_cache, (
@@ -121,7 +118,10 @@ def ctc_beam_from_enc(
 
     bias_node = jnp.zeros((b, k), jnp.int32) if use_bias else None
     bias_score = jnp.zeros((b, k)) if use_bias else None
-    if carry is not None:
+    if carry is not None and use_bias:
+        (toks, count, last, pb, pnb, lm_score, lm_state, lm_lp,
+         bias_node, bias_score) = carry
+    elif carry is not None:
         toks, count, last, pb, pnb, lm_score, lm_state, lm_lp = carry
     else:
         toks = jnp.full((b, k, max_u), PAD, jnp.int32)
@@ -335,7 +335,10 @@ def ctc_beam_from_enc(
         (logp.swapaxes(0, 1), enc_mask.swapaxes(0, 1)),
     )
     toks, count, last, pb, pnb, lm_score, _, _, bias_node, bias_score = final
-    final = final[:8]     # the streaming-carry contract stays 8 slots
+    if not use_bias:
+        final = final[:8]   # unbiased streaming-carry contract: 8 slots
+    # (biased: the carry keeps the two bias slots so chunked streaming
+    # resumes the trie walk — lattice/LM slots are in the same positions)
     scores = _logaddexp(pb, pnb) + lm_weight * lm_score
     if use_bias:
         # completed phrases keep their boost; a prefix still mid-phrase

@@ -83,8 +83,15 @@ class StreamingTranscriber:
         ilm_weight: float = 0.0,
         max_stream_frames: int = 60_000,
         track_frames: bool = False,
+        bias=None,
     ):
         m, f = cfg.model, cfg.frontend
+        assert bias is None or beam_size > 1, (
+            "contextual biasing (decode.bias_phrases) is beam-only — "
+            "streaming greedy has no alternatives to re-rank; use "
+            "--beam K>1"
+        )
+        self._bias = bias
         assert not (track_frames and beam_size > 1), (
             "track_frames (streaming timestamps) is greedy-only — the "
             "beam carries keep no per-token frame slot"
@@ -173,7 +180,7 @@ class StreamingTranscriber:
                 _, _, dec_carry = ctc_beam_from_enc(
                     params["ctc"], enc, mask, max_u, beam_size=beam_size,
                     lm_params=lm_params, lm_step_fn=lm_step_fn,
-                    lm_weight=lm_weight,
+                    lm_weight=lm_weight, bias=bias,
                     carry=dec_carry, return_carry=True,
                 )
                 return dec_carry
@@ -203,7 +210,7 @@ class StreamingTranscriber:
                     params, m, enc, mask, max_u, beam_size=beam_size,
                     max_symbols=max_symbols, lm_params=lm_params,
                     lm_step_fn=lm_step_fn, lm_weight=lm_weight,
-                    ilm_weight=ilm_weight,
+                    ilm_weight=ilm_weight, bias=bias,
                     carry=dec_carry, return_carry=True,
                 )
                 return dec_carry
@@ -280,11 +287,26 @@ class StreamingTranscriber:
             if self._dec_carry is None:
                 return [], 0.0
             if ctc:
-                toks, count, _, pb, pnb, lm_score, _, _ = self._dec_carry
+                toks, count, _, pb, pnb, lm_score = self._dec_carry[:6]
                 scores = np.logaddexp(np.asarray(pb), np.asarray(pnb)) \
                     + self._lm_weight * np.asarray(lm_score)
             else:
-                _, _, toks, count, scores, _, _ = self._dec_carry
+                _, _, toks, count, scores = self._dec_carry[:5]
+                scores = np.asarray(scores).copy()
+            if self._bias is not None:
+                # committed bias ranks; pending (mid-phrase) retracts —
+                # mirrors the offline beams' final-selection correction
+                retract = np.asarray(self._bias.retract)
+                if ctc:
+                    node, bsc = self._dec_carry[8], self._dec_carry[9]
+                    scores = scores + np.asarray(bsc) \
+                        - retract[np.asarray(node)]
+                else:
+                    # transducer: bias already rides the carried scores,
+                    # un-retracted
+                    scores = scores - retract[np.asarray(
+                        self._dec_carry[7]
+                    )]
             k = int(np.argmax(np.asarray(scores)[0]))
             out = np.asarray(toks)[0, k][: int(count[0, k])]
             return [int(x) for x in out], float(np.asarray(scores)[0, k])
@@ -356,12 +378,13 @@ def stream_decode(
     lm_params: dict | None = None,
     lm_step_fn=None,
     lm_weight: float = 0.0,
+    bias=None,
 ) -> tuple[list[int], float]:
     """Decode ``audio`` by streaming it in ``piece_samples`` pieces."""
     st = StreamingTranscriber(
         params, cfg, cmvn, max_u, chunk_frames, max_symbols,
         beam_size=beam_size, lm_params=lm_params, lm_step_fn=lm_step_fn,
-        lm_weight=lm_weight,
+        lm_weight=lm_weight, bias=bias,
     )
     n = piece_samples or len(audio)
     for s in range(0, len(audio), n):

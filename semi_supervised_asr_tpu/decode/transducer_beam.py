@@ -75,8 +75,10 @@ def transducer_beam_from_enc(
     ``bias``: contextual hotword boosting (:mod:`~.biasing`) on label
     EMISSIONS only (blank is alignment, not a label); each hypothesis's
     trie node gather-reorders with the beam and the final ranking
-    retracts pending (uncompleted-phrase) bonuses.  Not threaded through
-    the streaming ``carry`` (asserted)."""
+    retracts pending (uncompleted-phrase) bonuses.  Streaming composes:
+    with ``bias`` the ``carry`` grows a trailing trie-node slot (the
+    carried scores stay UN-retracted so the walk resumes exactly; only
+    the returned ranking scores subtract pending)."""
     b, t, _ = enc.shape
     k = beam_size
     v = cfg.vocab_size
@@ -84,11 +86,6 @@ def transducer_beam_from_enc(
     use_bias = bias is not None
     if use_bias:
         from semi_supervised_asr_tpu.decode import biasing as BZ
-
-        assert carry is None and not return_carry, (
-            "contextual biasing does not thread the streaming carry yet "
-            "— decode offline, or drop decode.bias_phrases for streaming"
-        )
     bias_node = jnp.zeros((b, k), jnp.int32) if use_bias else None
     if use_lm and "blocks" in lm_params:
         t_cache = lm_params["pos"].shape[0]
@@ -104,7 +101,9 @@ def transducer_beam_from_enc(
     def unflat(x):
         return x.reshape((b, k) + x.shape[1:])
 
-    if carry is not None:
+    if carry is not None and use_bias:
+        pred, state, toks, count, scores, lm_state, lm_lp, bias_node = carry
+    elif carry is not None:
         pred, state, toks, count, scores, lm_state, lm_lp = carry
     else:
         pred0, state0 = TD.predictor_step(
@@ -299,7 +298,10 @@ def transducer_beam_from_enc(
         (enc.swapaxes(0, 1), enc_mask.swapaxes(0, 1)),
     )
     _, _, toks, count, scores, _, _, bias_node = final
-    final = final[:7]     # the streaming-carry contract stays 7 slots
+    if not use_bias:
+        final = final[:7]   # unbiased streaming-carry contract: 7 slots
+    # (biased: the carry keeps the trie-node slot, and its score slot
+    # stays UN-retracted — the next chunk resumes the walk exactly)
     if use_bias:
         # hypotheses still mid-phrase at the last frame give the
         # transient bonus back — only completed hotwords keep theirs

@@ -259,11 +259,12 @@ def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
         "streaming decodes raw audio; data.use_feature_store must be off"
     )
     cfg = solver.cfg
-    if solver.cfg.decode.bias_phrases:
+    bias = solver._bias()
+    if bias is not None and beam_size <= 1:
         raise SystemExit(
-            "decode.bias_phrases: contextual biasing is not threaded "
-            "through the streaming carries yet — decode offline, or drop "
-            "the biasing overrides for --streaming"
+            "decode.bias_phrases: contextual biasing is beam-only — "
+            "add --beam K>1 (streaming greedy has no alternatives to "
+            "re-rank) or drop the biasing overrides"
         )
     if timestamps and beam_size > 1:
         raise SystemExit("--streaming --timestamps is greedy-only "
@@ -282,7 +283,7 @@ def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
             lm_params=lm_params, lm_step_fn=lm_step,
             lm_weight=cfg.decode.lm_weight,
             ilm_weight=cfg.decode.ilm_weight,
-            track_frames=timestamps,
+            track_frames=timestamps, bias=bias,
         )
         for s in range(0, len(audio), piece):
             st.feed(audio[s: s + piece])

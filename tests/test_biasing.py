@@ -262,14 +262,27 @@ class TestCTCBeamBias:
             toks = [int(x) for x in np.asarray(h) if x != PAD]
             assert _contains(toks, phrase), toks
 
-    def test_streaming_carry_guarded(self):
+    def test_chunked_carry_matches_offline(self):
+        # streaming exactness with biasing: the carry's two bias slots
+        # resume the trie walk, so chunked == one-pass (same trie each
+        # chunk)
         beam, head, enc, enc_mask = self._setup()
-        trie = BZ.build_bias_trie([[4]], V, 1.0)
-        with pytest.raises(AssertionError):
-            beam(
-                head, enc, enc_mask, 6, beam_size=2, bias=trie,
-                return_carry=True,
-            )
+        trie = BZ.build_bias_trie([[4, 7], [5], [6, 6, 3]], V, 1.2)
+        want_t, want_s = beam(head, enc, enc_mask, 6, beam_size=3,
+                              bias=trie)
+        _, _, carry = beam(
+            head, enc[:, :5], enc_mask[:, :5], 6, beam_size=3,
+            bias=trie, return_carry=True,
+        )
+        assert len(carry) == 10  # 8 lattice/LM slots + node + score
+        got_t, got_s, _ = beam(
+            head, enc[:, 5:], enc_mask[:, 5:], 6, beam_size=3,
+            bias=trie, carry=carry, return_carry=True,
+        )
+        np.testing.assert_array_equal(np.asarray(want_t), np.asarray(got_t))
+        np.testing.assert_allclose(
+            np.asarray(want_s), np.asarray(got_s), rtol=1e-5
+        )
 
 
 class TestTransducerBeamBias:
@@ -322,14 +335,26 @@ class TestTransducerBeamBias:
             toks = [int(x) for x in np.asarray(h) if x != PAD]
             assert _contains(toks, phrase), toks
 
-    def test_streaming_carry_guarded(self):
+    def test_chunked_carry_matches_offline(self):
+        # the transducer carry keeps its score slot UN-retracted plus a
+        # trailing trie-node slot — chunked biased decode == one-pass
         beam, params, cfg, enc, enc_mask = self._setup()
-        trie = BZ.build_bias_trie([[4]], V, 1.0)
-        with pytest.raises(AssertionError):
-            beam(
-                params, cfg, enc, enc_mask, 6, beam_size=2, bias=trie,
-                return_carry=True,
-            )
+        trie = BZ.build_bias_trie([[4, 7], [5]], V, 1.2)
+        want_t, want_s = beam(params, cfg, enc, enc_mask, 6, beam_size=3,
+                              bias=trie)
+        _, _, carry = beam(
+            params, cfg, enc[:, :3], enc_mask[:, :3], 6, beam_size=3,
+            bias=trie, return_carry=True,
+        )
+        assert len(carry) == 8  # 7 lattice/LM slots + trie node
+        got_t, got_s, _ = beam(
+            params, cfg, enc[:, 3:], enc_mask[:, 3:], 6, beam_size=3,
+            bias=trie, carry=carry, return_carry=True,
+        )
+        np.testing.assert_array_equal(np.asarray(want_t), np.asarray(got_t))
+        np.testing.assert_allclose(
+            np.asarray(want_s), np.asarray(got_s), rtol=1e-5
+        )
 
 
 class TestSolverPlumbing:
