@@ -86,11 +86,14 @@ class StreamingTranscriber:
         bias=None,
     ):
         m, f = cfg.model, cfg.frontend
-        assert bias is None or beam_size > 1, (
-            "contextual biasing (decode.bias_phrases) is beam-only — "
-            "streaming greedy has no alternatives to re-rank; use "
-            "--beam K>1"
-        )
+        if bias is not None and beam_size <= 1:
+            # explicit raise, not assert: must survive `python -O` (the
+            # API would otherwise silently stream unbiased)
+            raise ValueError(
+                "contextual biasing (decode.bias_phrases) is beam-only — "
+                "streaming greedy has no alternatives to re-rank; use "
+                "--beam K>1"
+            )
         self._bias = bias
         assert not (track_frames and beam_size > 1), (
             "track_frames (streaming timestamps) is greedy-only — the "

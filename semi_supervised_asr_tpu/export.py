@@ -64,6 +64,13 @@ def build_decode_fn(cfg, params, mode: str = "beam",
                   else None)
     bias = None
     if cfg.decode.bias_phrases and cfg.decode.bias_bonus != 0.0:
+        if mode == "greedy":
+            # checked before the phrase file is read / trie compiled,
+            # and not an assert (must survive `python -O`)
+            raise SystemExit(
+                "decode.bias_phrases applies to beam decode only — export "
+                "--beam, or drop the biasing overrides"
+            )
         from semi_supervised_asr_tpu.data.registry import build_vocab
         from semi_supervised_asr_tpu.decode import biasing as BZ
 
@@ -71,10 +78,6 @@ def build_decode_fn(cfg, params, mode: str = "beam",
         bias = BZ.build_bias_trie(
             BZ.load_bias_phrases(cfg.decode.bias_phrases, vocab),
             vocab.size, cfg.decode.bias_bonus,
-        )
-        assert mode != "greedy", (
-            "decode.bias_phrases applies to beam decode only — export "
-            "--beam, or drop the biasing overrides"
         )
 
     def fn(audio, audio_lens):

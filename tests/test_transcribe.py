@@ -218,19 +218,23 @@ class TestTimestamps:
             for t in rec["tokens"]:
                 assert set(t) == {"t", "start_s", "end_s"}
 
-    def test_streaming_rejects_timestamps(self, trained_ctc, tmp_path):
+    def test_streaming_timestamps_greedy_only(self, trained_ctc, tmp_path):
+        """Streaming timestamps ARE supported (live-caption times from the
+        chunked greedy carries, commit 1798ad7) — but only at beam 1: the
+        beam carries keep no frame slot, so --streaming --timestamps with
+        --beam >1 must exit with the greedy-only message."""
         solver, wd = trained_ctc
         paths, _ = write_utt_wavs(solver, tmp_path, n=1)
         out = subprocess.run(
             [sys.executable, "-m", "semi_supervised_asr_tpu.transcribe",
-             "--config", CONFIG, "--load-dir", str(wd),
+             "--config", CONFIG, "--load-dir", str(wd), "--beam", "2",
              "--timestamps", "--streaming", "--platform", "cpu",
              str(paths[0]), "data.num_synthetic_utts=16",
              "model.family=ctc"],
             capture_output=True, text=True, timeout=560,
         )
         assert out.returncode != 0
-        assert "offline-only" in out.stderr
+        assert "greedy-only" in out.stderr
 
 
 class TestForcedAlignCLI:

@@ -380,16 +380,26 @@ class TestEmissionTimestamps:
             assert np.all(np.diff(f) >= 0)       # multi-emit frames tie
             assert np.all(frames[r, n[r]:] == -1)
 
-    def test_track_frames_rejects_streaming_carry(self):
+    def test_track_frames_demands_six_tuple_carry(self):
+        """Streaming track_frames IS supported (commit 1798ad7) via the
+        6-tuple carry from transducer_greedy_init(track_frames=True); a
+        legacy 5-tuple carry must be rejected, not silently mis-unpacked."""
         params, cfg, enc, mask, _ = self._decode_inputs()
         from semi_supervised_asr_tpu.decode.transducer_greedy import (
             transducer_greedy_init,
         )
 
-        carry = transducer_greedy_init(params, cfg, 3, 8)
-        with pytest.raises(AssertionError, match="offline-only"):
+        carry5 = transducer_greedy_init(params, cfg, 3, 8)
+        with pytest.raises(AssertionError, match="6-tuple"):
             transducer_greedy_from_enc(
-                params, cfg, enc, mask, 8, carry=carry, track_frames=True)
+                params, cfg, enc, mask, 8, carry=carry5, track_frames=True)
+        # and the 6-tuple carry streams: same decode, tracked.
+        carry6 = transducer_greedy_init(params, cfg, 3, 8, track_frames=True)
+        toks, _, carry_out = transducer_greedy_from_enc(
+            params, cfg, enc, mask, 8, carry=carry6, track_frames=True,
+            return_carry=True)
+        assert len(carry_out) == 6
+        assert np.asarray(carry_out[5]).shape == np.asarray(toks).shape
 
     def test_transcribe_timestamps_greedy_only(self, trained_td, tmp_path):
         from semi_supervised_asr_tpu.transcribe import transcribe
