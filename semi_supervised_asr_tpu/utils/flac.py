@@ -18,8 +18,11 @@ import numpy as np
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _SRC = _NATIVE_DIR / "flac_decoder.cpp"
 _SO = _NATIVE_DIR / "libflac_decoder.so"
+_ENC_SRC = _NATIVE_DIR / "flac_encoder.cpp"
+_ENC_SO = _NATIVE_DIR / "libflac_encoder.so"
 
 _lib = None
+_enc_lib = None
 _build_err: str | None = None
 
 
@@ -52,6 +55,56 @@ def _load() -> ctypes.CDLL:
         _build_err = f"native FLAC decoder unavailable: {e}"
         raise RuntimeError(_build_err) from e
     return _lib
+
+
+def _load_encoder() -> ctypes.CDLL:
+    """Native VERBATIM encoder (native/flac_encoder.cpp) — corpus
+    fabrication at scale; same lazy g++ build as the decoder."""
+    global _enc_lib
+    if _enc_lib is not None:
+        return _enc_lib
+    if not _ENC_SO.exists() or (
+        _ENC_SO.stat().st_mtime < _ENC_SRC.stat().st_mtime
+    ):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             str(_ENC_SRC), "-o", str(_ENC_SO)],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(str(_ENC_SO))
+    lib.flac_encode_verbatim_bound.restype = ctypes.c_int64
+    lib.flac_encode_verbatim_bound.argtypes = [ctypes.c_int64,
+                                               ctypes.c_int32]
+    lib.flac_encode_verbatim.restype = ctypes.c_int64
+    lib.flac_encode_verbatim.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    _enc_lib = lib
+    return lib
+
+
+def write_flac_verbatim(path: str | Path, samples: np.ndarray,
+                        sample_rate: int = 16000,
+                        blocksize: int = 4096) -> int:
+    """Encode int16 mono ``samples`` as an uncompressed (VERBATIM) FLAC
+    file; returns bytes written.  Lossless by construction — round-trips
+    bit-exactly through read_flac_int (tested in tests/test_flac.py)."""
+    samples = np.ascontiguousarray(samples, np.int16)
+    assert samples.ndim == 1, "mono only"
+    lib = _load_encoder()
+    cap = int(lib.flac_encode_verbatim_bound(samples.size, blocksize))
+    out = np.empty(cap, np.uint8)
+    got = lib.flac_encode_verbatim(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        samples.size, sample_rate, blocksize,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if got < 0:
+        raise ValueError("flac_encode_verbatim failed")
+    with open(path, "wb") as f:
+        out[:got].tofile(f)
+    return int(got)
 
 
 def stream_info(path: str | Path) -> dict:

@@ -176,3 +176,40 @@ class TestReadFlacFloat:
         p.write_bytes(b"not a flac stream at all" * 10)
         with pytest.raises(ValueError):
             flac.read_flac(p)
+
+
+class TestNativeEncoder:
+    """native/flac_encoder.cpp (VERBATIM corpus fabricator): lossless by
+    construction — every stream must round-trip bit-exactly through the
+    native decoder, including block-boundary and full-scale cases."""
+
+    @pytest.mark.quick
+    def test_roundtrip_exact(self, tmp_path):
+        rng = np.random.default_rng(3)
+        p = tmp_path / "v.flac"
+        for n in (1, 15, 4095, 4096, 4097, 12288, 70001):
+            sig = rng.integers(-32768, 32768, n).astype(np.int16)
+            ext = np.array([-32768, 32767, 0, -1], np.int16)
+            sig[:4] = ext[: min(4, n)]           # full-scale extremes
+            flac.write_flac_verbatim(p, sig, 16000)
+            si = flac.stream_info(p)
+            assert si == {"n_samples": n, "sample_rate": 16000,
+                          "channels": 1, "bits": 16}
+            dec, rate, bits = flac.read_flac_int(p)
+            assert (rate, bits) == (16000, 16)
+            assert np.array_equal(dec[:, 0], sig.astype(np.int32))
+
+    def test_blocksize_variants(self, tmp_path):
+        rng = np.random.default_rng(4)
+        sig = rng.integers(-2000, 2000, 10000).astype(np.int16)
+        p = tmp_path / "b.flac"
+        for bs in (256, 1024, 65535):
+            flac.write_flac_verbatim(p, sig, 22050, blocksize=bs)
+            dec, rate, _ = flac.read_flac_int(p)
+            assert rate == 22050
+            assert np.array_equal(dec[:, 0], sig.astype(np.int32))
+
+    def test_empty_stream_header_only(self, tmp_path):
+        p = tmp_path / "e.flac"
+        flac.write_flac_verbatim(p, np.empty(0, np.int16))
+        assert flac.stream_info(p)["n_samples"] == 0
