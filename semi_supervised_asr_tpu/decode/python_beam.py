@@ -106,19 +106,14 @@ def beam_decode_python(
     if bias is not None:
         bias_nxt = np.asarray(bias.next_node)
         bias_ret = np.asarray(bias.retract)
-        bias_bonus = float(bias.bonus)
+        bias_gain_tab = np.asarray(bias.gain)
 
     def bias_step(node: int, tok: int) -> tuple[float, int]:
-        """Per-hypothesis host trie walk mirroring biasing.bias_delta /
-        bias_advance -> (score delta, next node)."""
+        """Per-hypothesis host automaton walk mirroring
+        biasing.bias_delta / bias_advance -> (score delta, next node).
+        Fail links are baked into next_node (Aho–Corasick closure)."""
         nn = int(bias_nxt[node, tok])
-        if nn >= 0:
-            return bias_bonus, nn
-        delta = -float(bias_ret[node])
-        rs = int(bias_nxt[0, tok])
-        if rs >= 0:
-            return delta + bias_bonus, rs
-        return delta, 0
+        return float(bias_gain_tab[nn]) - float(bias_ret[node]), nn
 
     state0 = S.init_state(1, enc.shape[1], cfg, enc_mask,
                           max_steps=max_len)
