@@ -86,14 +86,6 @@ class StreamingTranscriber:
         bias=None,
     ):
         m, f = cfg.model, cfg.frontend
-        if bias is not None and beam_size <= 1:
-            # explicit raise, not assert: must survive `python -O` (the
-            # API would otherwise silently stream unbiased)
-            raise ValueError(
-                "contextual biasing (decode.bias_phrases) is beam-only — "
-                "streaming greedy has no alternatives to re-rank; use "
-                "--beam K>1"
-            )
         self._bias = bias
         assert not (track_frames and beam_size > 1), (
             "track_frames (streaming timestamps) is greedy-only — the "
@@ -193,13 +185,14 @@ class StreamingTranscriber:
             )
 
             self._dec_carry = ctc_greedy_stream_init(
-                1, max_u, track_frames=track_frames
+                1, max_u, track_frames=track_frames,
+                bias=bias is not None,
             )
 
             def decode_chunk(enc, mask, dec_carry, frame_base):
                 return ctc_greedy_stream(
                     params["ctc"], enc, mask, max_u, dec_carry,
-                    frame_base=frame_base,
+                    frame_base=frame_base, bias=bias,
                 )
         elif beam_size > 1:
             from semi_supervised_asr_tpu.decode.transducer_beam import (
@@ -219,7 +212,8 @@ class StreamingTranscriber:
                 return dec_carry
         else:
             self._dec_carry = transducer_greedy_init(
-                params, m, 1, max_u, track_frames=track_frames
+                params, m, 1, max_u, track_frames=track_frames,
+                bias=bias is not None,
             )
 
             def decode_chunk(enc, mask, dec_carry, frame_base):
@@ -228,6 +222,7 @@ class StreamingTranscriber:
                     max_symbols=max_symbols,
                     carry=dec_carry, return_carry=True,
                     track_frames=track_frames, frame_base=frame_base,
+                    bias=bias,
                 )
                 return out[2]
 
@@ -317,8 +312,21 @@ class StreamingTranscriber:
             _, out, count, score = self._dec_carry[:4]
         else:
             _, _, out, count, score = self._dec_carry[:5]
+        score = float(np.asarray(score)[0])
+        if self._bias is not None:
+            # greedy biased carries: committed bias ranks, pending
+            # (mid-phrase) retracts — same correction as the beams
+            retract = np.asarray(self._bias.retract)
+            if ctc:
+                node, bsc = self._dec_carry[-2], self._dec_carry[-1]
+                score += float(np.asarray(bsc)[0]) \
+                    - float(retract[int(np.asarray(node)[0])])
+            else:
+                # transducer: bias rides the carried score un-retracted
+                node = self._dec_carry[-1]
+                score -= float(retract[int(np.asarray(node)[0])])
         return ([int(x) for x in np.asarray(out[0])[: int(count[0])]],
-                float(score[0]))
+                score)
 
     def emission_frames(self) -> list[int]:
         """Absolute encoder-frame index where each emitted token first
@@ -326,11 +334,12 @@ class StreamingTranscriber:
         frame * hop_length * time_reduction / sample_rate.  Needs
         ``track_frames=True`` (greedy only)."""
         assert self._track, "construct with track_frames=True"
-        # carry layout: ctc (prev, out, count, score, frames);
-        # transducer (pred, state, out, count, score, frames)
-        count = self._dec_carry[2 if self.cfg.model.family == "ctc"
-                                else 3]
-        frames = self._dec_carry[-1]
+        # carry layout: ctc (prev, out, count, score, frames[, node,
+        # bias_score]); transducer (pred, state, out, count, score,
+        # frames[, node]) — frames sit at a FIXED index, bias slots trail
+        ctc = self.cfg.model.family == "ctc"
+        count = self._dec_carry[2 if ctc else 3]
+        frames = self._dec_carry[4 if ctc else 5]
         return [int(x) for x in np.asarray(frames[0])[: int(count[0])]]
 
     @property

@@ -545,7 +545,10 @@ class Solver:
                 self.ckpt.save(step, self.state, self.data_pos,
                                {"dev_error": last_eval.get("dev_error", 1e9)})
 
-        if int(self.state.step) % cfg.train.ckpt_every != 0:
+        # final save whenever the loop didn't just save (ckpt_every=0 =
+        # periodic saves disabled -> the final save still happens)
+        if (cfg.train.ckpt_every <= 0
+                or int(self.state.step) % cfg.train.ckpt_every != 0):
             last_eval = self.validate()
             self.ckpt.save(int(self.state.step), self.state, self.data_pos,
                            {"dev_error": last_eval["dev_error"]})
@@ -635,8 +638,10 @@ class Solver:
             cfg = self.cfg
             if cfg.decode.bias_phrases:
                 self.log.info(
-                    "WARNING: decode.bias_phrases applies to BEAM decode "
-                    "only — greedy decode runs unbiased"
+                    "WARNING: offline/eval greedy decode runs unbiased — "
+                    "decode.bias_phrases applies to beam decode, and to "
+                    "streaming greedy (transcribe --streaming, "
+                    "frame-synchronous families)"
                 )
 
             feat_fn = (TS.featurize_precomputed if self.from_features

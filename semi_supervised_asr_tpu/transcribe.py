@@ -259,13 +259,10 @@ def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
         "streaming decodes raw audio; data.use_feature_store must be off"
     )
     cfg = solver.cfg
+    # greedy streaming biasing works too: the chunked greedy carries
+    # walk the bias automaton per emission (decode/ctc.py,
+    # transducer_greedy.py) — hotwords boost in live captions at K=1
     bias = solver._bias()
-    if bias is not None and beam_size <= 1:
-        raise SystemExit(
-            "decode.bias_phrases: contextual biasing is beam-only — "
-            "add --beam K>1 (streaming greedy has no alternatives to "
-            "re-rank) or drop the biasing overrides"
-        )
     if timestamps and beam_size > 1:
         raise SystemExit("--streaming --timestamps is greedy-only "
                          "(beam carries keep no frame slot); add --beam 1")

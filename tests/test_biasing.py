@@ -417,6 +417,200 @@ class TestTransducerBeamBias:
         )
 
 
+class TestGreedyBias:
+    """Greedy shallow-fusion biasing (VERDICT r2 weak #5): the chunked
+    greedy carries walk the bias automaton per emission, so hotwords
+    boost at K=1 — the live-caption default — with the same
+    committed/pending accounting as the beams."""
+
+    def _ctc(self, seed=0, b=2, t=12):
+        from semi_supervised_asr_tpu.decode.ctc import (
+            ctc_greedy_stream, ctc_greedy_stream_init,
+        )
+
+        rng = np.random.default_rng(seed)
+        enc = jnp.asarray(
+            rng.standard_normal((b, t, V)).astype(np.float32) * 1.5
+        )
+        lens = np.array([t, t - 3][:b])
+        enc_mask = jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]
+        head = {"w": jnp.eye(V, dtype=jnp.float32),
+                "b": jnp.zeros((V,), jnp.float32)}
+        return ctc_greedy_stream, ctc_greedy_stream_init, head, enc, \
+            enc_mask
+
+    def _ranking(self, trie, carry):
+        """score + bias_score - pending (the streaming _best correction)."""
+        node, bsc = carry[-2], carry[-1]
+        return (np.asarray(carry[3]) + np.asarray(bsc)
+                - np.asarray(trie.retract)[np.asarray(node)])
+
+    def test_ctc_small_bonus_exact_accounting(self):
+        # a bonus too small to flip any argmax: tokens unchanged, and
+        # the ranking score moves by EXACTLY the independent oracle's
+        # bias total over the emitted sequence
+        stream, init, head, enc, enc_mask = self._ctc()
+        base = stream(head, enc, enc_mask, 6, init(2, 6))
+        phrases = [[4, 7], [5], [6, 6, 3]]
+        trie = BZ.build_bias_trie(phrases, V, 1e-3)
+        got = stream(head, enc, enc_mask, 6, init(2, 6, bias=True),
+                     bias=trie)
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(got[1]))
+        np.testing.assert_allclose(np.asarray(base[3]),
+                                   np.asarray(got[3]), rtol=1e-6)
+        rank = self._ranking(trie, got)
+        for r in range(2):
+            n = int(base[2][r])
+            toks = [int(x) for x in np.asarray(base[1])[r, :n]]
+            want = float(base[3][r]) + oracle_bias(phrases, toks, 1e-3)
+            np.testing.assert_allclose(rank[r], want, atol=1e-5)
+
+    def test_ctc_large_bonus_forces_phrase(self):
+        stream, init, head, enc, enc_mask = self._ctc(2)
+        phrase = [6, 3]
+        base = stream(head, enc, enc_mask, 6, init(2, 6))
+        trie = BZ.build_bias_trie([phrase], V, 30.0)
+        got = stream(head, enc, enc_mask, 6, init(2, 6, bias=True),
+                     bias=trie)
+        changed = not np.array_equal(np.asarray(base[1]),
+                                     np.asarray(got[1]))
+        assert changed, "bonus 30 did not move the greedy path"
+        for r in range(2):
+            toks = [int(x) for x in np.asarray(got[1])[r]
+                    if x != PAD]
+            assert _contains(toks, phrase), toks
+
+    def test_ctc_chunked_carry_matches_offline(self):
+        stream, init, head, enc, enc_mask = self._ctc()
+        trie = BZ.build_bias_trie([[4, 7], [5], [6, 6, 3]], V, 1.2)
+        want = stream(head, enc, enc_mask, 6, init(2, 6, bias=True),
+                      bias=trie)
+        c = init(2, 6, bias=True)
+        c = stream(head, enc[:, :5], enc_mask[:, :5], 6, c, bias=trie)
+        c = stream(head, enc[:, 5:], enc_mask[:, 5:], 6, c, bias=trie,
+                   frame_base=5)
+        for a, b in zip(want, c):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_ctc_path_decisions_match_string_oracle(self):
+        # the per-frame decision rule itself, against a brute-force
+        # string-matching simulation (no trie arrays): argmax over
+        # logp + delta with blank/repeat columns pinned to 0
+        from semi_supervised_asr_tpu.decode.ctc import ctc_head_logits
+
+        stream, init, head, enc, enc_mask = self._ctc(5, b=1, t=14)
+        phrases = [[4, 5], [5, 6, 7], [6]]
+        bonus = 2.5
+        trie = BZ.build_bias_trie(phrases, V, bonus)
+        got = stream(head, enc, enc_mask, 7, init(1, 7, bias=True),
+                     bias=trie)
+        # independent simulation
+        logp = np.asarray(
+            jax.nn.log_softmax(ctc_head_logits(head, enc), -1)
+        )[0]
+        phr = [tuple(p) for p in phrases]
+
+        def is_prefix(w):
+            w = tuple(w)
+            return any(p[: len(w)] == w for p in phr)
+
+        def pend(w):
+            for i in range(len(w), 0, -1):
+                if any(tuple(w[:i][-len(p):]) == p for p in phr):
+                    return len(w) - i
+            return len(w)
+
+        def new_window(w, y):
+            cand = list(w) + [y]
+            for j in range(len(cand) + 1):
+                if j == len(cand) or is_prefix(cand[j:]):
+                    return cand[j:]
+
+        window, prev, toks = [], PAD, []
+        for t_i in range(14):
+            deltas = np.zeros(V)
+            for y in range(V):
+                if y == PAD or y == prev:
+                    continue
+                w2 = new_window(window, y)
+                gain = bonus * (pend(w2[:-1]) + 1) if w2 else 0.0
+                deltas[y] = gain - bonus * pend(window)
+            y = int(np.argmax(logp[t_i] + deltas))
+            if y != PAD and y != prev and len(toks) < 7:
+                toks.append(y)
+                window = new_window(window, y)
+            prev = y
+        n = int(got[2][0])
+        assert [int(x) for x in np.asarray(got[1])[0, :n]] == toks
+
+    def _td(self, seed=0, b=2, t=6):
+        from semi_supervised_asr_tpu.decode.transducer_greedy import (
+            transducer_greedy_from_enc, transducer_greedy_init,
+        )
+        from semi_supervised_asr_tpu.models import seq2seq as M
+
+        cfg = TestTransducerBeamBias.TCFG
+        params = M.init_model(jax.random.PRNGKey(seed), cfg)
+        rng = np.random.default_rng(seed)
+        enc = jnp.asarray(
+            rng.standard_normal((b, t, cfg.enc_out_dim)).astype(np.float32)
+            * 1.5
+        )
+        lens = np.array([t, t - 2][:b])
+        enc_mask = jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]
+        return (transducer_greedy_from_enc, transducer_greedy_init,
+                params, cfg, enc, enc_mask)
+
+    def test_transducer_small_bonus_exact_accounting(self):
+        greedy, _, params, cfg, enc, enc_mask = self._td()
+        base_t, base_s = greedy(params, cfg, enc, enc_mask, 6)
+        phrases = [[4, 7], [5]]
+        trie = BZ.build_bias_trie(phrases, V, 1e-3)
+        got_t, got_s = greedy(params, cfg, enc, enc_mask, 6, bias=trie)
+        np.testing.assert_array_equal(np.asarray(base_t),
+                                      np.asarray(got_t))
+        for r in range(2):
+            toks = [int(x) for x in np.asarray(base_t)[r] if x != PAD]
+            want = float(base_s[r]) + oracle_bias(phrases, toks, 1e-3)
+            np.testing.assert_allclose(float(got_s[r]), want, atol=1e-5)
+
+    def test_transducer_large_bonus_forces_phrase(self):
+        greedy, _, params, cfg, enc, enc_mask = self._td(4)
+        phrase = [6, 3]
+        trie = BZ.build_bias_trie([phrase], V, 30.0)
+        got_t, _ = greedy(params, cfg, enc, enc_mask, 6, bias=trie)
+        for r in range(2):
+            toks = [int(x) for x in np.asarray(got_t)[r] if x != PAD]
+            assert _contains(toks, phrase), toks
+
+    def test_transducer_chunked_matches_offline(self):
+        greedy, init, params, cfg, enc, enc_mask = self._td()
+        trie = BZ.build_bias_trie([[4, 7], [5]], V, 1.2)
+        want_t, want_s = greedy(params, cfg, enc, enc_mask, 6, bias=trie)
+        c = init(params, cfg, 2, 6, bias=True)
+        assert len(c) == 6
+        _, _, c = greedy(params, cfg, enc[:, :3], enc_mask[:, :3], 6,
+                         bias=trie, carry=c, return_carry=True)
+        got_t, got_s, _ = greedy(params, cfg, enc[:, 3:], enc_mask[:, 3:],
+                                 6, bias=trie, carry=c, return_carry=True)
+        np.testing.assert_array_equal(np.asarray(want_t),
+                                      np.asarray(got_t))
+        np.testing.assert_allclose(np.asarray(want_s), np.asarray(got_s),
+                                   rtol=1e-5)
+
+    def test_carry_arity_guards(self):
+        stream, init, head, enc, enc_mask = self._ctc()
+        trie = BZ.build_bias_trie([[4]], V, 1.0)
+        with pytest.raises(AssertionError, match="carry arity"):
+            stream(head, enc, enc_mask, 6, init(2, 6), bias=trie)
+        greedy, tinit, params, cfg, enc2, mask2 = self._td()
+        with pytest.raises(AssertionError, match="carry arity"):
+            greedy(params, cfg, enc2, mask2, 6, bias=trie,
+                   carry=tinit(params, cfg, 2, 6))
+
+
 class TestSolverPlumbing:
     def test_config_to_beam_decode(self, tmp_path):
         """decode.bias_phrases/bias_bonus -> Solver._bias() trie ->

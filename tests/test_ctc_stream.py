@@ -184,6 +184,30 @@ class TestStream:
         assert got_toks == want_toks, (piece, got_toks, want_toks)
         np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
 
+    def test_greedy_bias_matches_chunked_reference(self):
+        """Biased greedy streams exactly (VERDICT r2 weak #5): the
+        carry's trailing (node, bias score) slots resume the automaton,
+        and StreamingTranscriber's final correction (committed ranks,
+        pending retracts) makes chunked == one-shot biased decode."""
+        from semi_supervised_asr_tpu.decode import biasing as BZ
+
+        params = M.init_model(jax.random.PRNGKey(3), MCFG)
+        rng = np.random.default_rng(3)
+        audio = (rng.standard_normal(
+            38 * FCFG.hop_length + FCFG.n_fft + 57
+        ) * 0.5).astype(np.float32)
+        trie = BZ.build_bias_trie(
+            [[4, 7], [5], [9, 3]], MCFG.vocab_size, 1.1
+        )
+        # one-shot stream (a single giant piece) is the reference; any
+        # chunking must match it token-for-token and score-for-score
+        want = stream_decode(params, CFG, CMVN, audio, MAX_U,
+                             piece_samples=10**9, bias=trie)
+        got = stream_decode(params, CFG, CMVN, audio, MAX_U,
+                            piece_samples=700, bias=trie)
+        assert got[0] == want[0], (got, want)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-4)
+
     @pytest.mark.parametrize("piece", [1000, 10**9])
     def test_beam_matches_full(self, piece):
         params = M.init_model(jax.random.PRNGKey(1), MCFG)

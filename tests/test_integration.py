@@ -133,6 +133,27 @@ class TestSemiSupervisedSolver:
             assert np.isfinite(recs[-1][key])
 
 
+class TestCkptEveryZero:
+    def test_periodic_saves_disabled_still_saves_final(self, tmp_path):
+        """train.ckpt_every=0 disables periodic saves but the end-of-run
+        save must still land (was: ZeroDivisionError at the final-save
+        modulo — found by the r3 recipe-scale soak probe)."""
+        cfg = small_cfg(**{
+            "data.num_synthetic_utts": 8,
+            "train.batch_size": 4,
+            "train.total_steps": 4,
+            "train.eval_every": 0,
+            "train.ckpt_every": 0,
+            "train.log_every": 2,
+        })
+        solver = Solver(cfg, tmp_path, use_mesh=False)
+        result = solver.train()
+        assert "dev_error" in result
+        steps = [int(p.name) for p in (tmp_path / "checkpoints").iterdir()
+                 if p.name.isdigit()]
+        assert steps == [4], steps
+
+
 class TestWERReporting:
     def test_char_unit_reports_wer(self, tmp_path):
         """LibriSpeech's headline metric is word-level WER (SURVEY §1.1 #7):
