@@ -59,6 +59,202 @@ from semi_supervised_asr_tpu.models import listener as L
 from semi_supervised_asr_tpu.ops import frontend as F
 
 
+def build_stream_fns(
+    params: dict,
+    cfg: Config,
+    cmvn: tuple,
+    max_u: int,
+    chunk_frames: int | None = None,
+    max_symbols: int = 4,
+    beam_size: int = 1,
+    lm_params: dict | None = None,
+    lm_step_fn=None,
+    lm_weight: float = 0.0,
+    ilm_weight: float = 0.0,
+    max_stream_frames: int = 60_000,
+    track_frames: bool = False,
+    bias=None,
+):
+    """The pure computational core of streaming inference, shared by the
+    live :class:`StreamingTranscriber` and the serving exporter
+    (export.py ``--streaming``) — one definition, so the exported
+    artifact IS the live streaming computation.
+
+    -> dict with ``enc_state0`` / ``dec_carry0`` (initial carries;
+    ``dec_carry0`` is None for beams, which build their own on chunk 1),
+    ``chunk_step(enc_state, dec_carry, audio, frame_base)`` ->
+    (enc_state, dec_carry), ``final_step(enc_state, dec_carry, audio,
+    n_samples, frame_base)`` -> dec_carry, and the chunk geometry
+    (``chunk_frames`` / ``chunk_samples`` / ``conformer``).
+    """
+    m, f = cfg.model, cfg.frontend
+    assert not (track_frames and beam_size > 1), (
+        "track_frames (streaming timestamps) is greedy-only — the "
+        "beam carries keep no per-token frame slot"
+    )
+    assert m.family in ("transducer", "ctc"), (
+        "streaming decode needs a frame-synchronous family "
+        "(transducer or ctc) — LAS attention reads the full utterance"
+    )
+    assert m.family == "transducer" or ilm_weight == 0.0, (
+        "ilm_weight is transducer-only (HAT internal-LM correction)"
+    )
+    conformer = m.encoder_arch == "conformer"
+    if not conformer:
+        assert not m.enc_bidirectional, (
+            "streaming needs model.enc_bidirectional=false (or the "
+            "chunk-causal conformer, model.enc_attn_chunk > 0)"
+        )
+        assert m.conv_subsample == 0, (
+            "blstm streaming needs conv_subsample=0 (the SAME-padded "
+            "stem reads ahead; the conformer's chunked stem is causal)"
+        )
+    assert not f.center, (
+        "streaming needs frontend.center=false (reflect-padded "
+        "center framing reads future samples)"
+    )
+    assert f.cmvn == "global", (
+        "streaming needs frontend.cmvn=global (utterance CMVN reads "
+        "the full utterance)"
+    )
+    red = m.time_reduction
+    if conformer:
+        # the conformer's stream step consumes exactly one attention
+        # chunk (enc_attn_chunk encoder frames = enc_attn_chunk * red
+        # feature frames) — the encoder's latency granule
+        from semi_supervised_asr_tpu.models import (
+            conformer_listener as CL,
+        )
+        chunk_frames = chunk_frames or m.enc_attn_chunk * red
+        assert chunk_frames == m.enc_attn_chunk * red, (
+            "conformer streaming feeds exactly enc_attn_chunk * "
+            "2**conv_subsample feature frames per chunk (got "
+            f"chunk_frames={chunk_frames}, want "
+            f"{m.enc_attn_chunk * red})"
+        )
+        rope = CL.conformer_rope_table(m, max_stream_frames)
+        enc_state0 = CL.conformer_stream_init(m, 1)
+
+        def enc_stream(feats, enc_state, frame_lens=None):
+            return CL.conformer_listener_apply_stream(
+                params["listener"], feats, m, enc_state, rope,
+                frame_lens=frame_lens,
+            )
+    else:
+        chunk_frames = chunk_frames or red
+        enc_state0 = L.listener_stream_init(m, 1)
+
+        def enc_stream(feats, enc_state, frame_lens=None):
+            return L.listener_apply_stream(
+                params["listener"], feats, m, enc_state,
+                frame_lens=frame_lens,
+            )
+    assert chunk_frames % red == 0, (chunk_frames, red)
+    chunk_samples = (chunk_frames - 1) * f.hop_length + f.n_fft
+
+    if m.family == "ctc" and beam_size > 1:
+        from semi_supervised_asr_tpu.decode.ctc_beam import (
+            ctc_beam_from_enc,
+        )
+
+        dec_carry0 = None    # the beam builds its own on chunk 1
+
+        def decode_chunk(enc, mask, dec_carry, frame_base):
+            _, _, dec_carry = ctc_beam_from_enc(
+                params["ctc"], enc, mask, max_u, beam_size=beam_size,
+                lm_params=lm_params, lm_step_fn=lm_step_fn,
+                lm_weight=lm_weight, bias=bias,
+                carry=dec_carry, return_carry=True,
+            )
+            return dec_carry
+    elif m.family == "ctc":
+        from semi_supervised_asr_tpu.decode.ctc import (
+            ctc_greedy_stream, ctc_greedy_stream_init,
+        )
+
+        dec_carry0 = ctc_greedy_stream_init(
+            1, max_u, track_frames=track_frames,
+            bias=bias is not None,
+        )
+
+        def decode_chunk(enc, mask, dec_carry, frame_base):
+            return ctc_greedy_stream(
+                params["ctc"], enc, mask, max_u, dec_carry,
+                frame_base=frame_base, bias=bias,
+            )
+    elif beam_size > 1:
+        from semi_supervised_asr_tpu.decode.transducer_beam import (
+            transducer_beam_from_enc,
+        )
+
+        dec_carry0 = None    # the beam builds its own on chunk 1
+
+        def decode_chunk(enc, mask, dec_carry, frame_base):
+            _, _, dec_carry = transducer_beam_from_enc(
+                params, m, enc, mask, max_u, beam_size=beam_size,
+                max_symbols=max_symbols, lm_params=lm_params,
+                lm_step_fn=lm_step_fn, lm_weight=lm_weight,
+                ilm_weight=ilm_weight, bias=bias,
+                carry=dec_carry, return_carry=True,
+            )
+            return dec_carry
+    else:
+        dec_carry0 = transducer_greedy_init(
+            params, m, 1, max_u, track_frames=track_frames,
+            bias=bias is not None,
+        )
+
+        def decode_chunk(enc, mask, dec_carry, frame_base):
+            out = transducer_greedy_from_enc(
+                params, m, enc, mask, max_u,
+                max_symbols=max_symbols,
+                carry=dec_carry, return_carry=True,
+                track_frames=track_frames, frame_base=frame_base,
+                bias=bias,
+            )
+            return out[2]
+
+    mean, inv_std = cmvn
+
+    def chunk_step(enc_state, dec_carry, audio, frame_base):
+        feats, _ = F.log_mel_features(
+            audio[None], jnp.asarray([audio.shape[0]]), f,
+            mean, inv_std,
+        )
+        feats = feats[:, : chunk_frames]
+        enc, enc_state = enc_stream(feats, enc_state)
+        mask = jnp.ones((1, enc.shape[1]), bool)
+        return enc_state, decode_chunk(enc, mask, dec_carry,
+                                       frame_base)
+
+    def final_step(enc_state, dec_carry, audio, n_samples,
+                   frame_base):
+        feats, flens = F.log_mel_features(
+            audio[None], n_samples[None], f, mean, inv_std,
+        )
+        enc, _ = enc_stream(feats, enc_state, frame_lens=flens)
+        enc_valid = flens
+        if conformer:
+            for _ in range(m.conv_subsample):
+                enc_valid = (enc_valid + 1) // 2
+        else:
+            for _ in range(m.enc_layers):
+                enc_valid = (enc_valid + 1) // 2
+        mask = jnp.arange(enc.shape[1])[None, :] < enc_valid[:, None]
+        return decode_chunk(enc, mask, dec_carry, frame_base)
+
+    return {
+        "enc_state0": enc_state0,
+        "dec_carry0": dec_carry0,
+        "chunk_step": chunk_step,
+        "final_step": final_step,
+        "decode_chunk": decode_chunk,
+        "chunk_frames": chunk_frames,
+        "chunk_samples": chunk_samples,
+        "conformer": conformer,
+    }
+
+
 class StreamingTranscriber:
     """Incremental decoder over one utterance (batch 1).
 
@@ -85,178 +281,28 @@ class StreamingTranscriber:
         track_frames: bool = False,
         bias=None,
     ):
-        m, f = cfg.model, cfg.frontend
         self._bias = bias
-        assert not (track_frames and beam_size > 1), (
-            "track_frames (streaming timestamps) is greedy-only — the "
-            "beam carries keep no per-token frame slot"
+        fns = build_stream_fns(
+            params, cfg, cmvn, max_u, chunk_frames, max_symbols,
+            beam_size, lm_params, lm_step_fn, lm_weight, ilm_weight,
+            max_stream_frames, track_frames, bias,
         )
-        assert m.family in ("transducer", "ctc"), (
-            "streaming decode needs a frame-synchronous family "
-            "(transducer or ctc) — LAS attention reads the full utterance"
-        )
-        assert m.family == "transducer" or ilm_weight == 0.0, (
-            "ilm_weight is transducer-only (HAT internal-LM correction)"
-        )
-        self._conformer = m.encoder_arch == "conformer"
-        if not self._conformer:
-            assert not m.enc_bidirectional, (
-                "streaming needs model.enc_bidirectional=false (or the "
-                "chunk-causal conformer, model.enc_attn_chunk > 0)"
-            )
-            assert m.conv_subsample == 0, (
-                "blstm streaming needs conv_subsample=0 (the SAME-padded "
-                "stem reads ahead; the conformer's chunked stem is causal)"
-            )
-        assert not f.center, (
-            "streaming needs frontend.center=false (reflect-padded "
-            "center framing reads future samples)"
-        )
-        assert f.cmvn == "global", (
-            "streaming needs frontend.cmvn=global (utterance CMVN reads "
-            "the full utterance)"
-        )
-        red = m.time_reduction
-        if self._conformer:
-            # the conformer's stream step consumes exactly one attention
-            # chunk (enc_attn_chunk encoder frames = enc_attn_chunk * red
-            # feature frames) — the encoder's latency granule
-            from semi_supervised_asr_tpu.models import (
-                conformer_listener as CL,
-            )
-            self.chunk_frames = chunk_frames or m.enc_attn_chunk * red
-            assert self.chunk_frames == m.enc_attn_chunk * red, (
-                "conformer streaming feeds exactly enc_attn_chunk * "
-                "2**conv_subsample feature frames per chunk (got "
-                f"chunk_frames={self.chunk_frames}, want "
-                f"{m.enc_attn_chunk * red})"
-            )
-            self._rope = CL.conformer_rope_table(m, max_stream_frames)
-        else:
-            self.chunk_frames = chunk_frames or red
-        assert self.chunk_frames % red == 0, (self.chunk_frames, red)
+        self._conformer = fns["conformer"]
+        self.chunk_frames = fns["chunk_frames"]
         self.params = params
         self.cfg = cfg
         self.max_u = max_u
         self.max_symbols = max_symbols
-        self._hop, self._n_fft = f.hop_length, f.n_fft
-        self._chunk_samples = (self.chunk_frames - 1) * self._hop \
-            + self._n_fft
+        self._hop, self._n_fft = cfg.frontend.hop_length, \
+            cfg.frontend.n_fft
+        self._chunk_samples = fns["chunk_samples"]
         self.beam_size = beam_size
         self._lm_weight = lm_weight
         self._audio = np.zeros((0,), np.float32)
-        if self._conformer:
-            from semi_supervised_asr_tpu.models import (
-                conformer_listener as CL,
-            )
-            self._enc_state = CL.conformer_stream_init(m, 1)
-
-            def enc_stream(feats, enc_state, frame_lens=None):
-                return CL.conformer_listener_apply_stream(
-                    params["listener"], feats, m, enc_state, self._rope,
-                    frame_lens=frame_lens,
-                )
-        else:
-            self._enc_state = L.listener_stream_init(m, 1)
-
-            def enc_stream(feats, enc_state, frame_lens=None):
-                return L.listener_apply_stream(
-                    params["listener"], feats, m, enc_state,
-                    frame_lens=frame_lens,
-                )
-        if m.family == "ctc" and beam_size > 1:
-            from semi_supervised_asr_tpu.decode.ctc_beam import (
-                ctc_beam_from_enc,
-            )
-
-            self._dec_carry = None    # the beam builds its own on chunk 1
-
-            def decode_chunk(enc, mask, dec_carry, frame_base):
-                _, _, dec_carry = ctc_beam_from_enc(
-                    params["ctc"], enc, mask, max_u, beam_size=beam_size,
-                    lm_params=lm_params, lm_step_fn=lm_step_fn,
-                    lm_weight=lm_weight, bias=bias,
-                    carry=dec_carry, return_carry=True,
-                )
-                return dec_carry
-        elif m.family == "ctc":
-            from semi_supervised_asr_tpu.decode.ctc import (
-                ctc_greedy_stream, ctc_greedy_stream_init,
-            )
-
-            self._dec_carry = ctc_greedy_stream_init(
-                1, max_u, track_frames=track_frames,
-                bias=bias is not None,
-            )
-
-            def decode_chunk(enc, mask, dec_carry, frame_base):
-                return ctc_greedy_stream(
-                    params["ctc"], enc, mask, max_u, dec_carry,
-                    frame_base=frame_base, bias=bias,
-                )
-        elif beam_size > 1:
-            from semi_supervised_asr_tpu.decode.transducer_beam import (
-                transducer_beam_from_enc,
-            )
-
-            self._dec_carry = None    # the beam builds its own on chunk 1
-
-            def decode_chunk(enc, mask, dec_carry, frame_base):
-                _, _, dec_carry = transducer_beam_from_enc(
-                    params, m, enc, mask, max_u, beam_size=beam_size,
-                    max_symbols=max_symbols, lm_params=lm_params,
-                    lm_step_fn=lm_step_fn, lm_weight=lm_weight,
-                    ilm_weight=ilm_weight, bias=bias,
-                    carry=dec_carry, return_carry=True,
-                )
-                return dec_carry
-        else:
-            self._dec_carry = transducer_greedy_init(
-                params, m, 1, max_u, track_frames=track_frames,
-                bias=bias is not None,
-            )
-
-            def decode_chunk(enc, mask, dec_carry, frame_base):
-                out = transducer_greedy_from_enc(
-                    params, m, enc, mask, max_u,
-                    max_symbols=max_symbols,
-                    carry=dec_carry, return_carry=True,
-                    track_frames=track_frames, frame_base=frame_base,
-                    bias=bias,
-                )
-                return out[2]
-
-        mean, inv_std = cmvn
-
-        def chunk_step(enc_state, dec_carry, audio, frame_base):
-            feats, _ = F.log_mel_features(
-                audio[None], jnp.asarray([audio.shape[0]]), f,
-                mean, inv_std,
-            )
-            feats = feats[:, : self.chunk_frames]
-            enc, enc_state = enc_stream(feats, enc_state)
-            mask = jnp.ones((1, enc.shape[1]), bool)
-            return enc_state, decode_chunk(enc, mask, dec_carry,
-                                           frame_base)
-
-        def final_step(enc_state, dec_carry, audio, n_samples,
-                       frame_base):
-            feats, flens = F.log_mel_features(
-                audio[None], n_samples[None], f, mean, inv_std,
-            )
-            enc, _ = enc_stream(feats, enc_state, frame_lens=flens)
-            enc_valid = flens
-            if self._conformer:
-                for _ in range(m.conv_subsample):
-                    enc_valid = (enc_valid + 1) // 2
-            else:
-                for _ in range(m.enc_layers):
-                    enc_valid = (enc_valid + 1) // 2
-            mask = jnp.arange(enc.shape[1])[None, :] < enc_valid[:, None]
-            return decode_chunk(enc, mask, dec_carry, frame_base)
-
-        self._chunk_step = jax.jit(chunk_step)
-        self._final_step = jax.jit(final_step)
+        self._enc_state = fns["enc_state0"]
+        self._dec_carry = fns["dec_carry0"]
+        self._chunk_step = jax.jit(fns["chunk_step"])
+        self._final_step = jax.jit(fns["final_step"])
         self._track = track_frames
         # absolute encoder frames already consumed — the frame_base fed
         # to the next chunk so tracked emission frames are utterance-

@@ -107,3 +107,178 @@ class TestExportRoundTrip:
         toks, scores = run_artifact(tmp_path / "exp" / art["file"],
                                     audio, lens)
         assert np.asarray(toks).shape[0] == 2
+
+
+class TestStreamingExport:
+    """--streaming serving bundle (VERDICT r2 missing #2): the baked
+    init/chunk/final/emit functions + mechanical host driver must equal
+    the live StreamingTranscriber token-for-token on chunked audio."""
+
+    FCFG = None  # built lazily to keep module import light
+
+    def _cfgs(self, family="transducer", **model_kw):
+        import dataclasses as dc
+
+        from semi_supervised_asr_tpu.config import (
+            Config, FrontendConfig, ModelConfig, ObjectiveConfig,
+            TrainConfig,
+        )
+
+        fcfg = FrontendConfig(center=False, cmvn="global",
+                              spec_augment=False)
+        base = dict(
+            n_mels=80, vocab_size=16, family=family,
+            enc_hidden=16, enc_layers=2, enc_base_layers=1,
+            enc_bidirectional=False, conv_subsample=0,
+            pred_hidden=16, pred_layers=1, joint_dim=16, embed_dim=8,
+            attn_dim=8, attn_conv_channels=4, attn_conv_width=5,
+            dec_hidden=8, compute_dtype="float32",
+        )
+        base.update(model_kw)
+        mcfg = ModelConfig(**base)
+        cfg = Config(frontend=fcfg, model=mcfg,
+                     objective=ObjectiveConfig(), train=TrainConfig())
+        cfg = cfg.replace(
+            decode=dc.replace(cfg.decode, max_decode_len=12),
+            data=dc.replace(cfg.data, token_buckets=(12,)),
+        )
+        return cfg
+
+    def _bundle_dir(self, tmp_path, bundle, mode):
+        files = {}
+        for name, blob in bundle["blobs"].items():
+            fname = f"stream_{mode}_{name}.shlo"
+            (tmp_path / fname).write_bytes(blob)
+            files[name] = fname
+        (tmp_path / "manifest.json").write_text(json.dumps(
+            {"streaming": {**bundle["meta"], "files": files}}
+        ))
+        return tmp_path
+
+    def _audio(self, cfg, seed=0, n_frames=38, extra=57):
+        rng = np.random.default_rng(seed)
+        f = cfg.frontend
+        return (rng.standard_normal(
+            n_frames * f.hop_length + f.n_fft + extra
+        ) * 0.5).astype(np.float32)
+
+    def _live(self, params, cfg, cmvn, audio, beam_size=1, bias=None,
+              piece=1000):
+        from semi_supervised_asr_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        st = StreamingTranscriber(
+            params, cfg, cmvn, max_u=12, beam_size=beam_size, bias=bias,
+        )
+        for s in range(0, len(audio), piece):
+            st.feed(audio[s: s + piece])
+        return st.finalize()
+
+    @pytest.mark.parametrize("family,beam", [
+        ("transducer", 1), ("transducer", 3), ("ctc", 1), ("ctc", 3),
+    ])
+    def test_artifact_matches_live_stream(self, tmp_path, family, beam):
+        import dataclasses as dc
+
+        from semi_supervised_asr_tpu import export as EX
+        from semi_supervised_asr_tpu.models import seq2seq as M
+
+        cfg = self._cfgs(family)
+        cfg = cfg.replace(decode=dc.replace(cfg.decode, beam_size=beam))
+        cmvn = (np.zeros(80, np.float32), np.ones(80, np.float32))
+        params = M.init_model(jax.random.PRNGKey(1), cfg.model)
+        audio = self._audio(cfg, seed=family == "ctc")
+        want = self._live(params, cfg, cmvn, audio, beam_size=beam)
+
+        p2 = dict(params)
+        p2["__cmvn_mean"], p2["__cmvn_std"] = cmvn
+        mode = "greedy" if beam == 1 else "beam"
+        bundle = EX.export_streaming(cfg, p2, mode=mode)
+        out = self._bundle_dir(tmp_path, bundle, mode)
+        got = EX.stream_artifact_decode(out, audio, piece_samples=1000)
+        assert got[0] == want[0], (family, beam, got, want)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-4)
+
+    def test_biased_bundle_matches_live(self, tmp_path):
+        """The hotword trie bakes into the streaming bundle: greedy
+        (carry slots) and the emit correction reproduce the live biased
+        stream exactly."""
+        import dataclasses as dc
+
+        from semi_supervised_asr_tpu import export as EX
+        from semi_supervised_asr_tpu.decode import biasing as BZ
+        from semi_supervised_asr_tpu.models import seq2seq as M
+
+        cfg = self._cfgs("ctc")
+        cmvn = (np.zeros(80, np.float32), np.ones(80, np.float32))
+        params = M.init_model(jax.random.PRNGKey(2), cfg.model)
+        audio = self._audio(cfg, seed=3)
+        trie = BZ.build_bias_trie([[4, 7], [5]], cfg.model.vocab_size,
+                                  1.3)
+        want = self._live(params, cfg, cmvn, audio, bias=trie)
+
+        # export_streaming compiles the trie from cfg's phrase FILE via
+        # _build_bias; this 16-token test vocab has no tokenizer, so
+        # inject the already-compiled trie at that seam instead
+        cfg2 = cfg.replace(decode=dc.replace(
+            cfg.decode, bias_bonus=1.3,
+        ))
+        import semi_supervised_asr_tpu.export as EXmod
+
+        orig = EXmod._build_bias
+        EXmod._build_bias = lambda c, m: trie
+        try:
+            p2 = dict(params)
+            p2["__cmvn_mean"], p2["__cmvn_std"] = cmvn
+            bundle = EX.export_streaming(cfg2, p2, mode="greedy")
+        finally:
+            EXmod._build_bias = orig
+        out = self._bundle_dir(tmp_path, bundle, "greedy")
+        got = EX.stream_artifact_decode(out, audio, piece_samples=700)
+        assert got[0] == want[0], (got, want)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-4)
+
+    def test_cli_streaming_bundle(self, tmp_path):
+        """export --streaming end-to-end through the CLI on a trained
+        streamable CTC model; the bundle decodes a real wav via
+        StreamingArtifact with no model code."""
+        from scipy.io import wavfile
+
+        wd = tmp_path / "wd"
+        ov = ["data.num_synthetic_utts=8", "train.batch_size=8",
+              "model.family=ctc", "model.enc_bidirectional=false",
+              "frontend.center=false", "model.lstm_backend=xla",
+              "model.compute_dtype=float32"]
+        r = subprocess.run(
+            [sys.executable, "-m", "semi_supervised_asr_tpu.main",
+             "--config", CONFIG, "--train", "--workdir", str(wd),
+             "--platform", "cpu", "--",
+             "train.total_steps=4", "train.eval_every=0",
+             "train.ckpt_every=4", "train.log_every=2", *ov],
+            capture_output=True, text=True, timeout=560,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = tmp_path / "exp"
+        r = subprocess.run(
+            [sys.executable, "-m", "semi_supervised_asr_tpu.export",
+             "--config", CONFIG, "--load-dir", str(wd), "--out",
+             str(out), "--batch", "2", "--frames", "96", "--greedy",
+             "--streaming", "--platform", "cpu", *ov],
+            capture_output=True, text=True, timeout=560,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        man = json.loads((out / "manifest.json").read_text())
+        assert "streaming" in man
+        assert set(man["streaming"]["files"]) == {
+            "init", "chunk", "final", "emit"}
+        for f in man["streaming"]["files"].values():
+            assert (out / f).exists()
+
+        from semi_supervised_asr_tpu import export as EX
+
+        rng = np.random.default_rng(5)
+        audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        toks, score = EX.stream_artifact_decode(out, audio,
+                                                piece_samples=2000)
+        assert isinstance(toks, list) and np.isfinite(score)
