@@ -1,0 +1,121 @@
+"""Multi-stream serving capacity: streams sustainable at RTF < 1.
+
+Drives decode.streaming.MultiStreamTranscriber with S concurrent
+synthetic streams for S in a doubling sweep and measures the wall time
+of one pump round (one jit chunk call stepping all S streams).  A round
+advances every stream by chunk_frames feature frames =
+chunk_frames * hop / sr seconds of audio, so the chip sustains S
+streams in real time iff round_wall < chunk_audio_seconds — capacity is
+the largest S in the sweep that satisfies it (with per-S RTF printed so
+the headroom curve is visible).
+
+The premise being tested: a single stream's chunk is dispatch-bound
+(experiments/README.md — wall time flat in chunk size), so stepping S
+streams together should cost ~the same wall time as one until the
+compute actually saturates, scaling capacity ~S x over the
+one-stream-per-chip baseline.
+
+Usage:
+    python experiments/multistream_capacity.py
+        [--config configs/ls100_conformer_streaming.yaml]
+        [--max-streams 256] [--beam 1] [--rounds 30] [--platform cpu]
+
+Prints one JSON line per S, then a summary line with the capacity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config",
+                   default="configs/ls100_conformer_streaming.yaml")
+    p.add_argument("--max-streams", type=int, default=256)
+    p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--rounds", type=int, default=30)
+    p.add_argument("--max-u", type=int, default=256)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args, overrides = p.parse_known_args()
+
+    import jax
+
+    if args.platform and args.platform != "tpu":
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from semi_supervised_asr_tpu.config import load_config
+    from semi_supervised_asr_tpu.decode.streaming import (
+        MultiStreamTranscriber,
+    )
+    from semi_supervised_asr_tpu.models import seq2seq as M
+
+    cfg = load_config(args.config, overrides)
+    params = M.init_model(jax.random.PRNGKey(0), cfg.model)
+    n_mels = cfg.model.n_mels
+    cmvn = (np.zeros(n_mels, np.float32), np.ones(n_mels, np.float32))
+    hop, sr = cfg.frontend.hop_length, cfg.frontend.sample_rate
+    rng = np.random.default_rng(0)
+
+    capacity, results = 0, []
+    s = 1
+    while s <= args.max_streams:
+        ms = MultiStreamTranscriber(
+            params, cfg, cmvn, max_u=args.max_u, n_streams=s,
+            beam_size=args.beam,
+        )
+        chunk_audio_s = ms.chunk_frames * hop / sr
+        consumed = ms.chunk_frames * hop
+        sids = [ms.open() for _ in range(s)]
+        feed = (rng.standard_normal(
+            (s, ms._chunk_samples + consumed)
+        ) * 0.1).astype(np.float32)
+        # warmup: compile + first rounds
+        for sid in sids:
+            ms.feed(sid, feed[sid])
+        ms.pump()
+        jax.block_until_ready(jax.tree.leaves(ms._state)[0])
+        walls = []
+        for _ in range(args.rounds):
+            for sid in sids:
+                ms.feed(sid, feed[sid][:consumed])
+            t0 = time.perf_counter()
+            rounds = ms.pump()
+            jax.block_until_ready(jax.tree.leaves(ms._state)[0])
+            walls.append((time.perf_counter() - t0) / max(rounds, 1))
+        med = float(np.median(walls))
+        p99 = float(np.quantile(walls, 0.99))
+        rtf = med / chunk_audio_s
+        rec = {
+            "streams": s, "round_ms": round(med * 1e3, 2),
+            "round_p99_ms": round(p99 * 1e3, 2),
+            "chunk_audio_ms": round(chunk_audio_s * 1e3, 1),
+            "rtf": round(rtf, 4), "beam": args.beam,
+            "realtime": rtf < 1.0,
+        }
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+        if rtf < 1.0:
+            capacity = s
+        elif results and not results[-1]["realtime"] and s > 1:
+            break                       # past the knee; stop doubling
+        s *= 2
+
+    print(json.dumps({
+        "config": args.config, "beam": args.beam,
+        "capacity_streams_rtf_lt_1": capacity,
+        "sweep": [(r["streams"], r["rtf"]) for r in results],
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

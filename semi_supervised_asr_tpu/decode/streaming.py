@@ -74,6 +74,7 @@ def build_stream_fns(
     max_stream_frames: int = 60_000,
     track_frames: bool = False,
     bias=None,
+    batch: int = 1,
 ):
     """The pure computational core of streaming inference, shared by the
     live :class:`StreamingTranscriber` and the serving exporter
@@ -86,6 +87,14 @@ def build_stream_fns(
     (enc_state, dec_carry), ``final_step(enc_state, dec_carry, audio,
     n_samples, frame_base)`` -> dec_carry, and the chunk geometry
     (``chunk_frames`` / ``chunk_samples`` / ``conformer``).
+
+    ``batch`` > 1 sizes the carries for ``batch`` INDEPENDENT streams
+    (:class:`MultiStreamTranscriber`): ``chunk_step`` then takes audio
+    ``[batch, chunk_samples]`` and ``final_step`` per-row ``n_samples
+    [batch]``; every carry leaf keeps its leading stream axis, and rows
+    never interact (the encoder, frontend, and decode scans are all
+    row-wise — the same batch-eval code paths).  ``batch`` == 1 keeps
+    the rank-1 single-stream audio signature the export artifacts bake.
     """
     m, f = cfg.model, cfg.frontend
     assert not (track_frames and beam_size > 1), (
@@ -133,7 +142,7 @@ def build_stream_fns(
             f"{m.enc_attn_chunk * red})"
         )
         rope = CL.conformer_rope_table(m, max_stream_frames)
-        enc_state0 = CL.conformer_stream_init(m, 1)
+        enc_state0 = CL.conformer_stream_init(m, batch)
 
         def enc_stream(feats, enc_state, frame_lens=None):
             return CL.conformer_listener_apply_stream(
@@ -142,7 +151,7 @@ def build_stream_fns(
             )
     else:
         chunk_frames = chunk_frames or red
-        enc_state0 = L.listener_stream_init(m, 1)
+        enc_state0 = L.listener_stream_init(m, batch)
 
         def enc_stream(feats, enc_state, frame_lens=None):
             return L.listener_apply_stream(
@@ -173,7 +182,7 @@ def build_stream_fns(
         )
 
         dec_carry0 = ctc_greedy_stream_init(
-            1, max_u, track_frames=track_frames,
+            batch, max_u, track_frames=track_frames,
             bias=bias is not None,
         )
 
@@ -200,7 +209,7 @@ def build_stream_fns(
             return dec_carry
     else:
         dec_carry0 = transducer_greedy_init(
-            params, m, 1, max_u, track_frames=track_frames,
+            params, m, batch, max_u, track_frames=track_frames,
             bias=bias is not None,
         )
 
@@ -217,20 +226,22 @@ def build_stream_fns(
     mean, inv_std = cmvn
 
     def chunk_step(enc_state, dec_carry, audio, frame_base):
+        a = audio if audio.ndim == 2 else audio[None]
         feats, _ = F.log_mel_features(
-            audio[None], jnp.asarray([audio.shape[0]]), f,
+            a, jnp.full((a.shape[0],), a.shape[1]), f,
             mean, inv_std,
         )
         feats = feats[:, : chunk_frames]
         enc, enc_state = enc_stream(feats, enc_state)
-        mask = jnp.ones((1, enc.shape[1]), bool)
+        mask = jnp.ones((enc.shape[0], enc.shape[1]), bool)
         return enc_state, decode_chunk(enc, mask, dec_carry,
                                        frame_base)
 
     def final_step(enc_state, dec_carry, audio, n_samples,
                    frame_base):
+        a = audio if audio.ndim == 2 else audio[None]
         feats, flens = F.log_mel_features(
-            audio[None], n_samples[None], f, mean, inv_std,
+            a, jnp.atleast_1d(n_samples), f, mean, inv_std,
         )
         enc, _ = enc_stream(feats, enc_state, frame_lens=flens)
         enc_valid = flens
@@ -253,6 +264,58 @@ def build_stream_fns(
         "chunk_samples": chunk_samples,
         "conformer": conformer,
     }
+
+
+def _best_hyp(dec_carry, row: int, *, ctc: bool, beam_size: int,
+              lm_weight: float, bias) -> tuple[list[int], float]:
+    """Best hypothesis of stream ``row`` out of a decode carry — the
+    one selection rule (incl. LM-fusion weighting and the biasing
+    committed/pending correction) shared by :class:`StreamingTranscriber`
+    (row 0) and :class:`MultiStreamTranscriber` (slot rows)."""
+    if beam_size > 1:
+        if dec_carry is None:
+            return [], 0.0
+        if ctc:
+            toks, count, _, pb, pnb, lm_score = dec_carry[:6]
+            scores = np.logaddexp(np.asarray(pb), np.asarray(pnb)) \
+                + lm_weight * np.asarray(lm_score)
+        else:
+            _, _, toks, count, scores = dec_carry[:5]
+            scores = np.asarray(scores).copy()
+        if bias is not None:
+            # committed bias ranks; pending (mid-phrase) retracts —
+            # mirrors the offline beams' final-selection correction
+            retract = np.asarray(bias.retract)
+            if ctc:
+                node, bsc = dec_carry[8], dec_carry[9]
+                scores = scores + np.asarray(bsc) \
+                    - retract[np.asarray(node)]
+            else:
+                # transducer: bias already rides the carried scores,
+                # un-retracted
+                scores = scores - retract[np.asarray(dec_carry[7])]
+        k = int(np.argmax(np.asarray(scores)[row]))
+        out = np.asarray(toks)[row, k][: int(count[row, k])]
+        return [int(x) for x in out], float(np.asarray(scores)[row, k])
+    if ctc:
+        _, out, count, score = dec_carry[:4]
+    else:
+        _, _, out, count, score = dec_carry[:5]
+    score = float(np.asarray(score)[row])
+    if bias is not None:
+        # greedy biased carries: committed bias ranks, pending
+        # (mid-phrase) retracts — same correction as the beams
+        retract = np.asarray(bias.retract)
+        if ctc:
+            node, bsc = dec_carry[-2], dec_carry[-1]
+            score += float(np.asarray(bsc)[row]) \
+                - float(retract[int(np.asarray(node)[row])])
+        else:
+            # transducer: bias rides the carried score un-retracted
+            node = dec_carry[-1]
+            score -= float(retract[int(np.asarray(node)[row])])
+    return ([int(x) for x in np.asarray(out[row])[: int(count[row])]],
+            score)
 
 
 class StreamingTranscriber:
@@ -326,53 +389,11 @@ class StreamingTranscriber:
             self._audio = self._audio[self.chunk_frames * self._hop:]
 
     def _best(self) -> tuple[list[int], float]:
-        ctc = self.cfg.model.family == "ctc"
-        if self.beam_size > 1:
-            if self._dec_carry is None:
-                return [], 0.0
-            if ctc:
-                toks, count, _, pb, pnb, lm_score = self._dec_carry[:6]
-                scores = np.logaddexp(np.asarray(pb), np.asarray(pnb)) \
-                    + self._lm_weight * np.asarray(lm_score)
-            else:
-                _, _, toks, count, scores = self._dec_carry[:5]
-                scores = np.asarray(scores).copy()
-            if self._bias is not None:
-                # committed bias ranks; pending (mid-phrase) retracts —
-                # mirrors the offline beams' final-selection correction
-                retract = np.asarray(self._bias.retract)
-                if ctc:
-                    node, bsc = self._dec_carry[8], self._dec_carry[9]
-                    scores = scores + np.asarray(bsc) \
-                        - retract[np.asarray(node)]
-                else:
-                    # transducer: bias already rides the carried scores,
-                    # un-retracted
-                    scores = scores - retract[np.asarray(
-                        self._dec_carry[7]
-                    )]
-            k = int(np.argmax(np.asarray(scores)[0]))
-            out = np.asarray(toks)[0, k][: int(count[0, k])]
-            return [int(x) for x in out], float(np.asarray(scores)[0, k])
-        if ctc:
-            _, out, count, score = self._dec_carry[:4]
-        else:
-            _, _, out, count, score = self._dec_carry[:5]
-        score = float(np.asarray(score)[0])
-        if self._bias is not None:
-            # greedy biased carries: committed bias ranks, pending
-            # (mid-phrase) retracts — same correction as the beams
-            retract = np.asarray(self._bias.retract)
-            if ctc:
-                node, bsc = self._dec_carry[-2], self._dec_carry[-1]
-                score += float(np.asarray(bsc)[0]) \
-                    - float(retract[int(np.asarray(node)[0])])
-            else:
-                # transducer: bias rides the carried score un-retracted
-                node = self._dec_carry[-1]
-                score -= float(retract[int(np.asarray(node)[0])])
-        return ([int(x) for x in np.asarray(out[0])[: int(count[0])]],
-                score)
+        return _best_hyp(
+            self._dec_carry, 0, ctc=self.cfg.model.family == "ctc",
+            beam_size=self.beam_size, lm_weight=self._lm_weight,
+            bias=self._bias,
+        )
 
     def emission_frames(self) -> list[int]:
         """Absolute encoder-frame index where each emitted token first
@@ -421,6 +442,216 @@ class StreamingTranscriber:
         toks, score = self._best()
         self._audio = np.zeros((0,), np.float32)
         return toks, score
+
+
+class MultiStreamTranscriber:
+    """``n_streams`` INDEPENDENT live utterances decoded concurrently by
+    ONE jit chunk call per tick — the serving-capacity answer to the
+    measured fact that a single stream's per-chunk wall time is
+    dispatch-latency-bound and flat in batch at these shapes
+    (experiments/README.md): stepping S streams together costs ~the same
+    wall time as one, so one chip serves ~S streams instead of 1.
+
+    Slot model: a fixed pool of ``n_streams`` rows in one carry pytree.
+    ``open()`` leases a free slot (its row reset to the initial carry),
+    ``feed(sid, samples)`` only buffers host-side, ``pump()`` runs one
+    batched chunk step per round over every slot with a full chunk
+    buffered — PADDED-INACTIVE rows participate in the compute but their
+    carries are where-masked back, so rows never interact (asserted
+    bitwise in tests) — and ``finalize(sid)`` flushes the remainder
+    through the masked final chunk, frees the slot, and returns
+    ``(tokens, score)``.  Each stream's result is token- and
+    score-identical to a batch-1 :class:`StreamingTranscriber` fed the
+    same audio (tested, all four family x greedy/beam combinations).
+
+    Greedy and beam, LM fusion and biasing all work (the carries are the
+    single-stream carries with a leading slot axis); ``track_frames``
+    streaming timestamps are NOT supported — the tracked frame index
+    would need a per-row ``frame_base`` the scan does not carry.
+
+    >>> ms = MultiStreamTranscriber(params, cfg, cmvn, max_u, 8)
+    >>> a, b = ms.open(), ms.open()
+    >>> ms.feed(a, mic_a); ms.feed(b, mic_b)   # buffer only
+    >>> ms.pump()                              # one jit call, both advance
+    >>> ms.tokens(a), ms.tokens(b)             # live partials
+    >>> ms.finalize(a)                         # -> (tokens, score); slot freed
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: Config,
+        cmvn: tuple,
+        max_u: int,
+        n_streams: int,
+        chunk_frames: int | None = None,
+        max_symbols: int = 4,
+        beam_size: int = 1,
+        lm_params: dict | None = None,
+        lm_step_fn=None,
+        lm_weight: float = 0.0,
+        ilm_weight: float = 0.0,
+        max_stream_frames: int = 60_000,
+        bias=None,
+    ):
+        assert n_streams >= 1, n_streams
+        S = self.n_streams = n_streams
+        self._bias = bias
+        self.beam_size = beam_size
+        self._lm_weight = lm_weight
+        self.cfg = cfg
+        fns = build_stream_fns(
+            params, cfg, cmvn, max_u, chunk_frames, max_symbols,
+            beam_size, lm_params, lm_step_fn, lm_weight, ilm_weight,
+            max_stream_frames, False, bias, batch=S,
+        )
+        self.chunk_frames = fns["chunk_frames"]
+        self._chunk_samples = fns["chunk_samples"]
+        self._hop, self._n_fft = cfg.frontend.hop_length, \
+            cfg.frontend.n_fft
+        dec0 = fns["dec_carry0"]
+        if dec0 is None:
+            # beams build their carry on first contact; a zero-frame
+            # decode materializes that construction for every slot so
+            # the masked merges below always have both trees
+            enc_dim = cfg.model.enc_out_dim
+            dec0 = jax.jit(lambda: fns["decode_chunk"](
+                jnp.zeros((S, 0, enc_dim)), jnp.zeros((S, 0), bool),
+                None, 0,
+            ))()
+        self._init = (fns["enc_state0"], dec0)
+        self._state = self._init
+
+        def merge(active, new, old):
+            # keep a row's new value only where its slot is active
+            return jax.tree.map(
+                lambda n, o: jnp.where(
+                    active.reshape((S,) + (1,) * (n.ndim - 1)), n, o
+                ),
+                new, old,
+            )
+
+        def _chunk(state, audio, active):
+            enc_state, dec = state
+            new = fns["chunk_step"](enc_state, dec, audio, 0)
+            return merge(active, new, state)
+
+        def _final(state, audio, n_samples, active):
+            enc_state, dec = state
+            new_dec = fns["final_step"](enc_state, dec, audio,
+                                        n_samples, 0)
+            return enc_state, merge(active, new_dec, dec)
+
+        def _reset(state, active):
+            return merge(active, self._init, state)
+
+        self._chunk_jit = jax.jit(_chunk)
+        self._final_jit = jax.jit(_final)
+        self._reset_jit = jax.jit(_reset)
+        self._buf: list = [None] * S      # None = slot free
+        self._dirty = [False] * S         # row differs from init
+
+    def _check(self, sid: int) -> None:
+        if not (0 <= sid < self.n_streams and
+                self._buf[sid] is not None):
+            raise ValueError(f"stream {sid} is not open")
+
+    def open(self) -> int:
+        """Lease a free slot -> stream id (its carry row fresh)."""
+        for sid in range(self.n_streams):
+            if self._buf[sid] is None:
+                if self._dirty[sid]:
+                    active = np.zeros((self.n_streams,), bool)
+                    active[sid] = True
+                    self._state = self._reset_jit(
+                        self._state, jnp.asarray(active)
+                    )
+                    self._dirty[sid] = False
+                self._buf[sid] = np.zeros((0,), np.float32)
+                return sid
+        raise ValueError(
+            f"all {self.n_streams} stream slots are in use — finalize "
+            "one first (or construct with a larger n_streams)"
+        )
+
+    def feed(self, sid: int, samples: np.ndarray) -> None:
+        """Buffer audio for ``sid`` (host-side only — no compute until
+        :meth:`pump`, so many feeds batch into one device call)."""
+        self._check(sid)
+        self._buf[sid] = np.concatenate(
+            [self._buf[sid], np.asarray(samples, np.float32)]
+        )
+
+    def pump(self) -> int:
+        """Advance every stream with >= 1 full chunk buffered; one jit
+        call per round, rounds until no stream has a full chunk.
+        -> number of chunk rounds run."""
+        S, rounds = self.n_streams, 0
+        consumed = self.chunk_frames * self._hop
+        while True:
+            ready = [i for i in range(S)
+                     if self._buf[i] is not None
+                     and len(self._buf[i]) >= self._chunk_samples]
+            if not ready:
+                return rounds
+            audio = np.zeros((S, self._chunk_samples), np.float32)
+            active = np.zeros((S,), bool)
+            for i in ready:
+                audio[i] = self._buf[i][: self._chunk_samples]
+                active[i] = True
+                self._dirty[i] = True
+            self._state = self._chunk_jit(
+                self._state, jnp.asarray(audio), jnp.asarray(active)
+            )
+            for i in ready:
+                # keep the n_fft - hop overlap the next window needs
+                self._buf[i] = self._buf[i][consumed:]
+            rounds += 1
+
+    def tokens(self, sid: int) -> list[int]:
+        """Best tokens of ``sid`` so far (see
+        :attr:`StreamingTranscriber.tokens` for greedy/beam caveats).
+        Call :meth:`pump` first to fold buffered audio in."""
+        self._check(sid)
+        return _best_hyp(
+            self._state[1], sid, ctc=self.cfg.model.family == "ctc",
+            beam_size=self.beam_size, lm_weight=self._lm_weight,
+            bias=self._bias,
+        )[0]
+
+    def finalize(self, sid: int) -> tuple[list[int], float]:
+        """Flush ``sid``'s remainder through the masked final chunk,
+        free its slot -> (tokens, score).  Other streams are untouched
+        (beyond any full chunks :meth:`pump` owes them)."""
+        self._check(sid)
+        self.pump()
+        S = self.n_streams
+        rem = len(self._buf[sid])
+        n_frames = (
+            1 + (rem - self._n_fft) // self._hop
+            if rem >= self._n_fft else 0
+        )
+        if n_frames > 0:
+            # one static shape — the full chunk buffer, length-masked —
+            # so the final step compiles once for every stream/length
+            audio = np.zeros((S, self._chunk_samples), np.float32)
+            audio[sid, :rem] = self._buf[sid]
+            n_samples = np.zeros((S,), np.int32)
+            n_samples[sid] = rem
+            active = np.zeros((S,), bool)
+            active[sid] = True
+            self._state = self._final_jit(
+                self._state, jnp.asarray(audio),
+                jnp.asarray(n_samples), jnp.asarray(active)
+            )
+            self._dirty[sid] = True
+        out = _best_hyp(
+            self._state[1], sid, ctc=self.cfg.model.family == "ctc",
+            beam_size=self.beam_size, lm_weight=self._lm_weight,
+            bias=self._bias,
+        )
+        self._buf[sid] = None
+        return out
 
 
 def stream_decode(

@@ -124,11 +124,14 @@ def _rope_angles(t: int, hd: int) -> np.ndarray:
 
 
 def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Rotate interleaved pairs of ``x`` [b, t, h, hd] by position."""
+    """Rotate interleaved pairs of ``x`` [b, t, h, hd] by position.
+    ``cos``/``sin`` are [t, hd//2] (offline: one position grid shared by
+    the batch) or [b, t, hd//2] (streaming: per-row absolute positions —
+    multi-stream slots sit at different points in their utterances)."""
     x1 = x[..., 0::2]
     x2 = x[..., 1::2]
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    c = cos[None, :, None, :] if cos.ndim == 2 else cos[:, :, None, :]
+    s = sin[None, :, None, :] if sin.ndim == 2 else sin[:, :, None, :]
     out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
     return out.reshape(x.shape)
 
@@ -369,7 +372,8 @@ def conformer_stream_init(cfg: ModelConfig, b: int) -> dict:
         for _ in range(cfg.enc_blocks)
     )
     return {
-        "pos": jnp.zeros((), jnp.int32),
+        # per-row: multi-stream slots live at different absolute frames
+        "pos": jnp.zeros((b,), jnp.int32),
         "stem": L.conv_stem_stream_init(cfg, b),
         "blocks": blocks,
     }
@@ -396,7 +400,7 @@ def _mhsa_rope_stream(
     k_all = jnp.concatenate([st["k"], k_new], axis=1)
     v_all = jnp.concatenate([st["v"].astype(compute), v_new], axis=1)
     key_mask = jnp.concatenate(
-        [jnp.broadcast_to(cache_valid[None, :], (b, st["k"].shape[1])),
+        [jnp.broadcast_to(cache_valid, (b, st["k"].shape[1])),
          cur_mask], axis=1,
     )
     scores = jnp.einsum(
@@ -481,11 +485,12 @@ def conformer_listener_apply_stream(
         mask = jnp.ones((b, t), bool)
     else:
         mask = jnp.arange(t)[None, :] < lens[:, None]
-    pos = state["pos"]
-    cos = jax.lax.dynamic_slice_in_dim(rope[0], pos, t, axis=0)
-    sin = jax.lax.dynamic_slice_in_dim(rope[1], pos, t, axis=0)
+    pos = state["pos"]                              # [b] absolute frames
+    idx = pos[:, None] + jnp.arange(t)[None, :]     # [b, t] per-row grid
+    cos, sin = rope[0][idx], rope[1][idx]           # [b, t, hd//2]
     w_ctx = cfg.enc_attn_left_chunks * chunk
-    cache_valid = jnp.arange(w_ctx) >= w_ctx - jnp.minimum(pos, w_ctx)
+    cache_valid = jnp.arange(w_ctx)[None, :] \
+        >= w_ctx - jnp.minimum(pos, w_ctx)[:, None]  # [b, w_ctx]
     new_blocks = []
     for i, blk in enumerate(params["blocks"]):
         st = state["blocks"][i]

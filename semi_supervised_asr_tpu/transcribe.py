@@ -235,12 +235,19 @@ def transcribe(solver, files: list[Path], mode: str,
 
 def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
                          chunk_ms: int = 320,
-                         timestamps: bool = False) -> list[dict]:
+                         timestamps: bool = False,
+                         streams: int = 1) -> list[dict]:
     """Decode each file through the EXACT streaming path — the audio is
     fed in ``chunk_ms`` pieces to decode.streaming.StreamingTranscriber
     (one utterance at a time; live-microphone shape, not the batched
     bucket path).  LM fusion follows decode.lm_weight/lm_ckpt like the
     offline beam.
+
+    ``streams`` > 1 serves that many files CONCURRENTLY through one
+    decode.streaming.MultiStreamTranscriber — one jit chunk call steps
+    every live stream per round (the serving-capacity mode; per-file
+    results identical to streams=1, tested).  Timestamps stay
+    single-stream (the multi-stream carry keeps no frame slot).
 
     ``timestamps`` (greedy only): each record carries "tokens" —
     per-token [{"t", "start_s", "end_s"}] from the decoder's own
@@ -266,11 +273,50 @@ def transcribe_streaming(solver, files: list[Path], beam_size: int = 1,
     if timestamps and beam_size > 1:
         raise SystemExit("--streaming --timestamps is greedy-only "
                          "(beam carries keep no frame slot); add --beam 1")
+    if timestamps and streams > 1:
+        raise SystemExit("--timestamps is single-stream; drop --streams")
     lm_params, lm_step = solver._lm()
     params = solver.eval_params(require_ckpt=True)
     sr = cfg.frontend.sample_rate
     sec_per_frame = cfg.frontend.hop_length * cfg.model.time_reduction / sr
     piece = max(int(sr * chunk_ms / 1000), 1)
+    if streams > 1:
+        from semi_supervised_asr_tpu.decode.streaming import (
+            MultiStreamTranscriber,
+        )
+
+        ms = MultiStreamTranscriber(
+            params, cfg, solver.cmvn, max_u=cfg.decode.max_decode_len,
+            n_streams=min(streams, len(files)),
+            max_symbols=cfg.decode.max_symbols, beam_size=beam_size,
+            lm_params=lm_params, lm_step_fn=lm_step,
+            lm_weight=cfg.decode.lm_weight,
+            ilm_weight=cfg.decode.ilm_weight, bias=bias,
+        )
+        results = []
+        for wave_start in range(0, len(files), ms.n_streams):
+            wave = files[wave_start: wave_start + ms.n_streams]
+            audios = [np.asarray(load_audio(f), np.float32)
+                      for f in wave]
+            sids = [ms.open() for _ in wave]
+            cursors = [0] * len(wave)
+            while any(c < len(a) for c, a in zip(cursors, audios)):
+                for i, (sid, a) in enumerate(zip(sids, audios)):
+                    if cursors[i] < len(a):
+                        ms.feed(sid, a[cursors[i]: cursors[i] + piece])
+                        cursors[i] += piece
+                ms.pump()          # ONE jit call steps the whole wave
+            for f, sid in zip(wave, sids):
+                toks, score = ms.finalize(sid)
+                results.append({
+                    "audio": str(f),
+                    "text": solver.vocab.decode_text(
+                        np.asarray(toks, np.int32)
+                    ),
+                    "score": score,
+                    "streaming": True,
+                })
+        return results
     results = []
     for f in files:
         audio = np.asarray(load_audio(f), np.float32)
@@ -330,6 +376,10 @@ def main(argv=None) -> int:
                         "(enc_bidirectional=false, frontend.center=false)")
     p.add_argument("--stream-chunk-ms", type=int, default=320,
                    help="simulated audio feed granularity (--streaming)")
+    p.add_argument("--streams", type=int, default=1,
+                   help="with --streaming: decode this many files "
+                        "CONCURRENTLY (one jit chunk call steps every "
+                        "live stream — the serving-capacity mode)")
     p.add_argument("inputs", nargs="+",
                    help="audio files (wav/npy/flac) and/or directories")
     args, overrides = p.parse_known_args(argv)
@@ -373,7 +423,7 @@ def main(argv=None) -> int:
             solver, files, beam_size=cfg.decode.beam_size
             if mode == "beam" else 1,
             chunk_ms=args.stream_chunk_ms,
-            timestamps=args.timestamps,
+            timestamps=args.timestamps, streams=args.streams,
         )
     else:
         results = transcribe(solver, files, mode, nbest=args.nbest,
