@@ -321,6 +321,13 @@ class TrainConfig:
     # bf16 dW accumulation across scan steps — equal-budget quality check
     # in experiments/README.md.
     bf16_weight_stream: bool = False
+    # Persistent XLA compilation cache: "auto" -> <workdir>/jit_cache,
+    # "" disables, else an explicit directory (shareable across runs of
+    # the same recipe).  A restart/--resume at real dims otherwise
+    # re-compiles every (frame bucket x token bucket) cell from scratch
+    # — tens of minutes of dead time after a preemption; entries key on
+    # the HLO hash so code/shape changes can never serve a stale build.
+    compile_cache_dir: str = "auto"
     # observability (SURVEY.md §6): trace N steps with jax.profiler
     profile_steps: int = 0            # 0 disables
     profile_start: int = 10

@@ -44,6 +44,21 @@ class Solver:
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
 
+        # persistent XLA compile cache: a restart/--resume at real dims
+        # otherwise recompiles every bucket cell (tens of minutes after
+        # a preemption); entries key on the HLO hash, so stale serves
+        # are impossible.  Must be set before the first compile.
+        cache = cfg.train.compile_cache_dir
+        if cache:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                str(self.workdir / "jit_cache")
+                if cache == "auto" else cache,
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+
         self.bundle = registry.build_datasets(cfg)
         self.vocab = self.bundle.vocab
         # finalize model config from data

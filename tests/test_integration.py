@@ -282,3 +282,39 @@ class TestResume:
                               capture_output=True, text=True, timeout=560)
         assert out2.returncode == 0, out2.stderr[-2000:]
         assert "resumed from step 2" in out2.stdout + out2.stderr
+
+
+class TestCompileCache:
+    @pytest.mark.quick
+    def test_cache_dir_modes(self, tmp_path):
+        """train.compile_cache_dir: "auto" -> <workdir>/jit_cache,
+        explicit path honored, "" leaves jax config untouched — and a
+        short train populates the cache (preemption/resume restarts
+        then deserialize instead of recompiling every bucket cell)."""
+        base = {
+            "data.num_synthetic_utts": 4,
+            "train.batch_size": 4,
+            "train.total_steps": 2,
+            "train.eval_every": 0,
+            "train.ckpt_every": 0,
+            "train.log_every": 2,
+        }
+        wd = tmp_path / "wd"
+        s = Solver(small_cfg(**base), wd, use_mesh=False)
+        assert jax.config.jax_compilation_cache_dir == \
+            str(wd / "jit_cache")
+        s.train()
+        assert any((wd / "jit_cache").iterdir()), (
+            "compiled entries should persist"
+        )
+
+        explicit = tmp_path / "shared_cache"
+        Solver(small_cfg(**base,
+                         **{"train.compile_cache_dir": str(explicit)}),
+               tmp_path / "wd2", use_mesh=False)
+        assert jax.config.jax_compilation_cache_dir == str(explicit)
+
+        # "" must not clobber whatever is already configured
+        Solver(small_cfg(**base, **{"train.compile_cache_dir": '""'}),
+               tmp_path / "wd3", use_mesh=False)
+        assert jax.config.jax_compilation_cache_dir == str(explicit)
