@@ -105,7 +105,7 @@ def main() -> int:
         results.append(rec)
         if rtf < 1.0:
             capacity = s
-        elif results and not results[-1]["realtime"] and s > 1:
+        else:
             break                       # past the knee; stop doubling
         s *= 2
 

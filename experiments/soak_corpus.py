@@ -93,10 +93,16 @@ class SentenceSampler:
         wid = int(self.rng.integers(len(self.lex)))
         words = [self.lex[wid]]
         n = len(words[0])
-        while n < target_chars:
+        while True:
             wid = int(self.succ[wid, self.rng.integers(self.succ.shape[1])])
-            words.append(self.lex[wid])
-            n += 1 + len(words[-1])
+            w = self.lex[wid]
+            # never OVERSHOOT the budget: target_chars encodes the
+            # --max-secs cap, and one word past it (~+1.2 s) would push
+            # the long tail beyond the training bucket grid
+            if n + 1 + len(w) > target_chars:
+                break
+            words.append(w)
+            n += 1 + len(w)
         return " ".join(words)
 
 
@@ -141,6 +147,7 @@ def main() -> int:
     ]
     t00 = time.time()
     total_secs = 0.0
+    touched: set = set()
     for split, n_utts, seed in splits:
         if n_utts <= 0:
             continue
@@ -165,7 +172,13 @@ def main() -> int:
             pcm = np.clip(audio * 16000.0, -32767, 32767).astype(np.int16)
             uid = f"{spk}-{chap}-{i:06d}"
             write_flac_verbatim(d / f"{uid}.flac", pcm, SR)
-            with open(d / f"{spk}-{chap}.trans.txt", "a") as f:
+            tf = d / f"{spk}-{chap}.trans.txt"
+            # truncate on first touch THIS run: append-only would
+            # duplicate every line when re-fabricating into the same
+            # --root (the FLACs overwrite, the transcripts must too)
+            mode = "a" if str(tf) in touched else "w"
+            touched.add(str(tf))
+            with open(tf, mode) as f:
                 f.write(f"{uid} {text.upper()}\n")
             split_secs += len(pcm) / SR
         total_secs += split_secs

@@ -509,41 +509,83 @@ class MultiStreamTranscriber:
         self._chunk_samples = fns["chunk_samples"]
         self._hop, self._n_fft = cfg.frontend.hop_length, \
             cfg.frontend.n_fft
-        dec0 = fns["dec_carry0"]
-        if dec0 is None:
-            # beams build their carry on first contact; a zero-frame
-            # decode materializes that construction for every slot so
-            # the masked merges below always have both trees
-            enc_dim = cfg.model.enc_out_dim
-            dec0 = jax.jit(lambda: fns["decode_chunk"](
-                jnp.zeros((S, 0, enc_dim)), jnp.zeros((S, 0), bool),
-                None, 0,
-            ))()
-        self._init = (fns["enc_state0"], dec0)
+        enc_dim = cfg.model.enc_out_dim
+
+        def make_dec0(f, b):
+            d = f["dec_carry0"]
+            if d is None:
+                # beams build their carry on first contact; a
+                # zero-frame decode materializes that construction for
+                # every slot so the masked merges always have both trees
+                d = jax.jit(lambda: f["decode_chunk"](
+                    jnp.zeros((b, 0, enc_dim)), jnp.zeros((b, 0), bool),
+                    None, 0,
+                ))()
+            return d
+
+        self._init = (fns["enc_state0"], make_dec0(fns, S))
         self._state = self._init
 
-        def merge(active, new, old):
-            # keep a row's new value only where its slot is active
-            return jax.tree.map(
-                lambda n, o: jnp.where(
-                    active.reshape((S,) + (1,) * (n.ndim - 1)), n, o
-                ),
-                new, old,
+        # Which axis of each carry leaf is the stream axis?  NOT always
+        # the leading one: beam LM-fusion state keeps its rows at dim 1
+        # with K hypotheses per stream ([L, S*K, H] LSTM h/c,
+        # [L, S*K, T, D] transformer KV, [1, S*K] tpos — models/lm.py).
+        # Derive it mechanically by shape-diffing against an (S+1)-slot
+        # probe (abstract eval only — nothing runs): the one axis whose
+        # size changes is the stream axis, and size // S its per-stream
+        # multiplicity.  Survives any future carry-layout change by
+        # construction (a leaf without exactly one such axis asserts).
+        fns_p = build_stream_fns(
+            params, cfg, cmvn, max_u, chunk_frames, max_symbols,
+            beam_size, lm_params, lm_step_fn, lm_weight, ilm_weight,
+            max_stream_frames, False, bias, batch=S + 1,
+        )
+        probe = jax.eval_shape(
+            lambda: (fns_p["enc_state0"], make_dec0(fns_p, S + 1))
+        )
+
+        def _spec(a, b):
+            diffs = [i for i, (x, y) in enumerate(zip(a.shape, b.shape))
+                     if x != y]
+            assert len(diffs) == 1 and a.shape[diffs[0]] % S == 0, (
+                "carry leaf needs exactly one stream axis: "
+                f"{a.shape} vs probe {b.shape}"
             )
+            return diffs[0], a.shape[diffs[0]] // S
+
+        specs = [
+            _spec(a, b)
+            for a, b in zip(jax.tree.leaves(self._init),
+                            jax.tree.leaves(probe))
+        ]
+        n_enc = len(jax.tree.leaves(fns["enc_state0"]))
+        enc_dec_specs, dec_specs = specs, specs[n_enc:]
+
+        def merge(active, new, old, sub_specs):
+            # keep a row's new value only where its slot is active,
+            # masking along each leaf's OWN stream axis
+            out = []
+            for (ax, m), n, o in zip(sub_specs, jax.tree.leaves(new),
+                                     jax.tree.leaves(old)):
+                mask = jnp.repeat(active, m).reshape(
+                    (1,) * ax + (S * m,) + (1,) * (n.ndim - ax - 1)
+                )
+                out.append(jnp.where(mask, n, o))
+            return jax.tree.unflatten(jax.tree.structure(old), out)
 
         def _chunk(state, audio, active):
             enc_state, dec = state
             new = fns["chunk_step"](enc_state, dec, audio, 0)
-            return merge(active, new, state)
+            return merge(active, new, state, enc_dec_specs)
 
         def _final(state, audio, n_samples, active):
             enc_state, dec = state
             new_dec = fns["final_step"](enc_state, dec, audio,
                                         n_samples, 0)
-            return enc_state, merge(active, new_dec, dec)
+            return enc_state, merge(active, new_dec, dec, dec_specs)
 
         def _reset(state, active):
-            return merge(active, self._init, state)
+            return merge(active, self._init, state, enc_dec_specs)
 
         self._chunk_jit = jax.jit(_chunk)
         self._final_jit = jax.jit(_final)

@@ -26,7 +26,8 @@ import numpy as np
 
 
 def build_decode_fn(cfg, params, mode: str = "beam",
-                    lm_params=None, lm_step_fn=None):
+                    lm_params=None, lm_step_fn=None,
+                    unbiased_greedy_ok: bool = False):
     """-> fn(audio [B,S], audio_lens [B]) -> (tokens, scores), params baked.
 
     The full serving pipeline — on-device frontend (STFT->mel->CMVN, no
@@ -64,21 +65,29 @@ def build_decode_fn(cfg, params, mode: str = "beam",
                   else None)
     bias = None
     if cfg.decode.bias_phrases and cfg.decode.bias_bonus != 0.0:
-        if mode == "greedy":
+        if mode == "greedy" and unbiased_greedy_ok:
+            # a --greedy --streaming export: the STREAMING bundle bakes
+            # the biased greedy walk, while the offline greedy artifact
+            # stays unbiased (the solver's offline greedy convention)
+            print("note: offline greedy artifact bakes UNBIASED "
+                  "(bias applies to beams and the streaming bundle)")
+        elif mode == "greedy":
             # checked before the phrase file is read / trie compiled,
             # and not an assert (must survive `python -O`)
             raise SystemExit(
                 "decode.bias_phrases applies to beam decode only — export "
-                "--beam, or drop the biasing overrides"
+                "--beam, add --streaming (biased greedy streams), or "
+                "drop the biasing overrides"
             )
-        from semi_supervised_asr_tpu.data.registry import build_vocab
-        from semi_supervised_asr_tpu.decode import biasing as BZ
+        else:
+            from semi_supervised_asr_tpu.data.registry import build_vocab
+            from semi_supervised_asr_tpu.decode import biasing as BZ
 
-        vocab = build_vocab(cfg)
-        bias = BZ.build_bias_trie(
-            BZ.load_bias_phrases(cfg.decode.bias_phrases, vocab),
-            vocab.size, cfg.decode.bias_bonus,
-        )
+            vocab = build_vocab(cfg)
+            bias = BZ.build_bias_trie(
+                BZ.load_bias_phrases(cfg.decode.bias_phrases, vocab),
+                vocab.size, cfg.decode.bias_bonus,
+            )
 
     def fn(audio, audio_lens):
         feats, flens = featurize(
@@ -169,7 +178,8 @@ def _cast_floats(tree, dtype):
 
 def export_decode(cfg, params, batch: int, frames: int,
                   mode: str = "beam", lm_params=None,
-                  lm_step_fn=None, param_dtype=None) -> bytes:
+                  lm_step_fn=None, param_dtype=None,
+                  unbiased_greedy_ok: bool = False) -> bytes:
     """Serialize the decode fn for a fixed [batch, frames] shape.
 
     ``param_dtype`` (e.g. jnp.bfloat16): quantize the baked weights —
@@ -185,7 +195,8 @@ def export_decode(cfg, params, batch: int, frames: int,
         params["__cmvn_mean"], params["__cmvn_std"] = cmvn
         lm_params = (_cast_floats(lm_params, param_dtype)
                      if lm_params is not None else None)
-    fn = build_decode_fn(cfg, params, mode, lm_params, lm_step_fn)
+    fn = build_decode_fn(cfg, params, mode, lm_params, lm_step_fn,
+                         unbiased_greedy_ok=unbiased_greedy_ok)
     s = (frames - 1) * cfg.frontend.hop_length
     if not cfg.frontend.center:
         s += cfg.frontend.n_fft   # VALID framing needs a full first window
@@ -196,11 +207,11 @@ def export_decode(cfg, params, batch: int, frames: int,
     return jexport.export(jax.jit(fn))(*specs).serialize()
 
 
-def _build_bias(cfg, mode):
+def _build_bias(cfg):
     """Compiled hotword trie from the config (baked into artifacts), or
-    None.  Offline export keeps greedy biasing rejected (the solver's
-    offline greedy runs unbiased too); STREAMING greedy biasing is
-    supported (decode/ctc.py, transducer_greedy.py carry slots)."""
+    None.  The streaming bundle bakes it at ANY beam size — biased
+    GREEDY streams (decode/ctc.py, transducer_greedy.py carry slots);
+    only the offline greedy artifact stays unbiased (build_decode_fn)."""
     if not (cfg.decode.bias_phrases and cfg.decode.bias_bonus != 0.0):
         return None
     from semi_supervised_asr_tpu.data.registry import build_vocab
@@ -239,13 +250,17 @@ def build_stream_export_fns(cfg, params, mode: str = "beam",
     from semi_supervised_asr_tpu.decode.streaming import build_stream_fns
 
     m = cfg.model
-    bias = _build_bias(cfg, mode)
+    bias = _build_bias(cfg)
     cmvn = (jnp.asarray(params.pop("__cmvn_mean")),
             jnp.asarray(params.pop("__cmvn_std")))
     params = jax.tree.map(jnp.asarray, params)
     beam_size = 1 if mode == "greedy" else cfg.decode.beam_size
-    max_u = max(1, min(cfg.data.token_buckets[-1],
-                       cfg.decode.max_decode_len))
+    # max_decode_len ALONE — the live streaming CLI's convention
+    # (transcribe.py), so artifact-vs-live parity holds even when the
+    # training token buckets are shorter than the decode budget (the
+    # offline artifacts cap at token_buckets[-1] because they mirror
+    # the solver's bucketed eval, a different contract)
+    max_u = max(1, cfg.decode.max_decode_len)
     fns = build_stream_fns(
         params, cfg, cmvn, max_u, chunk_frames=chunk_frames,
         max_symbols=cfg.decode.max_symbols,
@@ -550,7 +565,8 @@ def main(argv=None) -> int:
     pdt = jnp.bfloat16 if args.bf16 else None
     for fcount in frames:
         blob = export_decode(solver.cfg, dict(params), args.batch, fcount,
-                             mode, lm_params, lm_step, param_dtype=pdt)
+                             mode, lm_params, lm_step, param_dtype=pdt,
+                             unbiased_greedy_ok=args.streaming)
         name = f"decode_{mode}_b{args.batch}_f{fcount}.shlo"
         (out / name).write_bytes(blob)
         manifest.append({

@@ -227,7 +227,7 @@ class TestStreamingExport:
         import semi_supervised_asr_tpu.export as EXmod
 
         orig = EXmod._build_bias
-        EXmod._build_bias = lambda c, m: trie
+        EXmod._build_bias = lambda c: trie
         try:
             p2 = dict(params)
             p2["__cmvn_mean"], p2["__cmvn_std"] = cmvn
@@ -282,3 +282,33 @@ class TestStreamingExport:
         toks, score = EX.stream_artifact_decode(out, audio,
                                                 piece_samples=2000)
         assert isinstance(toks, list) and np.isfinite(score)
+
+
+class TestGreedyBiasGuard:
+    def test_streaming_unlocks_biased_greedy_export(self, trained):
+        """--greedy with bias configured: a pure offline export rejects
+        (offline greedy is unbiased), but with --streaming in the same
+        invocation the offline artifact bakes UNBIASED while the
+        streaming bundle carries the bias — so unbiased_greedy_ok must
+        let build_decode_fn through (found by review: the old
+        unconditional raise made 'export --greedy --streaming' with
+        hotwords unreachable)."""
+        import dataclasses as dc
+
+        import pytest as _pytest
+
+        from semi_supervised_asr_tpu import export as EX
+
+        solver, wd = trained
+        cfg = solver.cfg.replace(decode=dc.replace(
+            solver.cfg.decode, bias_phrases="unused.txt", bias_bonus=2.0,
+        ))
+        params = dict(solver.state.params)
+        params["__cmvn_mean"], params["__cmvn_std"] = solver.cmvn
+        with _pytest.raises(SystemExit, match="beam decode only"):
+            EX.build_decode_fn(cfg, dict(params), "greedy")
+        # with the streaming escape hatch the offline fn builds (bias
+        # simply not baked) — no phrase file is ever read
+        fn = EX.build_decode_fn(cfg, dict(params), "greedy",
+                                unbiased_greedy_ok=True)
+        assert callable(fn)

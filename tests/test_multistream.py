@@ -170,6 +170,38 @@ class TestIsolation:
                 np.asarray(x)[1], np.asarray(y)[1]
             )
 
+    @pytest.mark.parametrize("mcfg,layers", [(CTCCFG, 2), (TDCFG, 1)])
+    def test_beam_lm_fusion_multistream(self, mcfg, layers):
+        """LM-fusion state rows live at DIM 1 of the beam carry
+        ([L, S*K, H] LSTM h/c — models/lm.py), so the slot merge must
+        mask each leaf along its OWN stream axis; a leading-axis-only
+        merge either shape-errors or silently mixes streams' LM state
+        (found by review — this pins the fix).  layers==n_streams is
+        the adversarial coincidence the old merge could mask wrong."""
+        from semi_supervised_asr_tpu.models import lm as LMM
+
+        cfg = _cfg(mcfg)
+        params = M.init_model(jax.random.PRNGKey(6), mcfg)
+        lm_params = LMM.init_lm(
+            jax.random.PRNGKey(7), mcfg.vocab_size, embed_dim=8,
+            hidden=8, layers=layers,
+        )
+        kw = dict(beam_size=3, lm_params=lm_params,
+                  lm_step_fn=LMM.lm_step, lm_weight=0.4)
+        utts = _utts(2, seed=11)
+        want = [_single(params, cfg, a, 999, **kw) for a in utts]
+        ms = MultiStreamTranscriber(params, cfg, CMVN, MAX_U, 2, **kw)
+        sa, sb = ms.open(), ms.open()
+        ms.feed(sa, utts[0][: len(utts[0]) // 2])
+        ms.pump()                      # A ahead of B: staggered LM rows
+        ms.feed(sb, utts[1])
+        ms.feed(sa, utts[0][len(utts[0]) // 2:])
+        ms.pump()
+        got = [ms.finalize(sa), ms.finalize(sb)]
+        for (wt, ws), (gt, gs) in zip(want, got):
+            assert gt == wt
+            assert gs == pytest.approx(ws, abs=1e-4)
+
     def test_biased_greedy_multistream(self):
         """The bias automaton slots ride the multi-stream carries."""
         from semi_supervised_asr_tpu.decode.biasing import (
