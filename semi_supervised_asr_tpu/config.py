@@ -321,6 +321,17 @@ class TrainConfig:
     # bf16 dW accumulation across scan steps — equal-budget quality check
     # in experiments/README.md.
     bf16_weight_stream: bool = False
+    # Save a checkpoint and RE-EXEC the training process every N steps
+    # (0 = off).  Exists because long runs through a tunneled TPU client
+    # leak host memory on every transfer (~the payload size per H2D,
+    # measured 2026-08-20: a 12k-step ls100 soak OOM-killed a 125GB host
+    # at step ~1700, ~70MB/step; the leak reproduces with bare
+    # jax.device_put in isolation, so it is the client runtime, not this
+    # repo).  os.execv replaces the process image — all leaked memory is
+    # returned — and exact mid-epoch resume + the persistent compile
+    # cache make the segmented trajectory equal to the continuous one
+    # (tests/test_exact_resume.py) at a few seconds' restart cost.
+    exec_restart_every: int = 0
     # Persistent XLA compilation cache: "auto" -> <workdir>/jit_cache,
     # "" disables, else an explicit directory (shareable across runs of
     # the same recipe).  A restart/--resume at real dims otherwise

@@ -71,6 +71,20 @@ def main(argv=None) -> int:
     if args.train:
         solver = Solver(cfg, args.workdir)
         result = solver.train(resume=args.resume)
+        if getattr(solver, "restart_requested", False):
+            # tunnel-leak mitigation (train.exec_restart_every): replace
+            # this process image with a fresh one resuming from the
+            # checkpoint just written — all leaked host memory returns
+            # to the OS; the compile cache makes re-warm cheap
+            import os
+
+            sys.stdout.flush()
+            sys.stderr.flush()
+            argv = [sys.executable, "-m",
+                    "semi_supervised_asr_tpu.main", *sys.argv[1:]]
+            if "--resume" not in argv:
+                argv.insert(argv.index("--train") + 1, "--resume")
+            os.execv(sys.executable, argv)
         print(json.dumps({"final_dev": result}))
         return 0
 

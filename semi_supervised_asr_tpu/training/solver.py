@@ -402,6 +402,9 @@ class Solver:
 
     def train(self, resume: bool = False) -> dict:
         cfg = self.cfg
+        # set at exec_restart_every boundaries; main.py os.execv's a
+        # fresh process with --resume when it sees this
+        self.restart_requested = False
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
         start_batch = 0
@@ -559,6 +562,32 @@ class Solver:
             elif cfg.train.ckpt_every > 0 and step % cfg.train.ckpt_every == 0:
                 self.ckpt.save(step, self.state, self.data_pos,
                                {"dev_error": last_eval.get("dev_error", 1e9)})
+
+            if (cfg.train.exec_restart_every > 0
+                    and step % cfg.train.exec_restart_every == 0
+                    and step < cfg.train.total_steps):
+                # tunnel-leak mitigation (see TrainConfig): checkpoint,
+                # then hand control back so main.py can os.execv a fresh
+                # process image that resumes exactly here
+                saved_now = (
+                    (cfg.train.eval_every > 0
+                     and step % cfg.train.eval_every == 0)
+                    or (cfg.train.ckpt_every > 0
+                        and step % cfg.train.ckpt_every == 0)
+                )
+                if not saved_now:
+                    self.ckpt.save(
+                        step, self.state, self.data_pos,
+                        {"dev_error": last_eval.get("dev_error", 1e9)},
+                    )
+                self.restart_requested = True
+                self.ckpt.mgr.wait_until_finished()
+                self.log.info(
+                    f"exec-restart boundary at step {step} "
+                    f"(train.exec_restart_every="
+                    f"{cfg.train.exec_restart_every})"
+                )
+                return last_eval
 
         # final save whenever the loop didn't just save (ckpt_every=0 =
         # periodic saves disabled -> the final save still happens)

@@ -318,3 +318,38 @@ class TestCompileCache:
         Solver(small_cfg(**base, **{"train.compile_cache_dir": '""'}),
                tmp_path / "wd3", use_mesh=False)
         assert jax.config.jax_compilation_cache_dir == str(explicit)
+
+
+class TestExecRestart:
+    def test_exec_restart_completes_and_matches_continuous(self, tmp_path):
+        """train.exec_restart_every: the process re-execs itself at
+        segment boundaries (tunnel-leak mitigation) and the SEGMENTED
+        run's loss trajectory is IDENTICAL to a continuous one (exact
+        mid-epoch resume does the heavy lifting)."""
+        base = ["--config", CONFIG, "--train", "--platform", "cpu",
+                "train.total_steps=8", "train.eval_every=0",
+                "train.ckpt_every=0", "train.log_every=1",
+                "data.num_synthetic_utts=8", "train.batch_size=8"]
+
+        def losses(wd, extra):
+            out = subprocess.run(
+                [sys.executable, "-m", "semi_supervised_asr_tpu.main",
+                 "--workdir", str(wd), *base, *extra],
+                capture_output=True, text=True, timeout=560,
+            )
+            assert out.returncode == 0, out.stderr[-2000:]
+            recs = [json.loads(l) for l in open(wd / "metrics.jsonl")
+                    if '"prefix": "train"' in l]
+            return out.stdout + out.stderr, {
+                r["step"]: r["loss"] for r in recs
+            }
+
+        log_seg, seg = losses(tmp_path / "seg",
+                              ["train.exec_restart_every=3"])
+        assert log_seg.count("exec-restart boundary") == 2
+        assert "resumed from step 3" in log_seg
+        assert "resumed from step 6" in log_seg
+        _, cont = losses(tmp_path / "cont", [])
+        assert set(seg) == set(cont) == set(range(1, 9))
+        for s in cont:
+            assert seg[s] == cont[s], (s, seg[s], cont[s])
