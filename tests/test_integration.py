@@ -303,6 +303,14 @@ class TestCompileCache:
         s = Solver(small_cfg(**base), wd, use_mesh=False)
         assert jax.config.jax_compilation_cache_dir == \
             str(wd / "jit_cache")
+        # in a long-lived pytest process earlier tests have warmed the
+        # in-process executable cache and sub-second compiles fall under
+        # the persistence threshold — force BOTH cold and eligible so
+        # the populated-dir assertion is deterministic in the full suite
+        jax.clear_caches()
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0
+        )
         s.train()
         assert any((wd / "jit_cache").iterdir()), (
             "compiled entries should persist"
