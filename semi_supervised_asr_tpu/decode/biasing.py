@@ -57,7 +57,18 @@ Phrase-end states COMMIT: their pending drops to 0, so a later failure
 keeps the completed phrase's bonus, and a longer phrase sharing the
 prefix keeps matching through the boundary (``new york`` and
 ``new york city`` coexist; completing the former commits its bonus even
-when the latter then fails).
+when the latter then fails).  The commit is WINDOW-scoped, a second
+documented deviation from per-occurrence accounting: a completion —
+including one reached via a suffix — zeroes the pending of the WHOLE
+match window, so tokens that preceded the completed phrase inside the
+window are kept too.  With phrases ``{abc, b}`` against emitted
+``a b x``, reaching state ``ab`` completes ``b`` (suffix) and commits
+both pending tokens; the later miss on ``x`` retracts nothing, so the
+``a`` keeps its bonus although no completed phrase contains it.
+Retaining per-token retractability past a commit would need the same
+per-path history as the overlap case below — the window commit is the
+state-potential scheme's price, biased toward keeping (never enlarging
+retraction of) prefixes of phrases the user asked to boost.
 
 EOS / end of utterance: a hypothesis still mid-phrase retracts its
 pending bonus when it finishes (the EOS column of :func:`bias_delta`

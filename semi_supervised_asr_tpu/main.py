@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # the EFFECTIVE argv: what exec-restart must rebuild the command from
+    # (a programmatic main([...]) call must re-exec its own arguments,
+    # not the host process's sys.argv)
+    eff_argv = list(sys.argv[1:]) if argv is None else list(argv)
     args = build_parser().parse_args(argv)
 
     if args.platform:
@@ -80,11 +84,14 @@ def main(argv=None) -> int:
 
             sys.stdout.flush()
             sys.stderr.flush()
-            argv = [sys.executable, "-m",
-                    "semi_supervised_asr_tpu.main", *sys.argv[1:]]
-            if "--resume" not in argv:
-                argv.insert(argv.index("--train") + 1, "--resume")
-            os.execv(sys.executable, argv)
+            cmd = [sys.executable, "-m",
+                   "semi_supervised_asr_tpu.main", *eff_argv]
+            if "--resume" not in cmd:
+                # '--train' is guaranteed in eff_argv (we are in the
+                # --train branch), but insert position-independently
+                cmd.insert(cmd.index("--train") + 1 if "--train" in cmd
+                           else len(cmd), "--resume")
+            os.execv(sys.executable, cmd)
         print(json.dumps({"final_dev": result}))
         return 0
 

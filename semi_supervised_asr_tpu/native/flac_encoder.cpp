@@ -112,6 +112,9 @@ int64_t flac_encode_verbatim(const int16_t* samples, int64_t n,
                              int32_t sample_rate, int32_t blocksize,
                              uint8_t* out, int64_t cap) {
   if (n < 0 || sample_rate <= 0 || sample_rate >= (1 << 20)) return -1;
+  // STREAMINFO packs total samples into a 36-bit field; a larger n
+  // would silently corrupt the bps/sample-rate bits of the header
+  if ((uint64_t)n >= (1ULL << 36)) return -1;
   if (blocksize <= 0) blocksize = 4096;
   if (blocksize < 16 || blocksize > 65535) return -1;
   if (cap < flac_encode_verbatim_bound(n, blocksize)) return -1;

@@ -39,6 +39,14 @@ from semi_supervised_asr_tpu.utils import metrics as MET
 from semi_supervised_asr_tpu.utils.logging import MetricsLogger
 
 
+# jax_compilation_cache_dir as configured BEFORE any Solver touched it
+# (env JAX_COMPILATION_CACHE_DIR / caller's jax.config): recorded once so
+# compile_cache_dir='auto' can respect a genuinely external setting while
+# still re-pointing per-workdir when the knob was never externally set —
+# a PREVIOUS Solver's own update must not masquerade as external config.
+_EXTERNAL_COMPILE_CACHE: object = ...   # ... = not yet recorded
+
+
 class Solver:
     def __init__(self, cfg: Config, workdir: str | Path, use_mesh: bool | None = None):
         self.workdir = Path(workdir)
@@ -49,12 +57,32 @@ class Solver:
         # a preemption); entries key on the HLO hash, so stale serves
         # are impossible.  Must be set before the first compile.
         cache = cfg.train.compile_cache_dir
+        global _EXTERNAL_COMPILE_CACHE
+        if _EXTERNAL_COMPILE_CACHE is ...:
+            _EXTERNAL_COMPILE_CACHE = jax.config.jax_compilation_cache_dir
         if cache:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                str(self.workdir / "jit_cache")
-                if cache == "auto" else cache,
-            )
+            # 'auto' must not clobber an EXTERNALLY configured cache dir
+            # (JAX_COMPILATION_CACHE_DIR / jax.config set by the caller
+            # before the first Solver); an explicit path in the YAML, by
+            # contrast, is an explicit instruction and always wins
+            current = jax.config.jax_compilation_cache_dir
+            target = (cache if cache != "auto"
+                      else (_EXTERNAL_COMPILE_CACHE
+                            or str(self.workdir / "jit_cache")))
+            if target != current:
+                jax.config.update("jax_compilation_cache_dir", target)
+                # jax's persistent-cache singleton initializes AT MOST
+                # ONCE per process, bound to the dir configured at the
+                # first eligible compile — after that, config updates are
+                # silently ignored and entries keep landing in the OLD
+                # dir.  Rebind it whenever this solver actually changes
+                # the dir (second Solver in one process, test suites).
+                try:
+                    from jax._src import compilation_cache as _cc
+
+                    _cc.reset_cache()
+                except Exception:
+                    pass   # private API; at worst the old binding stays
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0
             )
@@ -400,8 +428,44 @@ class Solver:
             return MESH.shard_batch_arrays(self.mesh, self.cfg.parallel, *arrays)
         return tuple(jnp.asarray(a) for a in arrays)
 
+    def _acquire_workdir_lock(self) -> None:
+        """Exclusive flock on <workdir>/.lock.p<process_index>.
+
+        Two trainers on one workdir double-write metrics.jsonl and race
+        orbax saves into the same tmp dirs — exactly the corruption that
+        poisoned the r3 soak when a watchdog relaunch failed to kill the
+        previous generation.  A second trainer must fail LOUDLY instead.
+        The lock is per jax-process-index so legitimate multi-host DP
+        trainers (distinct indices) coexist while a duplicate of the same
+        rank collides.  flock is kernel-released on process death, so a
+        crashed/killed trainer never wedges the workdir."""
+        import fcntl
+
+        if getattr(self, "_lock_fd", None) is not None:
+            return   # this solver already holds it (train() re-entered)
+        path = self.workdir / f".lock.p{jax.process_index()}"
+        fd = open(path, "w")
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            fd.close()
+            raise SystemExit(
+                f"{self.workdir}: another trainer (process_index "
+                f"{jax.process_index()}) already holds {path.name} — "
+                "refusing to double-write metrics and race checkpoint "
+                "saves on a shared workdir. Stop the other trainer or "
+                "use a different --workdir."
+            )
+        fd.write(f"{__import__('os').getpid()}\n")
+        fd.flush()
+        # held for process lifetime; python fds are CLOEXEC (PEP 446), so
+        # an exec-restart releases the lock exactly at execv and the
+        # successor process re-acquires it cleanly
+        self._lock_fd = fd
+
     def train(self, resume: bool = False) -> dict:
         cfg = self.cfg
+        self._acquire_workdir_lock()
         # set at exec_restart_every boundaries; main.py os.execv's a
         # fresh process with --resume when it sees this
         self.restart_requested = False
@@ -424,6 +488,34 @@ class Solver:
 
         labeled = self._labeled_stream(self.data_pos["epoch"], start_batch)
         ua_stream, ut_stream = self._unlabeled_streams(skip_unlab)
+
+        # data-coverage METRIC (not just a log line): utterances longer
+        # than the largest (frame, token) bucket are skipped every epoch
+        # — the r3 soak silently dropped ~0.5% of its corpus and nothing
+        # in metrics.jsonl recorded it.  One "data" record per run makes
+        # silent truncation visible to dashboards and the soak report.
+        cov = {}
+        for name, ds in (("train", self.bundle.train),
+                         ("unlabeled", self.bundle.unlabeled_audio)):
+            if ds is None or len(ds) == 0:
+                continue
+            if self.from_features:
+                n_skip = sum(
+                    1 for i in range(len(ds))
+                    if self.spec.frame_bucket(ds.feat_len(i)) is None
+                    or self.spec.token_bucket(ds.token_len(i)) is None
+                )
+            else:
+                n_skip = sum(
+                    1 for i in range(len(ds))
+                    if self.spec.assign(ds.audio_len(i), ds.token_len(i))
+                    is None
+                )
+            cov[f"{name}_utts"] = len(ds)
+            cov[f"{name}_skipped"] = n_skip
+            cov[f"{name}_skip_rate"] = n_skip / len(ds)
+        if cov:
+            self.log.log(int(self.state.step), cov, "data")
 
         t_last = time.perf_counter()
         frames_acc = 0
@@ -580,8 +672,12 @@ class Solver:
                         step, self.state, self.data_pos,
                         {"dev_error": last_eval.get("dev_error", 1e9)},
                     )
+                # PROVE the boundary save finalized before handing main.py
+                # the go-ahead to execv: trusting an unfinalized save here
+                # is what livelocked the r3 soak (three identical 900-step
+                # cycles re-resuming from the same stale checkpoint)
+                self.ckpt.verify_durable(step)
                 self.restart_requested = True
-                self.ckpt.mgr.wait_until_finished()
                 self.log.info(
                     f"exec-restart boundary at step {step} "
                     f"(train.exec_restart_every="
@@ -596,7 +692,8 @@ class Solver:
             last_eval = self.validate()
             self.ckpt.save(int(self.state.step), self.state, self.data_pos,
                            {"dev_error": last_eval["dev_error"]})
-        self.ckpt.mgr.wait_until_finished()   # drain async saves at exit
+        # drain async saves at exit AND prove the last one finalized
+        self.ckpt.verify_durable(int(self.state.step))
         return last_eval
 
     # ------------------------------------------------------------------ #
@@ -1044,7 +1141,7 @@ class Solver:
         return self._decode_fns[key]
 
     def _score_batches(
-        self, dataset, params, mode: str
+        self, dataset, params, mode: str, max_batches: int | None = None
     ) -> tuple[float, list, float | None]:
         """Decode a dataset -> (error rate, hypothesis records, WER).
 
@@ -1099,7 +1196,9 @@ class Solver:
                 drop_remainder=False,
                 shard_index=shard, num_shards=n_shards,
             )
-        for batch in batches:
+        for bi, batch in enumerate(batches):
+            if max_batches is not None and bi >= max_batches:
+                break    # diagnostics: a bounded slice is enough
             xin = self._step_inputs(batch)
             out = fn(params, jnp.asarray(xin[0]), jnp.asarray(xin[1]),
                      jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]))

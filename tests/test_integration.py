@@ -303,10 +303,14 @@ class TestCompileCache:
         s = Solver(small_cfg(**base), wd, use_mesh=False)
         assert jax.config.jax_compilation_cache_dir == \
             str(wd / "jit_cache")
-        # in a long-lived pytest process earlier tests have warmed the
-        # in-process executable cache and sub-second compiles fall under
-        # the persistence threshold — force BOTH cold and eligible so
-        # the populated-dir assertion is deterministic in the full suite
+        # two suite-order hazards, both now handled in the PRODUCT but
+        # still forced here so this assertion is deterministic: (a) the
+        # warmed in-process executable cache makes compiles sub-second,
+        # falling under the persistence threshold -> clear + zero it;
+        # (b) jax's persistent-cache singleton binds its dir at most
+        # once per process -> Solver rebinds it when changing the dir
+        # (the r3 flake: entries silently landed in an EARLIER test's
+        # deleted tmp dir)
         jax.clear_caches()
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 0.0
@@ -326,6 +330,37 @@ class TestCompileCache:
         Solver(small_cfg(**base, **{"train.compile_cache_dir": '""'}),
                tmp_path / "wd3", use_mesh=False)
         assert jax.config.jax_compilation_cache_dir == str(explicit)
+
+        # a new 'auto' solver re-points to ITS workdir (a previous
+        # solver's update is not "external configuration")...
+        wd4 = tmp_path / "wd4"
+        Solver(small_cfg(**base), wd4, use_mesh=False)
+        assert jax.config.jax_compilation_cache_dir == \
+            str(wd4 / "jit_cache")
+
+    def test_auto_respects_external_cache_dir(self, tmp_path, monkeypatch):
+        """compile_cache_dir='auto' must NOT clobber a cache dir the
+        caller configured before the first Solver (env
+        JAX_COMPILATION_CACHE_DIR / jax.config) — only an explicit YAML
+        path overrides it."""
+        from semi_supervised_asr_tpu.training import solver as solver_mod
+
+        ext = str(tmp_path / "external_cache")
+        monkeypatch.setattr(solver_mod, "_EXTERNAL_COMPILE_CACHE", ext)
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", ext)
+            base = {
+                "data.num_synthetic_utts": 4,
+                "train.batch_size": 4,
+                "train.total_steps": 2,
+                "train.eval_every": 0,
+                "train.ckpt_every": 0,
+            }
+            Solver(small_cfg(**base), tmp_path / "wd", use_mesh=False)
+            assert jax.config.jax_compilation_cache_dir == ext
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
 
 
 class TestExecRestart:
