@@ -352,7 +352,17 @@ class TrainConfig:
 @dataclass(frozen=True)
 class DecodeConfig:
     beam_size: int = 5
-    max_decode_ratio: float = 0.5     # max output len = ratio * enc frames
+    # OPT-IN output-length cap: max output len = ratio * enc frames of the
+    # BUCKET (static shape under jit — the real per-utterance length is
+    # not available at trace time).  0 (default) disables: the old 0.5
+    # default silently truncated char-unit eval hypotheses — at 10ms hop
+    # and 8x pyramid an enc frame is 80ms, and normal speech exceeds 0.5
+    # chars per 80ms, so every dev decode of the r3 soak was cut at
+    # 0.5*(400/8)=25 chars, freezing dev CER at the constant truncation
+    # floor for 2000 steps.  Set it only when the unit rate is known
+    # (e.g. word/BPE units, or long-audio serving where the scan-length
+    # saving matters); max_decode_len stays the runaway bound.
+    max_decode_ratio: float = 0.0
     max_decode_len: int = 256         # hard cap (static shape under jit)
     length_penalty: float = 1.0       # score / len**penalty
     lm_weight: float = 0.0            # shallow-fusion LM weight
