@@ -84,13 +84,32 @@ def main() -> int:
         ms.pump()
         jax.block_until_ready(jax.tree.leaves(ms._state)[0])
         walls = []
+        zero_round_pumps = 0
         for _ in range(args.rounds):
             for sid in sids:
                 ms.feed(sid, feed[sid][:consumed])
             t0 = time.perf_counter()
             rounds = ms.pump()
             jax.block_until_ready(jax.tree.leaves(ms._state)[0])
-            walls.append((time.perf_counter() - t0) / max(rounds, 1))
+            if rounds < 1:
+                # a pump that stepped nothing measures dispatch of a
+                # no-op, not decode — recording it produced an
+                # impossible 0.015 RTF at S=256 in the r4 sweep
+                # (superseded by a direct fenced re-measurement)
+                zero_round_pumps += 1
+                continue
+            walls.append((time.perf_counter() - t0) / rounds)
+        if zero_round_pumps:
+            print(json.dumps({
+                "streams": s, "invalid": True,
+                "zero_round_pumps": zero_round_pumps,
+                "note": "pump() executed 0 full rounds — feed "
+                        "accounting starved the chunk buffer; point "
+                        "dropped, not a capacity datum",
+            }), flush=True)
+        if not walls:
+            s *= 2
+            continue
         med = float(np.median(walls))
         p99 = float(np.quantile(walls, 0.99))
         rtf = med / chunk_audio_s
