@@ -458,14 +458,45 @@ class Solver:
             )
         fd.write(f"{__import__('os').getpid()}\n")
         fd.flush()
-        # held for process lifetime; python fds are CLOEXEC (PEP 446), so
+        # held while train() runs; python fds are CLOEXEC (PEP 446), so
         # an exec-restart releases the lock exactly at execv and the
         # successor process re-acquires it cleanly
         self._lock_fd = fd
 
+    def _release_workdir_lock(self) -> None:
+        """Close (= flock-release) the workdir lock fd.
+
+        flock conflicts apply BETWEEN FDS, including two fds in one
+        process — a lock held past train()'s return makes a second
+        Solver resuming the same workdir in the same process die with
+        SystemExit (advisor r4 high; reproduced by test_tp.py's
+        train-then-resume).  The lock guards a LIVE training loop only,
+        so train() releases it on every exit path."""
+        fd, self._lock_fd = getattr(self, "_lock_fd", None), None
+        if fd is not None:
+            try:
+                fd.close()
+            except OSError:
+                pass
+
     def train(self, resume: bool = False) -> dict:
-        cfg = self.cfg
         self._acquire_workdir_lock()
+        try:
+            # dead-save debris recovery belongs HERE, under the lock —
+            # not in Checkpointer.__init__, where a read-only Solver
+            # against a live workdir would rename the live trainer's
+            # in-flight save (advisor r4 medium)
+            self.ckpt.quarantine_stale_tmp()
+            return self._train_locked(resume)
+        finally:
+            # exec-restart path included: main.py execv's AFTER this
+            # returns, and the successor re-acquires cleanly; releasing
+            # a moment before execv (vs the old CLOEXEC-at-execv) only
+            # widens the unlocked window by microseconds
+            self._release_workdir_lock()
+
+    def _train_locked(self, resume: bool = False) -> dict:
+        cfg = self.cfg
         # set at exec_restart_every boundaries; main.py os.execv's a
         # fresh process with --resume when it sees this
         self.restart_requested = False

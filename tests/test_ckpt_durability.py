@@ -64,6 +64,13 @@ class TestStaleTmpQuarantine:
         (d / "5.orbax-checkpoint-tmp" / "partial").write_text("junk")
 
         ck = Checkpointer(d, async_save=True)
+        # __init__ must NOT touch the tmp dir (advisor r4 medium): a
+        # read-only Solver against a LIVE workdir would rename the live
+        # trainer's in-flight save.  Writers quarantine explicitly,
+        # under the workdir lock (Solver.train does).
+        assert ck.quarantined == []
+        assert (d / "5.orbax-checkpoint-tmp").exists()
+        ck.quarantine_stale_tmp()
         assert ck.quarantined == ["5.orbax-checkpoint-tmp"]
         assert not (d / "5.orbax-checkpoint-tmp").exists()
         q = list((d / "_quarantine").iterdir())
@@ -77,6 +84,7 @@ class TestStaleTmpQuarantine:
 
     def test_clean_dir_quarantines_nothing(self, tmp_path):
         ck = Checkpointer(tmp_path / "c")
+        assert ck.quarantine_stale_tmp() == []
         assert ck.quarantined == []
         ck.close()
 
@@ -183,6 +191,38 @@ class TestWorkdirLock:
         s2 = Solver(cfg, tmp_path / "b", use_mesh=False)
         s1.train()
         s2.train()
+
+    def test_lock_released_when_train_returns(self, tmp_path):
+        """The lock guards a LIVE loop, not a Solver object (advisor r4
+        high): a second Solver resuming the workdir while the FIRST IS
+        STILL REFERENCED must acquire cleanly — flock conflicts apply
+        between two fds even in one process, so a lock held past
+        train()'s return breaks every in-process train-then-resume
+        caller (test_tp's resume test reproduced it)."""
+        wd = tmp_path / "wd"
+        cfg = small_cfg()
+        s1 = Solver(cfg, wd, use_mesh=False)
+        s1.train()
+        assert s1._lock_fd is None        # released on return
+        s2 = Solver(cfg, wd, use_mesh=False)   # s1 alive — no GC rescue
+        s2.train(resume=True)
+        assert int(s2.state.step) == cfg.train.total_steps
+        assert s1 is not None
+
+    def test_readonly_solver_leaves_live_tmp_alone(self, tmp_path):
+        """Constructing a Solver against a workdir whose trainer has a
+        save IN FLIGHT (a *.orbax-checkpoint-tmp dir) must not rename
+        that dir (advisor r4 medium): quarantine only runs in train(),
+        under the workdir lock."""
+        wd = tmp_path / "wd"
+        cfg = small_cfg()
+        ckdir = wd / "checkpoints"
+        ckdir.mkdir(parents=True)
+        live = ckdir / "7.orbax-checkpoint-tmp"
+        live.mkdir()
+        Solver(cfg, wd, use_mesh=False)   # e.g. decode/--test/diagnose
+        assert live.exists()
+        assert not (ckdir / "_quarantine").exists()
 
 
 class TestKillDuringSaveSubprocess:
