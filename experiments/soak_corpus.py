@@ -42,7 +42,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from semi_supervised_asr_tpu.data.synthetic import _token_signature
+from semi_supervised_asr_tpu.data.synthetic import (
+    _token_signature,
+    hard_utterance_audio,
+)
 from semi_supervised_asr_tpu.data.vocab import char_vocab
 from semi_supervised_asr_tpu.utils.flac import write_flac_verbatim
 
@@ -120,6 +123,14 @@ def main() -> int:
     p.add_argument("--min-secs", type=float, default=1.6)
     p.add_argument("--max-secs", type=float, default=15.5)
     p.add_argument("--noise", type=float, default=0.01)
+    p.add_argument("--difficulty", type=float, default=0.0,
+                   help=">0: hard-mode acoustics with a calibrated "
+                        "nonzero error floor (confusable char groups + "
+                        "speaker warp + rate jitter + channel tilt + "
+                        "SNR; data/synthetic.py hard_params) — the r4 "
+                        "deterministic signatures are solved to WER "
+                        "0.0000 at soak scale, so quality studies need "
+                        "this knob")
     p.add_argument("--utts-per-chapter", type=int, default=200)
     args = p.parse_args()
 
@@ -136,7 +147,7 @@ def main() -> int:
     (root / "LANG.json").write_text(json.dumps({
         "lang_seed": args.lang_seed, "lexicon_size": args.lexicon,
         "branching": args.branching, "char_dur_s": CHAR_DUR_S,
-        "mean_secs": args.mean_secs,
+        "mean_secs": args.mean_secs, "difficulty": args.difficulty,
     }, indent=1))
 
     splits = [
@@ -164,11 +175,35 @@ def main() -> int:
             # log-normal length with the LS long tail
             dur = float(np.exp(rng.normal(np.log(args.mean_secs), 0.45)))
             dur = min(max(dur, args.min_secs), args.max_secs)
-            text = sampler.sample(int(dur / CHAR_DUR_S))
-            ids = vocab.encode_text(text, add_sos_eos=False)
-            audio = np.concatenate([sig[t] for t in ids])
-            audio = audio + args.noise * rng.standard_normal(
-                len(audio)).astype(np.float32)
+            budget = int(dur / CHAR_DUR_S)
+            max_samples = int(args.max_secs * SR)
+            while True:
+                text = sampler.sample(budget)
+                ids = vocab.encode_text(text, add_sos_eos=False)
+                if args.difficulty > 0.0:
+                    # hard mode: per-utterance speaker/rate/channel
+                    # realization + SNR noise (data/synthetic.py) —
+                    # sub-streams forked off the split rng so the corpus
+                    # stays deterministic in (lang_seed, split)
+                    audio = hard_utterance_audio(
+                        np.asarray(ids),
+                        acoustic_rng=np.random.default_rng(
+                            rng.integers(2**63)),
+                        dur_rng=np.random.default_rng(rng.integers(2**63)),
+                        sample_rate=SR, base_seg=SEG,
+                        difficulty=args.difficulty, vocab_size=vocab.size,
+                    )
+                else:
+                    audio = np.concatenate([sig[t] for t in ids])
+                    audio = audio + args.noise * rng.standard_normal(
+                        len(audio)).astype(np.float32)
+                if len(audio) <= max_samples:
+                    break
+                # rate jitter overshot the --max-secs cap (rare, long
+                # tail only): shrink the char budget and resample —
+                # NEVER ship an utterance past the bucket grid (the r3
+                # soak silently dropped its overshoots)
+                budget = int(budget * 0.95) - 1
             pcm = np.clip(audio * 16000.0, -32767, 32767).astype(np.int16)
             uid = f"{spk}-{chap}-{i:06d}"
             write_flac_verbatim(d / f"{uid}.flac", pcm, SR)

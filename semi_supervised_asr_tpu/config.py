@@ -480,6 +480,13 @@ class DataConfig:
     # iid-uniform) — gives text-AE/pseudo-label terms linguistic structure
     # to exploit (experiments/structured_semi.py)
     synthetic_grammar: int = 0
+    # >0: hard-mode synthetic acoustics with a CALIBRATED nonzero error
+    # floor (confusable signature groups + per-utterance speaker warp /
+    # rate jitter / channel tilt + SNR tied to this knob) — the r4 soak
+    # corpus was solved to dev WER 0.0000, so at-scale quality claims
+    # need this.  See data/synthetic.py hard_params() for the mapping
+    # and experiments/README for the measured difficulty→WER curve.
+    synthetic_difficulty: float = 0.0
     drop_remainder: bool = True
     # train from precomputed HDF5 log-mel features (<data_dir>/<split>.h5,
     # written by preprocess --features) instead of raw audio + on-device
