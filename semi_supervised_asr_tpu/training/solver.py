@@ -1210,6 +1210,17 @@ class Solver:
         er = MET.ErrorRate()
         wer = MET.ErrorRate()          # word-level (char units only)
         records = []
+        # length-cap saturation telemetry (VERDICT r4 weak #4): an
+        # EOS-terminated decode (LAS greedy/beam) whose hypothesis fills
+        # max_decode_len WITHOUT emitting EOS was cut by the cap — the
+        # r3 soak measured a truncation artifact for 2000 steps because
+        # 512/512 capped hypotheses looked like a frozen-but-valid CER.
+        # CTC/transducer hypotheses are frame/alignment-synchronous (no
+        # EOS budget), so the counter only means something for LAS.
+        from semi_supervised_asr_tpu.data.vocab import EOS
+
+        track_cap = (self.cfg.model.family == "las" and mode != "ctc")
+        cap_hits, n_scored = 0, 0
         shard, n_shards = 0, 1
         if (self.mesh is not None and jax.process_count() > 1
                 and self.cfg.parallel.model_parallel == 1):
@@ -1249,6 +1260,10 @@ class Solver:
                     "hyp": self.vocab.decode_text(hyps[r]),
                     "errors": int(d[r]), "ref_len": int(n[r]),
                 }
+                n_scored += 1
+                if track_cap and not bool((hyps[r] == EOS).any()):
+                    cap_hits += 1
+                    rec["no_eos"] = True   # ended AT the cap, truncated
                 if self.cfg.data.unit in ("char", "bpe"):
                     we, nw = MET.wer_strings(rec["hyp"], rec["ref"])
                     wer.update(we, nw)
@@ -1261,13 +1276,33 @@ class Solver:
 
             counts = multihost_utils.process_allgather(
                 np.asarray(
-                    [er.errors, er.total, wer.errors, wer.total], np.int64
+                    [er.errors, er.total, wer.errors, wer.total,
+                     cap_hits, n_scored], np.int64
                 )
             ).sum(axis=0)
             er = MET.ErrorRate(int(counts[0]), int(counts[1]))
             wer = MET.ErrorRate(int(counts[2]), int(counts[3]))
+            cap_hits, n_scored = int(counts[4]), int(counts[5])
         wrate = (wer.rate if self.cfg.data.unit in ("char", "bpe")
                  else None)
+        # side-channel (the 3-tuple is unpacked at 30+ call sites):
+        # validate()/test()/transcribe read and surface these
+        self._last_decode_stats = {
+            "tracked": track_cap, "cap_hits": cap_hits,
+            "n_scored": n_scored,
+            "cap_hit_rate": cap_hits / max(n_scored, 1),
+            "cap": int(self.cfg.decode.max_decode_len),
+        }
+        if track_cap and n_scored and cap_hits / n_scored > 0.01:
+            self.log.warning(
+                f"LENGTH-CAP SATURATION: {cap_hits}/{n_scored} "
+                f"hypotheses filled decode.max_decode_len="
+                f"{self.cfg.decode.max_decode_len} without emitting EOS "
+                "— the error metric is partly measuring TRUNCATION, not "
+                "recognition (the r3 soak's frozen-CER artifact). Raise "
+                "max_decode_len (or check for a model that cannot "
+                "terminate)."
+            )
         return er.rate, records, wrate
 
     def _live_eval_params(self):
@@ -1285,6 +1320,12 @@ class Solver:
         out = {"dev_error": rate}
         if wrate is not None:
             out["dev_wer"] = wrate
+        stats = getattr(self, "_last_decode_stats", {})
+        if stats.get("tracked"):
+            # in metrics.jsonl every eval: dashboards and the soak
+            # report see saturation the round it starts, not two rounds
+            # later in a post-mortem
+            out["dev_cap_hit_rate"] = stats["cap_hit_rate"]
         return out
 
     def _log_alignment(self) -> None:
@@ -1402,4 +1443,7 @@ class Solver:
         out = {metric: rate, "n_utts": n_utts, "mode": mode}
         if wrate is not None:
             out["wer"] = wrate
+        stats = getattr(self, "_last_decode_stats", {})
+        if stats.get("tracked"):
+            out["cap_hit_rate"] = stats["cap_hit_rate"]
         return out

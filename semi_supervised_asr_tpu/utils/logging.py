@@ -54,6 +54,14 @@ class MetricsLogger:
     def info(self, msg: str) -> None:
         print(msg, file=sys.stderr, flush=True)
 
+    def warning(self, msg: str) -> None:
+        """Loud: stderr AND the stdlib logger (so pytest caplog and any
+        configured handlers see it)."""
+        print(f"WARNING: {msg}", file=sys.stderr, flush=True)
+        import logging
+
+        logging.getLogger("semi_supervised_asr_tpu").warning(msg)
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:
