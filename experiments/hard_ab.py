@@ -66,6 +66,7 @@ def _arm_overrides(args) -> list[str]:
     ov = [
         f"data.data_dir={args.root}/out",
         "data.test_split=test-clean",
+        f"train.compile_cache_dir={args.compile_cache}",
         f"train.total_steps={args.steps}",
         f"train.warmup_steps={max(args.steps // 10, 100)}",
         f"train.decay_steps={args.steps}",
@@ -77,6 +78,11 @@ def _arm_overrides(args) -> list[str]:
         "train.async_ckpt=true",
         f"train.batch_size={args.batch}",
         f"data.grain_threads={args.grain_threads}",
+        # scale the recipe's pseudo-warmup gate (15% of total_steps at
+        # 200k) to this arm's budget: the teacher must clear its noise
+        # floor before the consistency term goes live — on the hard
+        # corpus a step-0 teacher emits garbage pseudo-labels
+        f"objective.pseudo_warmup_steps={max(args.steps // 6, 1)}",
     ]
     if args.arm == "supervised":
         # SAME config minus the unlabeled terms: equal labeled data,
@@ -197,6 +203,11 @@ def main() -> int:
     a.add_argument("--eval-every", type=int, default=1000)
     a.add_argument("--batch", type=int, default=64)
     a.add_argument("--grain-threads", type=int, default=0)
+    a.add_argument("--compile-cache", default="/tmp/jit_cache_r5",
+                   help="shared persistent XLA cache across arms — the "
+                        "supervised arm's cells are the calibration "
+                        "runs' cells, and eval decode cells are shared "
+                        "by every run of the recipe shape")
     a.add_argument("--platform", default=None,
                    help="cpu for smokes; default = the attached chip")
     a.add_argument("--override", action="append", default=[])

@@ -39,6 +39,12 @@ def main() -> int:
     p.add_argument("--config",
                    default="configs/ls100_conformer_streaming.yaml")
     p.add_argument("--max-streams", type=int, default=256)
+    p.add_argument("--streams", default=None,
+                   help="comma list of S values (e.g. 256,320,384,448,"
+                        "512) overriding the doubling sweep — the knee "
+                        "region needs finer than 2x steps (VERDICT r4 "
+                        "next #5: publish MEASURED knees, all points "
+                        "from one harness version)")
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--rounds", type=int, default=30)
     p.add_argument("--max-u", type=int, default=256)
@@ -66,8 +72,12 @@ def main() -> int:
     rng = np.random.default_rng(0)
 
     capacity, results = 0, []
-    s = 1
-    while s <= args.max_streams:
+    if args.streams:
+        schedule = [int(x) for x in args.streams.split(",")]
+    else:
+        schedule = [2 ** i for i in range(args.max_streams.bit_length())
+                    if 2 ** i <= args.max_streams]
+    for s in schedule:
         ms = MultiStreamTranscriber(
             params, cfg, cmvn, max_u=args.max_u, n_streams=s,
             beam_size=args.beam,
@@ -108,7 +118,6 @@ def main() -> int:
                         "dropped, not a capacity datum",
             }), flush=True)
         if not walls:
-            s *= 2
             continue
         med = float(np.median(walls))
         p99 = float(np.quantile(walls, 0.99))
@@ -123,10 +132,9 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
         results.append(rec)
         if rtf < 1.0:
-            capacity = s
+            capacity = max(capacity, s)
         else:
-            break                       # past the knee; stop doubling
-        s *= 2
+            break                       # past the knee; stop the sweep
 
     print(json.dumps({
         "config": args.config, "beam": args.beam,

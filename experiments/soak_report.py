@@ -47,7 +47,7 @@ def main() -> int:
     args = p.parse_args()
 
     wd = Path(args.workdir)
-    train, dev, data_cov = {}, [], None
+    train, dev, data_cov, wall = {}, [], None, []
     for line in open(wd / "metrics.jsonl"):
         r = json.loads(line)
         if r.get("prefix") == "train":
@@ -56,6 +56,8 @@ def main() -> int:
             dev.append(r)
         elif r.get("prefix") == "data":
             data_cov = r
+        elif r.get("prefix") == "wall":
+            wall.append(r)
 
     steps = sorted(train)
     fps = [train[s]["frames_per_sec"] for s in steps[3:]]  # skip warm-up
@@ -88,6 +90,23 @@ def main() -> int:
             1 for line in open(wd / "metrics.jsonl")
             if '"prefix": "train"' in line
         ) - len(steps),   # >0 would mean two writers raced (r3 weak #2)
+    }
+
+    # restart/eval window attribution (VERDICT r4 next #7): where the
+    # p10-vs-median throughput gap actually goes, from the solver's
+    # "wall" records (startup + first-step per process generation) and
+    # the per-eval walls in the dev records
+    def _sum(key, recs):
+        vals = [r[key] for r in recs if key in r]
+        return {"n": len(vals), "total_s": round(sum(vals), 1),
+                "median_s": round(float(np.median(vals)), 2)} \
+            if vals else None
+    report["overhead_windows"] = {
+        "startup": _sum("startup_wall_s", wall),
+        "first_step": _sum("first_step_wall_s", wall),
+        "restart_boundary_save": _sum("restart_save_wall_s", wall),
+        "eval_decode": _sum("eval_wall_s", dev),
+        "eval_ckpt_save": _sum("ckpt_wall_s", dev),
     }
 
     gens = []

@@ -39,6 +39,25 @@ from semi_supervised_asr_tpu.utils import metrics as MET
 from semi_supervised_asr_tpu.utils.logging import MetricsLogger
 
 
+def _proc_age_s() -> float:
+    """Seconds since THIS process started (exec), from /proc.
+
+    Used to attribute restart overhead: after an exec-restart boundary the
+    fresh generation's time-to-first-step = dataset build + compile-cache
+    deserialize + checkpoint restore, and nothing inside Python can see
+    the pre-``main()`` share of it except the kernel's starttime."""
+    try:
+        with open("/proc/self/stat") as f:
+            fields = f.read().rsplit(") ", 1)[1].split()
+        start_ticks = float(fields[19])  # starttime is field 22 overall
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        import os as _os
+        return uptime - start_ticks / _os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return float("nan")
+
+
 # jax_compilation_cache_dir as configured BEFORE any Solver touched it
 # (env JAX_COMPILATION_CACHE_DIR / caller's jax.config): recorded once so
 # compile_cache_dir='auto' can respect a genuinely external setting while
@@ -551,6 +570,13 @@ class Solver:
         t_last = time.perf_counter()
         frames_acc = 0
         last_eval = {}
+        # restart/eval window accounting (the r4 soak's p10 throughput was
+        # 42k vs median 136k and nothing attributed the gap): startup_wall
+        # = exec→loop-entry (dataset build, cache init, restore); the
+        # first-step wall (compile or cache deserialize) is logged with it
+        # once step 1 of this process completes, under prefix "wall".
+        startup_wall = _proc_age_s()
+        first_step_t0: float | None = time.perf_counter()
         # early stopping: resume remembers the pre-crash best via the
         # checkpoint manager's per-step metrics (else a resumed plateau
         # would count its first eval as a fresh best and never stop)
@@ -626,6 +652,16 @@ class Solver:
             # log boundary (steps in between pipeline freely).
             host_step += 1
             step = host_step
+            if first_step_t0 is not None:
+                # compile (or persistent-cache deserialize) of this
+                # process's first bucket cell happens synchronously inside
+                # the dispatch above — the dominant per-restart cost
+                self.log.log(step, {
+                    "startup_wall_s": startup_wall,
+                    "first_step_wall_s": time.perf_counter() - first_step_t0,
+                    "resumed": float(bool(resume)),
+                }, "wall")
+                first_step_t0 = None
 
             # profiling window (SURVEY.md §6 tracing): trace profile_steps
             # steps starting at profile_start into <workdir>/profile
@@ -664,12 +700,19 @@ class Solver:
                 frames_acc = 0
 
             if cfg.train.eval_every > 0 and step % cfg.train.eval_every == 0:
+                t_ev = time.perf_counter()
                 last_eval = self.validate()
-                self.log.log(step, last_eval, "dev")
+                eval_wall = time.perf_counter() - t_ev
+                t_ck = time.perf_counter()
                 self.ckpt.save(
                     step, self.state, self.data_pos,
                     {"dev_error": last_eval["dev_error"]},
                 )
+                self.log.log(step, {
+                    **last_eval,
+                    "eval_wall_s": eval_wall,
+                    "ckpt_wall_s": time.perf_counter() - t_ck,
+                }, "dev")
                 if last_eval["dev_error"] < best_dev - 1e-9:
                     best_dev, evals_since_best = last_eval["dev_error"], 0
                 else:
@@ -698,6 +741,7 @@ class Solver:
                     or (cfg.train.ckpt_every > 0
                         and step % cfg.train.ckpt_every == 0)
                 )
+                t_rs = time.perf_counter()
                 if not saved_now:
                     self.ckpt.save(
                         step, self.state, self.data_pos,
@@ -708,6 +752,9 @@ class Solver:
                 # is what livelocked the r3 soak (three identical 900-step
                 # cycles re-resuming from the same stale checkpoint)
                 self.ckpt.verify_durable(step)
+                self.log.log(step, {
+                    "restart_save_wall_s": time.perf_counter() - t_rs,
+                }, "wall")
                 self.restart_requested = True
                 self.log.info(
                     f"exec-restart boundary at step {step} "
