@@ -162,23 +162,47 @@ def _dev_trajectory(wd: Path) -> list[dict]:
     return out
 
 
+def _load_arm(wd: Path) -> dict:
+    """arm_result.json, or a trajectory-only record rebuilt from
+    metrics.jsonl — a truncated arm (session end mid-run) still
+    compares against the other arm at matched eval steps."""
+    f = wd / "arm_result.json"
+    if f.exists():
+        return json.loads(f.read_text())
+    return {"workdir": str(wd), "test": {},
+            "truncated": True, "dev_trajectory": _dev_trajectory(wd)}
+
+
 def report(args) -> int:
-    sup = json.loads((Path(args.sup) / "arm_result.json").read_text())
-    semi = json.loads((Path(args.semi) / "arm_result.json").read_text())
+    sup = _load_arm(Path(args.sup))
+    semi = _load_arm(Path(args.semi))
     s_wer = sup["test"].get("wer")
     m_wer = semi["test"].get("wer")
-    rel = (None if not s_wer else round((s_wer - m_wer) / s_wer, 4))
+    rel = (None if not s_wer or m_wer is None
+           else round((s_wer - m_wer) / s_wer, 4))
+    # dev WER at every eval step BOTH arms reached — the matched-budget
+    # comparison that survives one arm being truncated
+    s_dev = {r["step"]: r for r in sup.get("dev_trajectory", [])}
+    m_dev = {r["step"]: r for r in semi.get("dev_trajectory", [])}
+    matched = [
+        {"step": s,
+         "dev_wer_supervised": s_dev[s].get("dev_wer"),
+         "dev_wer_semi": m_dev[s].get("dev_wer")}
+        for s in sorted(set(s_dev) & set(m_dev))
+    ]
     rep = {
         "supervised": sup, "semi": semi,
         "test_wer_supervised": s_wer, "test_wer_semi": m_wer,
         "semi_rel_improvement": rel,
         "semi_improves": (m_wer < s_wer) if None not in (s_wer, m_wer)
         else None,
+        "matched_dev_trajectory": matched,
     }
     Path(args.out).write_text(json.dumps(rep, indent=1))
     print(json.dumps({k: rep[k] for k in
                       ("test_wer_supervised", "test_wer_semi",
-                       "semi_rel_improvement", "semi_improves")}))
+                       "semi_rel_improvement", "semi_improves",
+                       "matched_dev_trajectory")}))
     return 0
 
 

@@ -39,13 +39,22 @@ from semi_supervised_asr_tpu.utils import metrics as MET
 from semi_supervised_asr_tpu.utils.logging import MetricsLogger
 
 
+# re-captured on every image replacement: os.execv keeps the PID, so
+# /proc starttime alone would charge an exec-restart generation with the
+# whole previous generation's runtime
+_IMPORT_T0 = time.perf_counter()
+
+
 def _proc_age_s() -> float:
-    """Seconds since THIS process started (exec), from /proc.
+    """Seconds since THIS process image started.
 
     Used to attribute restart overhead: after an exec-restart boundary the
     fresh generation's time-to-first-step = dataset build + compile-cache
-    deserialize + checkpoint restore, and nothing inside Python can see
-    the pre-``main()`` share of it except the kernel's starttime."""
+    deserialize + checkpoint restore.  Two clocks, take the min: the
+    kernel's starttime covers interpreter bring-up but never resets across
+    execv (same PID), while the module-import anchor resets on every image
+    but misses exec→first-import.  min() is right in both regimes."""
+    import_age = time.perf_counter() - _IMPORT_T0
     try:
         with open("/proc/self/stat") as f:
             fields = f.read().rsplit(") ", 1)[1].split()
@@ -53,9 +62,10 @@ def _proc_age_s() -> float:
         with open("/proc/uptime") as f:
             uptime = float(f.read().split()[0])
         import os as _os
-        return uptime - start_ticks / _os.sysconf("SC_CLK_TCK")
+        proc_age = uptime - start_ticks / _os.sysconf("SC_CLK_TCK")
+        return min(proc_age, import_age)
     except Exception:
-        return float("nan")
+        return import_age
 
 
 # jax_compilation_cache_dir as configured BEFORE any Solver touched it
